@@ -1,0 +1,142 @@
+"""Text-analysis expression library for the training-data pipeline ops.
+
+Beyond the reference's own surface (BASELINE.json north star): language
+identification, quality scoring, token counting, and document
+fingerprinting over the `documents` table — each a pure column
+expression so the 100 TB path stays inside whole-stage codegen.
+
+Design constraint: every expression here has an exact ANSI-SQL twin
+(DuckDB oracle), so regex classes are kept to RE2-compatible basics and
+hashes to plain integer arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Tokenization / counting
+
+#: BPE-ish pre-tokenizer: letter runs, single digits, single punctuation.
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+
+def whitespace_tokens(col: Column) -> Column:
+    """Whitespace tokenization; empty string → empty array (not [''])."""
+    trimmed = F.trim(col)
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def whitespace_token_count(col: Column) -> Column:
+    return F.size(whitespace_tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Token count under the BPE-ish pre-tokenizer regex (counts matches,
+    JVM-side via regexp_count)."""
+    return F.regexp_count(col, F.lit(BPE_TOKEN_RE))
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring (length / punctuation / stopword ratios)
+
+EN_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "that", "it", "for")
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of non-space characters that are punctuation."""
+    non_space = F.length(F.regexp_replace(col, r"\s", ""))
+    punct = F.length(F.regexp_replace(col, r"[A-Za-z0-9\s]", ""))
+    return F.round(F.coalesce(F.try_divide(punct, non_space), F.lit(0.0)), 6)
+
+
+def stopword_ratio(col: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    """Fraction of whitespace tokens that are (lowercased) stopwords."""
+    toks = whitespace_tokens(F.lower(col))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return F.round(F.coalesce(F.try_divide(hits, F.size(toks)), F.lit(0.0)), 6)
+
+
+def mean_token_len(col: Column) -> Column:
+    toks = whitespace_tokens(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.round(F.coalesce(F.try_divide(total, F.size(toks)), F.lit(0.0)), 6)
+
+
+# ---------------------------------------------------------------------------
+# Language identification (n-gram / marker-word heuristic)
+
+#: Marker vocabularies per language. Deliberately small and disjoint where
+#: possible; zh is detected by CJK codepoints instead of words.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "that", "with", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr": ("le", "les", "des", "est", "une", "dans", "que"),
+    "es": ("el", "los", "las", "es", "una", "por", "que"),
+}
+CJK_CLASS = "[\\u4e00-\\u9fff]"
+
+
+def lang_score(col: Column, lang: str) -> Column:
+    """Marker-hit count for one language (zh = CJK char count)."""
+    if lang == "zh":
+        return F.length(col) - F.length(F.regexp_replace(col, CJK_CLASS, ""))
+    markers = "|".join(LANG_MARKERS[lang])
+    return F.regexp_count(F.lower(col), F.lit(f"\\b({markers})\\b"))
+
+
+def predict_lang(col: Column) -> Column:
+    """Argmax over language scores with a fixed tie-break order
+    (en > de > fr > es > zh); 'und' (undetermined) when all scores are 0."""
+    order = ("en", "de", "fr", "es", "zh")
+    scores = {lang: lang_score(col, lang) for lang in order}
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # build reversed so earlier languages win ties
+    for lang in reversed(order):
+        expr = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting (rolling polynomial hash)
+
+FP_MOD = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+FP_BASE = 31
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """Order-sensitive rolling hash over whitespace tokens:
+    ``h = (h*31 + token_hash) mod (2^31-1)`` where ``token_hash`` is the
+    same polynomial over the token's codepoints. Pure bigint arithmetic →
+    identical in any engine; collision rate ~n²/2³¹."""
+    def char_hash(tok: Column) -> Column:
+        return F.aggregate(
+            F.split(tok, ""),
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * FP_BASE + F.ascii(c)) % FP_MOD,
+        )
+
+    return F.aggregate(
+        whitespace_tokens(col),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * FP_BASE + char_hash(t)) % FP_MOD,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling (shared by the dedup operators)
+
+def word_ngrams(tokens: Column, n: int = 3) -> Column:
+    """Contiguous word n-grams from an array<string> column, via an
+    indexed transform over ``sequence`` — no explode, no UDF. Documents
+    shorter than n yield a single joined shingle."""
+    joined = F.array_join(tokens, " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(tokens) - n),
+        lambda i: F.array_join(F.slice(tokens, i + 1, n), " "),
+    )
+    return F.when(F.size(tokens) < n, F.array(joined)).otherwise(grams)

@@ -1,0 +1,150 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Two tiers, per the training-pipeline requirement:
+
+- ``brute_force_topk`` — exact cosine top-k: broadcast the (small) query
+  set against the full corpus, score with higher-order array functions
+  (JVM-side, codegen), rank with one window. The correctness baseline;
+  at 100 TB it is a single broadcast-join map stage plus a per-query
+  top-k — no all-pairs shuffle.
+- ``ivf_topk`` — inverted-file (IVF) variant: assign every corpus vector
+  to its nearest centroid (a deterministic subsample serves as the
+  codebook — a k-means step can replace it without changing the plan),
+  then probe only ``nprobe`` nearest cells per query. Corpus assignment
+  is a broadcast map stage; the probe join hits only ``nprobe/ncells``
+  of the data — the scale path.
+- ``signed_projection_bucket`` — random-hyperplane LSH bits shared with
+  operators.dedup.embedding_near_dup_pairs.
+
+All scores are computed on ``array<double>`` and rounded to 6 dp so the
+DuckDB oracle (list_dot_product on DOUBLE[]) hash-matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.similarity import cosine_similarity, dot
+
+HASH_MOD = 2_147_483_647
+
+
+def _as_double_vec(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    Plan: ``broadcast(queries) × corpus`` (map-side nested loop — each
+    corpus partition scans the broadcast query block, no shuffle of the
+    corpus), then ``row_number`` per query. Ranking uses the *rounded*
+    score with the corpus id as tiebreak, so results are deterministic
+    across engines and partitionings.
+    """
+    qid = query_id_col or id_col
+    q = queries.select(
+        F.col(qid).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qvec")
+    )
+    c = _as_double_vec(corpus, id_col, vec_col)
+    scored = (
+        c.join(F.broadcast(q), F.col("id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine_similarity(F.col("vec"), F.col("qvec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("id").alias("neighbor_id"), "cosine", "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    num_cells: int = 16,
+    nprobe: int = 4,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """IVF approximate top-k.
+
+    Codebook = the ``num_cells`` corpus vectors with the smallest ids
+    (deterministic; swap in k-means centroids for better recall without
+    touching the plan). Every corpus vector is assigned to its max-cosine
+    cell (broadcast map stage); each query probes its ``nprobe`` best
+    cells and ranks only those members. At scale the corpus side can be
+    written out partitioned by ``cell`` so probes prune at the source.
+    """
+    qid = query_id_col or id_col
+    c = _as_double_vec(corpus, id_col, vec_col)
+    centroids = c.orderBy("id").limit(num_cells).select(
+        F.col("id").alias("cell"), F.col("vec").alias("cvec")
+    )
+
+    def best_cells(df: DataFrame, in_id: str, in_vec: str, n: int, out: str) -> DataFrame:
+        scored = df.join(F.broadcast(centroids)).withColumn(
+            "csim", F.round(cosine_similarity(F.col(in_vec), F.col("cvec")), 6)
+        )
+        w = Window.partitionBy(in_id).orderBy(F.col("csim").desc(), F.col("cell").asc())
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= n)
+            .select(in_id, in_vec, F.col("cell").alias(out))
+        )
+
+    assigned = best_cells(c, "id", "vec", 1, "cell")
+    q = queries.select(
+        F.col(qid).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qvec")
+    )
+    probes = best_cells(q, "query_id", "qvec", nprobe, "cell")
+
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine_similarity(F.col("vec"), F.col("qvec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("id").alias("neighbor_id"), "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH bits
+
+def _pseudo_random_plane(dim: int, bit: int) -> list[float]:
+    """Deterministic ±1 hyperplane derived from an LCG — identical in any
+    engine that re-runs the same integer recurrence."""
+    vals: list[float] = []
+    state = (42 + bit * 1_000_003) % HASH_MOD
+    for _ in range(dim):
+        state = (state * 1_103_515_245 + 12_345) % HASH_MOD
+        vals.append(1.0 if state % 2 == 0 else -1.0)
+    return vals
+
+
+def signed_projection_bucket(vec: Column, bits: int, dim: int = 64) -> Column:
+    """Pack ``bits`` sign-of-projection bits (vs fixed ±1 hyperplanes)
+    into one long — the classic SRP-LSH bucket id. Cosine-similar vectors
+    collide with probability ``1 - θ/π`` per bit."""
+    acc = F.lit(0).cast("long")
+    for b in range(bits):
+        plane = F.lit(_pseudo_random_plane(dim, b)).cast("array<double>")
+        sign_bit = F.when(dot(vec, plane) >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        acc = acc * 2 + sign_bit
+    return acc

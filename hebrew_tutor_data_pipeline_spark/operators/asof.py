@@ -1,0 +1,102 @@
+"""As-of (most-recent-prior) joins.
+
+The reference's cursor alignment is as-of-shaped (J5: each reference
+word takes the nearest not-yet-consumed transcript word); the generic
+time-series form — "for each left row, the latest right row with
+``right.ts <= left.ts`` per key" — is implemented here with the
+union+window plan rather than a per-key loop:
+
+1. tag and union both sides on (key, ts),
+2. one window sorted by (ts, tag) per key carries the last-seen right
+   payload forward (``last(..., ignorenulls=True)``),
+3. keep only left rows.
+
+One shuffle on the key, no driver state, no ``applyInPandas`` — this is
+the plan that survives 100 TB (pandas-free, spill-friendly, AQE-aware).
+Tolerance is applied as a post-filter on the carried timestamp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance: float | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """As-of join: each left row gets the payload of the nearest right
+    row at-or-before (``backward``) / at-or-after (``forward``) its
+    timestamp, per join key.
+
+    ``tolerance`` (same units as the timestamp domain; seconds for
+    timestamps) nulls out matches farther than the bound.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    right_cols = right_cols or [
+        c for c in right.columns if c not in on and c != right_ts
+    ]
+    payload = [f"{c}{suffix}" for c in right_cols]
+    matched_ts = f"{right_ts}{suffix}"
+
+    l_tag = left.select(
+        *on,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        *[F.col(c) for c in left.columns if c not in on and c != left_ts],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(p) for c, p in zip(right_cols, payload)],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias(matched_ts),
+    ).withColumn(left_ts, F.col("_ts"))
+    r_tag = right.select(
+        *on,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in on and c != left_ts],
+        *[F.col(c).alias(p) for c, p in zip(right_cols, payload)],
+        F.col(right_ts).alias(matched_ts),
+    ).withColumn(left_ts, F.lit(None).cast(left.schema[left_ts].dataType))
+
+    unioned = l_tag.unionByName(r_tag)
+
+    if direction == "backward":
+        # right rows sort before a left row at the same ts → "at or before"
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("_ts").asc(), F.col("_is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        carried = [F.last(c, ignorenulls=True).over(w).alias(c) for c in [*payload, matched_ts]]
+    else:
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("_ts").asc(), F.col("_is_left").desc())
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        carried = [F.first(c, ignorenulls=True).over(w).alias(c) for c in [*payload, matched_ts]]
+
+    keep = [c for c in unioned.columns if c not in (*payload, matched_ts, "_is_left", "_ts")]
+    out = unioned.select(*keep, F.col("_is_left"), F.col("_ts"), *carried).filter(
+        F.col("_is_left") == 1
+    )
+
+    if tolerance is not None:
+        gap = F.abs(F.col("_ts").cast("double") - F.col(matched_ts).cast("double"))
+        out = out.select(
+            *keep,
+            *[
+                F.when(gap <= tolerance, F.col(c)).otherwise(F.lit(None)).alias(c)
+                for c in [*payload, matched_ts]
+            ],
+        )
+    else:
+        out = out.select(*keep, *payload, matched_ts)
+    return out

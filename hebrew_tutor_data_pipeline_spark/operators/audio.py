@@ -1,0 +1,106 @@
+"""Audio analysis operators (SURVEY.md §2.4 A7/A8, §2.5 W1, §2.9 U4).
+
+The reference's trimmer loads a waveform, cuts it into fixed 2-second
+segments, computes RMS energy per segment, derives a threshold from the
+mean energy of segments 3+, and picks the first segment above threshold
+as the intro boundary (`scripts/hebrew_audio_trimmer.py:105-153`).
+
+Spark-first: the waveform is an ``array<float>`` column; segmentation +
+RMS is a tumbling-window aggregate — implemented with posexplode +
+groupBy so it is the *same plan* batch or streaming (streaming twin in
+streaming.windows). Everything after decode is pure SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rms_energy_segments(
+    waveforms: DataFrame,
+    id_col: str = "path",
+    samples_col: str = "samples",
+    sample_rate_col: str = "sample_rate",
+    segment_seconds: float = 2.0,
+) -> DataFrame:
+    """A7: tumbling-window RMS — ``sqrt(mean(x²))`` per ``segment_seconds``.
+
+    posexplode(samples) → seg_idx = floor(pos / (seg·sr)) → grouped agg.
+    Map-side partial aggregation keeps the shuffle at one row per
+    (file, segment), not per sample.
+    """
+    seg_len = (F.lit(segment_seconds) * F.col(sample_rate_col)).cast("long")
+    exploded = waveforms.select(
+        F.col(id_col).alias("path"),
+        F.col(sample_rate_col).alias("sr"),
+        F.posexplode(F.col(samples_col)).alias("pos", "x"),
+    ).withColumn("seg_idx", (F.col("pos") / seg_len).cast("int"))
+    return (
+        exploded.groupBy("path", "sr", "seg_idx")
+        .agg(
+            F.sqrt(F.avg(F.col("x") * F.col("x"))).alias("rms_energy"),
+            F.count("*").alias("n_samples"),
+        )
+        .withColumn("start_time", F.col("seg_idx") * F.lit(segment_seconds))
+        .withColumn(
+            "end_time", F.col("start_time") + F.col("n_samples") / F.col("sr")
+        )
+        .drop("sr", "n_samples")
+    )
+
+
+def intro_threshold(
+    segments: DataFrame,
+    skip_segments: int = 2,
+    factor: float = 0.3,
+) -> DataFrame:
+    """A8: per file, threshold = factor × mean(rms of segments skip+).
+    The skip excludes the intro itself from its own baseline
+    (`scripts/hebrew_audio_trimmer.py:127-130`)."""
+    return (
+        segments.filter(F.col("seg_idx") >= skip_segments)
+        .groupBy("path")
+        .agg((F.lit(factor) * F.avg("rms_energy")).alias("threshold"))
+    )
+
+
+def suggest_intro_trim(
+    segments: DataFrame,
+    skip_segments: int = 2,
+    factor: float = 0.3,
+    buffer_seconds: float = 0.5,
+    min_trim: float = 1.0,
+) -> DataFrame:
+    """W1+P5: first segment over threshold ⇒ intro end; subtract a
+    0.5 s buffer, clamp at 0, and only suggest trims > 1 s
+    (`scripts/hebrew_audio_trimmer.py:132-140,464`)."""
+    with_thr = segments.join(
+        F.broadcast(intro_threshold(segments, skip_segments, factor)), "path"
+    )
+    first_loud = with_thr.groupBy("path").agg(
+        F.min(
+            F.when(F.col("rms_energy") > F.col("threshold"), F.col("start_time"))
+        ).alias("first_loud_start")
+    )
+    return (
+        first_loud.withColumn(
+            "suggested_trim",
+            F.greatest(
+                F.col("first_loud_start") - F.lit(buffer_seconds), F.lit(0.0)
+            ),
+        )
+        .withColumn("should_trim", F.col("suggested_trim") > min_trim)
+    )
+
+
+def energy_bars(segments: DataFrame, width: int = 20) -> DataFrame:
+    """F18: per-file normalized bar length ``floor(rms/max · width)`` for
+    the preview display (`scripts/hebrew_audio_trimmer.py:437-442`)."""
+    w = Window.partitionBy("path")
+    return segments.withColumn(
+        "bar_len",
+        F.floor(
+            F.col("rms_energy") / F.max("rms_energy").over(w) * F.lit(width)
+        ).cast("int"),
+    )

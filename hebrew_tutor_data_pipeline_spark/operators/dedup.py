@@ -1,0 +1,345 @@
+"""Deduplication operators for the training-data pipeline.
+
+Exact hash dedup, n-gram Jaccard similarity pairs, MinHash+LSH near-dup,
+SimHash fingerprints, and embedding-cosine near-dup. All of the hashing
+is plain integer arithmetic over codepoints so every stage has an exact
+ANSI-SQL twin (DuckDB oracle) and stays inside whole-stage codegen — no
+Python in the hot path.
+
+Scale posture (100 TB):
+- exact dedup is one hash-partitioned window — a single shuffle on the
+  digest, no driver state;
+- Jaccard pairs join on shared shingles: frequent shingles are the skew
+  bomb, so ``max_shingle_freq`` drops stop-shingles before the self-join
+  (standard posting-list pruning);
+- MinHash signatures are computed per-row with higher-order array
+  functions (zero shuffle), and only the band→bucket join shuffles, on
+  short band keys;
+- SimHash is per-row arithmetic; grouping by fingerprint is one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import whitespace_tokens, word_ngrams
+
+# Same constants as functions.text.doc_fingerprint — shared so oracle SQL
+# strings can inline them.
+HASH_MOD = 2_147_483_647  # 2^31 - 1
+HASH_BASE = 31
+
+
+def token_hash(tok: Column) -> Column:
+    """Polynomial rolling hash over a token's codepoints:
+    ``h = (h*31 + codepoint) mod (2^31-1)``. Engine-portable (no xxhash)."""
+    return F.aggregate(
+        F.split(tok, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * HASH_BASE + F.ascii(c)) % HASH_MOD,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+
+def exact_dedup(
+    df: DataFrame, content_cols: list[str], order_col: str, keep: str = "first"
+) -> DataFrame:
+    """Exact dedup: keep one row per identical content, deterministically.
+
+    ``md5`` digest of the concatenated content columns → one
+    hash-partitioned ``row_number`` window. The digest (not the raw
+    content) is the shuffle key, so wide documents don't inflate shuffle
+    size beyond the key+row itself.
+    """
+    digest = F.md5(F.concat_ws("", *[F.col(c) for c in content_cols]))
+    order = F.col(order_col).asc() if keep == "first" else F.col(order_col).desc()
+    w = Window.partitionBy(digest).orderBy(order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def duplicate_groups(df: DataFrame, id_col: str, content_cols: list[str]) -> DataFrame:
+    """Exact-dup audit: one row per content digest with its cardinality
+    and member ids. The training-pipeline twin of the reference's
+    integrity audits (`debug_book_codes.py:45-59`)."""
+    digest = F.md5(F.concat_ws("", *[F.col(c) for c in content_cols]))
+    return (
+        df.select(digest.alias("digest"), F.col(id_col).alias("id"))
+        .groupBy("digest")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.sort_array(F.collect_list("id")).alias("ids"),
+            F.min("id").alias("keeper_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard similarity pairs
+
+def shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingles) with distinct word n-gram shingles per document."""
+    toks = whitespace_tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_ngrams(toks, n)).alias("shingles"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """All document pairs with n-gram Jaccard similarity ≥ threshold.
+
+    Posting-list self-join: explode distinct shingles, equi-join on the
+    shingle, count shared shingles per pair, then
+    ``J = inter / (|A| + |B| - inter)``. ``max_shingle_freq`` prunes
+    shingles appearing in more than that many docs before the join —
+    at 100 TB a handful of stop-shingles would otherwise produce a
+    quadratic blowup (the join is per-shingle |docs|²).
+    """
+    sets = shingle_sets(df, id_col, text_col, n)
+    sizes = sets.select("id", F.size("shingles").alias("nsh"))
+    posting = sets.select("id", F.explode("shingles").alias("shingle"))
+    if max_shingle_freq is not None:
+        freq = posting.groupBy("shingle").agg(F.count("*").alias("df"))
+        posting = (
+            posting.join(freq.filter(F.col("df") <= max_shingle_freq), "shingle")
+            .select("id", "shingle")
+        )
+    a, b = posting.alias("a"), posting.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    scored = (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "nsh": "nsh_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "nsh": "nsh_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("nsh_a") + F.col("nsh_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return scored
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+def _minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal-hash family
+    ``(a*x + b) mod p`` — seeded by a fixed LCG so Spark and any oracle
+    re-derive identical parameters."""
+    params: list[tuple[int, int]] = []
+    state = 42
+    for _ in range(num_hashes):
+        state = (state * 1_103_515_245 + 12_345) % HASH_MOD
+        a = 1 + state % (HASH_MOD - 1)
+        state = (state * 1_103_515_245 + 12_345) % HASH_MOD
+        b = state % HASH_MOD
+        params.append((a, b))
+    return params
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """(id, sig) MinHash signatures, computed entirely per-row.
+
+    shingle → polynomial hash → for each of ``num_hashes`` universal
+    hashes take the min over the doc's shingles. Higher-order array
+    functions only: no explode, no shuffle, no UDF.
+    """
+    sets = shingle_sets(df, id_col, text_col, n)
+    hashes = F.transform(F.col("shingles"), token_hash)
+    params = _minhash_params(num_hashes)
+
+    def _universal(a: int, b: int):
+        # factory so the lambda stays 1-ary (pyspark maps lambda arity to
+        # the higher-order function's arguments)
+        return lambda h: (a * h + b) % HASH_MOD
+
+    sig = F.array(
+        *[F.array_min(F.transform(hashes, _universal(a, b))) for a, b in params]
+    )
+    return sets.select("id", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
+
+    Candidate generation: split each signature into ``bands`` bands of
+    ``num_hashes/bands`` rows; docs sharing any full band collide. The
+    only shuffle is the (band_idx, band_digest) equi-join — the classic
+    LSH plan that scales linearly in corpus size for bounded bucket
+    width. Candidates are then verified with exact shingle Jaccard (the
+    MinHash estimate never reaches the output — no false positives).
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.struct(
+                    bi.alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+    sets = shingle_sets(df, id_col, text_col, n)
+    verified = (
+        candidates.join(sets.withColumnsRenamed({"id": "id_a", "shingles": "sh_a"}), "id_a")
+        .join(sets.withColumnsRenamed({"id": "id_b", "shingles": "sh_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+def bit_at(h: Column, i: Column) -> Column:
+    """Bit i of a non-negative long, with i as a *column* (shiftright's
+    numBits must be a Python int, so use exact floor-division: values are
+    < 2^31, well inside double's 2^53 exact-integer range)."""
+    return F.floor(h / F.pow(F.lit(2.0), i.cast("double"))).cast("long") % 2
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """(id, simhash) fingerprints over whitespace tokens.
+
+    For each bit position i: sum over tokens of ±1 depending on bit i of
+    the token hash; bit set iff the sum is positive. Packed MSB-first
+    into one integer. Pure per-row array arithmetic (portable to the SQL
+    oracle); near-dup search = grouping or Hamming-band joins on the
+    fingerprint.
+    """
+    toks_h = F.transform(whitespace_tokens(F.col(text_col)), token_hash)
+    bit = F.transform(
+        F.sequence(F.lit(bits - 1), F.lit(0), F.lit(-1)),
+        lambda i: F.when(
+            F.aggregate(
+                toks_h,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc + bit_at(h, i) * 2 - 1,
+            )
+            > 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("long"),
+    )
+    packed = F.aggregate(bit, F.lit(0).cast("long"), lambda acc, v: acc * 2 + v)
+    return df.select(F.col(id_col).alias("id"), packed.alias("simhash"))
+
+
+def hamming_distance(a: Column, b: Column, bits: int = 16) -> Column:
+    """Popcount of XOR via bit-expansion — no UDF."""
+    x = a.bitwiseXOR(b)
+    return F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda i: bit_at(x, i),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    bucket_bits: int = 0,
+) -> DataFrame:
+    """Pairs of rows whose embedding cosine ≥ threshold.
+
+    ``bucket_bits = 0``: exact all-pairs (self-join on the smaller side
+    broadcast when possible) — correctness baseline. ``bucket_bits > 0``:
+    random-hyperplane LSH prefilter — only pairs agreeing on all sign
+    bits are compared, the scale path (see operators.ann for the shared
+    hyperplane construction).
+    """
+    from .ann import signed_projection_bucket  # local import; no cycle at module load
+    from ..functions.similarity import cosine_similarity
+
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec"))
+    if bucket_bits > 0:
+        v = v.withColumn("bucket", signed_projection_bucket(F.col("vec"), bucket_bits))
+        join_cond = (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
+    else:
+        join_cond = F.col("a.id") < F.col("b.id")
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, join_cond)
+        .withColumn("cosine", F.round(cosine_similarity(F.col("a.vec"), F.col("b.vec")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
+    )

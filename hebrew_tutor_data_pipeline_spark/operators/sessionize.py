@@ -1,0 +1,52 @@
+"""Gap-based sessionization over event streams.
+
+Not in the reference's surface (its "sessions" are per-chapter jobs),
+but a first-class training-pipeline operator: group events into sessions
+that close after ``gap`` of inactivity. Classic two-window plan —
+``lag`` to detect session starts, running sum to number them — one
+shuffle on the user key; the streaming twin is
+``session_window`` in streaming.windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    gap_seconds: float,
+) -> DataFrame:
+    """Assign ``session_id`` (1-indexed per key, in time order)."""
+    order = Window.partitionBy(*key_cols).orderBy(F.col(ts_col))
+    prev_ts = F.lag(F.col(ts_col)).over(order)
+    is_new = F.when(
+        prev_ts.isNull()
+        | ((F.col(ts_col).cast("double") - prev_ts.cast("double")) > gap_seconds),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    run = order.rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn("_new", is_new).withColumn(
+        "session_id", F.sum("_new").over(run)
+    ).drop("_new")
+
+
+def session_stats(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    gap_seconds: float,
+) -> DataFrame:
+    """Per-session rollup: bounds, duration, event count."""
+    s = sessionize(df, key_cols, ts_col, gap_seconds)
+    return s.groupBy(*key_cols, "session_id").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.round(
+            F.max(F.col(ts_col).cast("double")) - F.min(F.col(ts_col).cast("double")), 3
+        ).alias("duration_sec"),
+        F.count("*").alias("n_events"),
+    )

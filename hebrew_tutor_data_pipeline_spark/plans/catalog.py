@@ -1,0 +1,753 @@
+"""The query catalog — every operator from SURVEY.md §2 as a named query
+over the synthetic tables, each with its DuckDB oracle SQL twin.
+
+This is the single source of truth behind ``__spark_entry__.queries()`` /
+``oracle_sql()``. Conventions that keep the driver's order-insensitive
+value-hash comparison exact:
+
+- every computed column is aliased identically in Spark and SQL;
+- doubles that aggregate across rows are ``round()``-ed the same on both
+  sides (2 dp for money, 4 dp for stats, 6 dp for ratios/scores) so
+  float summation order can't flip the hash;
+- rankings order by the *rounded* score with a unique id tiebreak;
+- the session timezone is pinned UTC (session.py) so timestamps agree.
+
+Queries whose semantics SQL cannot express (stateful cursor alignment,
+LSH candidate generation, approx sketches) have ``oracle=None`` → the
+driver records the weaker rows-only check, as the contract allows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import hebrew, similarity, text
+from ..operators import alignment, ann, asof, dedup, intervals, sessionize, upsert
+from ..sources.readers import load_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    bench: bool = False
+
+
+CATALOG: dict[str, QuerySpec] = {}
+
+
+def _register(
+    name: str,
+    oracle: str | None,
+    tags: tuple[str, ...] = (),
+    bench: bool = False,
+) -> Callable:
+    def deco(fn: Callable[[SparkSession, str], DataFrame]) -> Callable:
+        CATALOG[name] = QuerySpec(name, fn, oracle, tags, bench)
+        return fn
+
+    return deco
+
+
+def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {n: s.spark for n, s in CATALOG.items()}
+
+
+def oracle_map() -> dict[str, str]:
+    return {n: s.oracle for n, s in CATALOG.items() if s.oracle is not None}
+
+
+def bench_queries() -> dict[str, QuerySpec]:
+    return {n: s for n, s in CATALOG.items() if s.bench}
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ===========================================================================
+# Core relational slice (SURVEY.md §2.2 P*, §2.4 A1–A6, §2.6 O*)
+# ===========================================================================
+
+@_register(
+    "pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                AS sum_qty,
+       round(sum(l_extendedprice), 2)                           AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)        AS sum_disc_price,
+       round(avg(l_quantity), 4)                                AS avg_qty,
+       round(avg(l_discount), 4)                                AS avg_disc,
+       count(*)                                                 AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("A1", "A2", "A3", "A4", "A5", "P3"),
+    bench=True,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: grouped partial+final aggregation with a pushed
+    scan predicate (reference A1–A5, `fixed_hebrew_aligner.py:698-720`)."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1999-12-31 00:00:00").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@_register(
+    "region_revenue",
+    oracle="""
+SELECT r_name,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*)                    AS n_orders,
+       count(DISTINCT c_custkey)   AS n_customers
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+    tags=("J1", "A5"),
+    bench=True,
+)
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: snowflake dimension lookup — nation/region are broadcast-hash
+    joined (the reference's 39-entry book map, `fixed_hebrew_aligner.py:36-94`)."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+        )
+    )
+
+
+@_register(
+    "customers_quiet_1995",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-01-01 00:00:00')
+""",
+    tags=("J3",),
+)
+def customers_quiet_1995(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 anti join: customers with no 1995 orders (the reference's
+    missing-mapping audit shape, `debug_book_codes.py:45-59`)."""
+    c = T(spark, sf_dir, "customer")
+    o95 = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    )
+    return c.join(o95, c["c_custkey"] == o95["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@_register(
+    "suppliers_shipping_1995h1",
+    oracle="""
+SELECT s_suppkey, s_name
+FROM supplier s
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_suppkey = s.s_suppkey
+      AND l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1995-07-01 00:00:00')
+""",
+    tags=("J4",),
+)
+def suppliers_shipping_1995h1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 semi join (`fixed_hebrew_aligner.py:735`)."""
+    s = T(spark, sf_dir, "supplier")
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-07-01 00:00:00").cast("timestamp"))
+    )
+    return s.join(li, s["s_suppkey"] == li["l_suppkey"], "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+@_register(
+    "rollup_region_nation",
+    oracle="""
+SELECT r_name, n_name,
+       count(*)                  AS n_customers,
+       round(sum(c_acctbal), 2)  AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+    tags=("A6",),
+)
+def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: grouped results + grand totals in one pass — the reference
+    computes book-level and overall summaries separately
+    (`fixed_hebrew_aligner.py:744-773`); rollup is the engine-native form."""
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+@_register(
+    "top10_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 10
+""",
+    tags=("O1", "O2", "O3"),
+)
+def top10_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 global top-k → Spark's TakeOrderedAndProject (no full sort at
+    scale). Unique-key tiebreak keeps it deterministic."""
+    return (
+        T(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+@_register(
+    "except_types_week1_week2",
+    oracle="""
+SELECT p_type FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1995-01-08 00:00:00'
+EXCEPT
+SELECT p_type FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1995-01-08 00:00:00' AND l_shipdate < TIMESTAMP '1995-01-15 00:00:00'
+""",
+    tags=("E1",),
+)
+def except_types_week1_week2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 set difference (`debug_book_codes.py:45-55`)."""
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part")
+
+    def week(lo: str, hi: str) -> DataFrame:
+        return (
+            li.filter(
+                (F.col("l_shipdate") >= F.lit(lo).cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit(hi).cast("timestamp"))
+            )
+            .join(p, F.col("l_partkey") == F.col("p_partkey"))
+            .select("p_type")
+        )
+
+    return week("1995-01-01 00:00:00", "1995-01-08 00:00:00").subtract(
+        week("1995-01-08 00:00:00", "1995-01-15 00:00:00")
+    )
+
+
+@_register(
+    "intersect_types_week1_week2",
+    oracle="""
+SELECT p_type FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1995-01-08 00:00:00'
+INTERSECT
+SELECT p_type FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1995-01-08 00:00:00' AND l_shipdate < TIMESTAMP '1995-01-15 00:00:00'
+""",
+    tags=("E2",),
+)
+def intersect_types_week1_week2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 intersect (`debug_book_codes.py:62-63`)."""
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part")
+
+    def week(lo: str, hi: str) -> DataFrame:
+        return (
+            li.filter(
+                (F.col("l_shipdate") >= F.lit(lo).cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit(hi).cast("timestamp"))
+            )
+            .join(p, F.col("l_partkey") == F.col("p_partkey"))
+            .select("p_type")
+        )
+
+    return week("1995-01-01 00:00:00", "1995-01-08 00:00:00").intersect(
+        week("1995-01-08 00:00:00", "1995-01-15 00:00:00")
+    )
+
+
+@_register(
+    "union_click_purchase_daily",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, count(*) AS n
+FROM (
+    SELECT ts, event_type FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT ts, event_type FROM events WHERE event_type = 'purchase'
+) u
+GROUP BY 1, 2
+""",
+    tags=("E3",),
+)
+def union_click_purchase_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 unionByName accumulation (`fixed_hebrew_aligner.py:744-763`)."""
+    e = T(spark, sf_dir, "events")
+    u = e.filter(F.col("event_type") == "click").select("ts", "event_type").unionByName(
+        e.filter(F.col("event_type") == "purchase").select("ts", "event_type")
+    )
+    return u.groupBy(
+        F.to_date(F.col("ts")).alias("day"), F.col("event_type")
+    ).agg(F.count("*").alias("n"))
+
+
+@_register(
+    "distinct_dimensions",
+    oracle="""
+SELECT (SELECT count(DISTINCT c_mktsegment) FROM customer) AS n_segments,
+       (SELECT count(DISTINCT o_orderpriority) FROM orders) AS n_priorities,
+       (SELECT count(DISTINCT p_brand) FROM part) AS n_brands
+""",
+    tags=("A10",),
+)
+def distinct_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 distinct-set aggregation (`debug_book_codes.py:45-47`).
+    (Cross join of three one-row aggregates — each side is a 1-row agg,
+    so the 'cross join' is three scans + a trivial combine.)"""
+    c = T(spark, sf_dir, "customer").agg(
+        F.countDistinct("c_mktsegment").alias("n_segments")
+    )
+    o = T(spark, sf_dir, "orders").agg(
+        F.countDistinct("o_orderpriority").alias("n_priorities")
+    )
+    p = T(spark, sf_dir, "part").agg(F.countDistinct("p_brand").alias("n_brands"))
+    return c.crossJoin(o).crossJoin(p)
+
+
+@_register(
+    "missing_order_days",
+    oracle="""
+SELECT CAST(g.day AS DATE) AS day
+FROM generate_series(TIMESTAMP '1995-01-01 00:00:00',
+                     TIMESTAMP '2001-08-01 00:00:00', INTERVAL 1 DAY) g(day)
+WHERE CAST(g.day AS DATE) NOT IN (SELECT CAST(o_orderdate AS DATE) FROM orders)
+""",
+    tags=("J9", "F19", "S3"),
+)
+def missing_order_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 existence audit: expected grid (sequence+explode) anti-joined
+    against actual data — the missing-audio report
+    (`fixed_hebrew_aligner.py:176-192`)."""
+    grid = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("2001-08-01").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    actual = T(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).distinct()
+    return grid.join(actual, "day", "left_anti").select(F.col("day").cast("date"))
+
+
+@_register(
+    "chapter_filenames",
+    oracle="""
+SELECT n_nationkey, chapter,
+       CASE WHEN n_nationkey >= 20
+            THEN printf('%02d-%s_%03d.mp3', n_nationkey, substr(n_name, 1, 3), chapter)
+            ELSE printf('%02d-%s_%02d.mp3', n_nationkey, substr(n_name, 1, 3), chapter)
+       END AS filename
+FROM nation, generate_series(1, 3) g(chapter)
+""",
+    tags=("F6", "F7", "S3", "F19"),
+)
+def chapter_filenames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/F6: computed-path derivation incl. the irregular 3-digit branch
+    (Psalms analog, `scripts/hebrew_alignment_corrected.py:124-131`)."""
+    n = T(spark, sf_dir, "nation")
+    grid = n.select(
+        "n_nationkey",
+        F.substring("n_name", 1, 3).alias("abbr"),
+        F.explode(F.sequence(F.lit(1), F.lit(3))).alias("chapter"),
+    )
+    return grid.select(
+        "n_nationkey",
+        "chapter",
+        F.when(
+            F.col("n_nationkey") >= 20,
+            F.format_string("%02d-%s_%03d.mp3", F.col("n_nationkey"), F.col("abbr"), F.col("chapter")),
+        )
+        .otherwise(
+            F.format_string("%02d-%s_%02d.mp3", F.col("n_nationkey"), F.col("abbr"), F.col("chapter"))
+        )
+        .alias("filename"),
+    )
+
+
+# ===========================================================================
+# Windows / ordering-dependent analytics (SURVEY.md §2.5)
+# ===========================================================================
+
+@_register(
+    "alloc_order_value",
+    oracle="""
+WITH j AS (
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, o_totalprice
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), d AS (
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           l_quantity / sum(l_quantity) OVER (PARTITION BY l_orderkey) * o_totalprice AS dur
+    FROM j
+)
+SELECT l_orderkey, l_linenumber,
+       round(coalesce(sum(dur) OVER (PARTITION BY l_orderkey
+                      ORDER BY l_linenumber, l_partkey, l_suppkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 0.0000001, 2) AS start,
+       round(round(coalesce(sum(dur) OVER (PARTITION BY l_orderkey
+                      ORDER BY l_linenumber, l_partkey, l_suppkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 0.0000001, 2)
+             + dur + 0.0000001, 2) AS "end"
+FROM d
+""",
+    tags=("W2", "W3", "A4"),
+    bench=True,
+)
+def alloc_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 — THE flagship: cumulative proportional allocation, the exact
+    shape of the shipped estimation-only alignment
+    (`hebrew_alignment_optimized.py:494-554`): each order's total price
+    is allocated over its lineitems ∝ quantity, start = running share."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).drop("o_orderkey")
+    out = alignment.allocate_proportional(
+        j,
+        group_cols=["l_orderkey"],
+        # l_linenumber repeats within orders in the synthetic data →
+        # deterministic tiebreaks keep the running sum engine-stable
+        order_col=["l_linenumber", "l_partkey", "l_suppkey"],
+        weight_col="l_quantity",
+        total_col="o_totalprice",
+    )
+    return out.select("l_orderkey", "l_linenumber", "start", "end")
+
+
+@_register(
+    "first_event_over_threshold",
+    oracle="""
+SELECT user_id,
+       min(CASE WHEN value > 100 THEN ts END) AS first_high_ts
+FROM events
+GROUP BY user_id
+""",
+    tags=("W1", "P5"),
+)
+def first_event_over_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: first-over-threshold without an ordered scan — min(when(cond))
+    (`scripts/hebrew_audio_trimmer.py:132-140`)."""
+    return (
+        T(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("value") > 100, F.col("ts"))).alias("first_high_ts")
+        )
+    )
+
+
+@_register(
+    "top5_recent_events_per_user",
+    oracle="""
+SELECT user_id, event_id, ts, rank FROM (
+    SELECT user_id, event_id, ts,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rank
+    FROM events WHERE user_id < 10
+) WHERE rank <= 5
+""",
+    tags=("W4", "O3"),
+)
+def top5_recent_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: ranking + top-k recency (`scripts/hebrew_audio_trimmer.py:530-538`)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        T(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 10)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("user_id", "event_id", "ts", "rank")
+    )
+
+
+@_register(
+    "avg_after_skip2",
+    oracle="""
+SELECT user_id, round(avg(value), 4) AS avg_value, count(*) AS n
+FROM (
+    SELECT user_id, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+) WHERE rn > 2
+GROUP BY user_id
+""",
+    tags=("A8",),
+)
+def avg_after_skip2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: offset-skipping filtered average — the trimmer's threshold
+    baseline skips the first 2 segments (`scripts/hebrew_audio_trimmer.py:127-130`)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    return (
+        T(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 2)
+        .groupBy("user_id")
+        .agg(F.round(F.avg("value"), 4).alias("avg_value"), F.count("*").alias("n"))
+    )
+
+
+@_register(
+    "tumbling_hour_stats",
+    oracle="""
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n,
+       round(sqrt(avg(value * value)), 4) AS rms_value,
+       round(avg(value), 4) AS avg_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("A7", "T2"),
+    bench=True,
+)
+def tumbling_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/T2: tumbling-window RMS aggregate — the 2-second energy windows
+    (`scripts/hebrew_audio_trimmer.py:113-124`) on the events table; the
+    identical plan runs under Structured Streaming (streaming.windows)."""
+    return (
+        T(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sqrt(F.avg(F.col("value") * F.col("value"))), 4).alias("rms_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+@_register(
+    "event_type_shares",
+    oracle="""
+WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type)
+SELECT event_type, n, round(n / sum(n) OVER (), 6) AS share FROM c
+""",
+    tags=("A5", "F18"),
+)
+def event_type_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/A6: per-group counts plus share-of-total (success_rate shape,
+    `fixed_hebrew_aligner.py:698-720`)."""
+    from pyspark.sql import Window
+
+    c = T(spark, sf_dir, "events").groupBy("event_type").agg(F.count("*").alias("n"))
+    return c.withColumn(
+        "share",
+        F.round(F.col("n") / F.sum("n").over(Window.partitionBy()), 6),
+    )
+
+
+# ===========================================================================
+# State / sessions / as-of / intervals (SURVEY.md §2.1 S9, §2.3 J5/J7)
+# ===========================================================================
+
+@_register(
+    "upsert_last_event_state",
+    oracle="""
+SELECT user_id, event_type, ts, value FROM (
+    SELECT user_id, event_type, ts, value,
+           row_number() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+) WHERE rn = 1
+""",
+    tags=("S9", "J8"),
+    bench=True,
+)
+def upsert_last_event_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: last-write-wins state collapse — trim_config.json as a window
+    dedup (`scripts/hebrew_audio_trimmer.py:186-195`)."""
+    return upsert.latest_state(
+        T(spark, sf_dir, "events").select("user_id", "event_type", "ts", "value", "event_id"),
+        key_cols=["user_id", "event_type"],
+        ts_col="ts",
+        tiebreak_cols=["event_id"],
+    ).select("user_id", "event_type", "ts", "value")
+
+
+@_register(
+    "asof_click_purchase",
+    oracle="""
+WITH ev AS (SELECT * FROM events WHERE user_id < 20),
+u AS (
+    SELECT user_id, event_id, ts, event_type, value,
+           last_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts ASC, (event_type = 'purchase') DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS purchase_ts,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts ASC, (event_type = 'purchase') DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS purchase_value
+    FROM ev
+)
+SELECT event_id, user_id, ts, purchase_ts, purchase_value
+FROM u WHERE event_type = 'click'
+""",
+    tags=("J5-generic", "W5"),
+    bench=True,
+)
+def asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic as-of join (the scalable form of the reference's cursor
+    semantics): each click gets the user's most recent prior purchase.
+    union+window plan — one shuffle, no per-key loop."""
+    e = T(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    out = asof.asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["value"],
+        direction="backward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_right").alias("purchase_ts"),
+        F.col("value_right").alias("purchase_value"),
+    )
+
+
+@_register(
+    "user_sessions_30min",
+    oracle="""
+WITH s AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                THEN 1 ELSE 0 END AS is_new
+    FROM events WHERE user_id < 30
+), numbered AS (
+    SELECT user_id, ts,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM s
+)
+SELECT user_id, session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       round(epoch(max(ts)) - epoch(min(ts)), 3) AS duration_sec,
+       count(*) AS n_events
+FROM numbered GROUP BY user_id, session_id
+""",
+    tags=("sessions", "T2"),
+    bench=True,
+)
+def user_sessions_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity), lag+cumsum plan."""
+    e = T(spark, sf_dir, "events").filter(F.col("user_id") < 30).select("user_id", "ts")
+    return sessionize.session_stats(e, ["user_id"], "ts", 1800.0)
+
+
+@_register(
+    "orders_containing_shipdate",
+    oracle="""
+SELECT l.l_orderkey, l.l_linenumber, count(*) AS n_orders
+FROM lineitem l
+JOIN orders o
+  ON l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate <= o.o_orderdate + INTERVAL 3 DAY
+GROUP BY l.l_orderkey, l.l_linenumber
+""",
+    tags=("J7",),
+    bench=True,
+)
+def orders_containing_shipdate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 point-in-interval join via the binned rewrite: for every
+    lineitem shipdate, how many orders' [orderdate, +3d] windows contain
+    it (the playback-time→verse lookup shape,
+    `standalone_hebrew_tester.html:458-492`)."""
+    points = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").alias("iv_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 DAYS")).alias("iv_end"),
+    )
+    joined = intervals.point_in_interval_join(
+        points, o, "l_shipdate", "iv_start", "iv_end", bin_width=3 * 86400.0
+    )
+    return joined.groupBy("l_orderkey", "l_linenumber").agg(
+        F.count("*").alias("n_orders")
+    )
+
+
+@_register(
+    "json_extract_defaults",
+    oracle="""
+SELECT event_id,
+       coalesce(CAST(json_extract_string(props, '$.k') AS INTEGER), 0) AS k_val,
+       (value > 100) AS is_high
+FROM events
+""",
+    tags=("F13", "F14"),
+)
+def json_extract_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14 JSON parse + F13 conditional defaulting
+    (`fixed_hebrew_aligner.py:284,443-465`, `hebrew_alignment_tool.py:230-231`)."""
+    return T(spark, sf_dir, "events").select(
+        "event_id",
+        F.coalesce(
+            F.get_json_object(F.col("props"), "$.k").cast("int"), F.lit(0)
+        ).alias("k_val"),
+        (F.col("value") > 100).alias("is_high"),
+    )

@@ -1,0 +1,390 @@
+"""Catalog part 2 — training-data pipeline queries: text analysis,
+deduplication, similarity search, Hebrew normalization, cursor alignment.
+
+Registered into the same CATALOG as plans.catalog; split only for file
+size. Oracle-portability notes:
+
+- the shared token/char hash is a polynomial over codepoints
+  (operators.dedup.HASH_MOD/HASH_BASE) — both engines compute it with
+  their own higher-order array functions, no engine-specific hash;
+- DuckDB regexps need the 'g' flag to match Spark's replace-all default;
+- DuckDB ``/`` on integers is float division (matches Spark), and
+  x/0 → NULL (matches try_divide).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import hebrew, text
+from ..operators import alignment, ann, dedup
+from .catalog import T, _register
+
+HASH_MOD = dedup.HASH_MOD
+HASH_BASE = dedup.HASH_BASE
+
+# DuckDB SQL fragment: polynomial codepoint hash of a token expression.
+# Same recurrence as operators.dedup.token_hash / functions.text.doc_fingerprint.
+def _sql_token_hash(tok_expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({tok_expr}, ''), c -> CAST(unicode(c) AS BIGINT))), "
+        f"(acc, x) -> (acc * {HASH_BASE} + x) % {HASH_MOD})"
+    )
+
+
+_TOKENS_SQL = "string_split_regex(trim(text), '\\s+')"
+
+
+# ===========================================================================
+# Text analysis (language-ID, quality, token counts, fingerprint)
+# ===========================================================================
+
+_STOPWORDS_SQL = ", ".join(f"'{w}'" for w in text.EN_STOPWORDS)
+_EN_MARKERS = "|".join(text.LANG_MARKERS["en"])
+_DE_MARKERS = "|".join(text.LANG_MARKERS["de"])
+_FR_MARKERS = "|".join(text.LANG_MARKERS["fr"])
+_ES_MARKERS = "|".join(text.LANG_MARKERS["es"])
+
+
+@_register(
+    "doc_text_stats",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, text, {_TOKENS_SQL} AS toks FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       round(coalesce(
+           len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+           / nullif(len(regexp_replace(text, '\\s', '', 'g')), 0), 0), 6) AS punct_ratio,
+       round(coalesce(
+           len(list_filter(list_transform(toks, x -> lower(x)),
+                           tk -> tk IN ({_STOPWORDS_SQL})))
+           / nullif(len(toks), 0), 0), 6) AS stopword_ratio,
+       round(coalesce(
+           list_sum(list_transform(toks, x -> len(x))) / nullif(len(toks), 0),
+           0), 6) AS mean_token_len,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(toks, t2 -> {_sql_token_hash('t2')})),
+           (acc, x) -> (acc * {HASH_BASE} + x) % {HASH_MOD}) AS fingerprint
+FROM t
+""",
+    tags=("text-analysis", "F5", "F18"),
+    bench=True,
+)
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring + token counting + rolling-hash fingerprint, all
+    JVM-side column expressions (training-pipeline requirement)."""
+    d = T(spark, sf_dir, "documents")
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        text.whitespace_token_count(c).alias("n_tokens"),
+        text.punct_ratio(c).alias("punct_ratio"),
+        text.stopword_ratio(c).alias("stopword_ratio"),
+        text.mean_token_len(c).alias("mean_token_len"),
+        text.doc_fingerprint(c).alias("fingerprint"),
+    )
+
+
+@_register(
+    "lang_id_confusion",
+    oracle=f"""
+WITH scored AS (
+    SELECT lang,
+           len(regexp_extract_all(lower(text), '\\b({_EN_MARKERS})\\b')) AS s_en,
+           len(regexp_extract_all(lower(text), '\\b({_DE_MARKERS})\\b')) AS s_de,
+           len(regexp_extract_all(lower(text), '\\b({_FR_MARKERS})\\b')) AS s_fr,
+           len(regexp_extract_all(lower(text), '\\b({_ES_MARKERS})\\b')) AS s_es,
+           len(text) - len(regexp_replace(text, '[\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) AS s_zh
+    FROM documents
+), best AS (
+    SELECT lang,
+           greatest(s_en, s_de, s_fr, s_es, s_zh) AS best_score,
+           CASE
+             WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+             WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+             WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+             WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+             WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+             ELSE 'zh'
+           END AS predicted_lang
+    FROM scored
+)
+SELECT lang, predicted_lang, count(*) AS n
+FROM best GROUP BY lang, predicted_lang
+""",
+    tags=("text-analysis", "lang-id"),
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic vs the labeled lang column — a confusion
+    matrix as a grouped count."""
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.select("lang", text.predict_lang(F.col("text")).alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ===========================================================================
+# Deduplication
+# ===========================================================================
+
+@_register(
+    "dedup_exact_keepers",
+    oracle="""
+SELECT doc_id, digest FROM (
+    SELECT doc_id, md5(text) AS digest,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents
+) WHERE rn = 1
+""",
+    tags=("dedup", "exact"),
+)
+def dedup_exact_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: which rows survive hash-groupBy keep-first."""
+    d = T(spark, sf_dir, "documents")
+    kept = dedup.exact_dedup(d, ["text"], "doc_id")
+    return kept.select("doc_id", F.md5(F.col("text")).alias("digest"))
+
+
+@_register(
+    "jaccard_token_pairs",
+    oracle="""
+WITH d AS (
+    SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS toks
+    FROM documents WHERE doc_id < 200
+), s AS (
+    SELECT doc_id, len(toks) AS nsh FROM d
+), p AS (
+    SELECT doc_id, unnest(toks) AS tok FROM d
+), i AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+    FROM p a JOIN p b ON a.tok = b.tok AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(inter / (sa.nsh + sb.nsh - inter), 6) AS jaccard
+FROM i
+JOIN s sa ON sa.doc_id = id_a
+JOIN s sb ON sb.doc_id = id_b
+WHERE round(inter / (sa.nsh + sb.nsh - inter), 6) >= 0.5
+""",
+    tags=("dedup", "jaccard"),
+    bench=True,
+)
+def jaccard_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram (n=1) Jaccard near-dup pairs via the posting-list self-join."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=1, threshold=0.5)
+
+
+@_register(
+    "minhash_lsh_candidates",
+    oracle=None,  # LSH banding is not SQL-expressible compactly; rows-only check
+    tags=("dedup", "minhash", "lsh"),
+    bench=True,
+)
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32)+LSH(8 bands) near-dup pairs, verified with exact
+    Jaccard ≥ 0.2 over 2-gram shingles."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", n=2, num_hashes=32, bands=8, threshold=0.2
+    )
+
+
+@_register(
+    "simhash_fingerprints",
+    oracle=f"""
+WITH d AS (
+    SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+), h AS (
+    SELECT doc_id,
+           list_transform(toks, t2 -> {_sql_token_hash('t2')}) AS th
+    FROM d
+)
+SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform([15,14,13,12,11,10,9,8,7,6,5,4,3,2,1,0],
+               i -> CASE WHEN list_sum(list_transform(th,
+                        hh -> (CAST(floor(hh / pow(2, i)) AS BIGINT) % 2) * 2 - 1)) > 0
+                    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+           (a, b) -> a * 2 + b) AS simhash
+FROM h
+""",
+    tags=("dedup", "simhash"),
+    bench=True,
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document — pure per-row array arithmetic."""
+    d = T(spark, sf_dir, "documents")
+    return dedup.simhash(d, "doc_id", "text", bits=16).withColumnRenamed("id", "doc_id")
+
+
+@_register(
+    "embedding_near_dup_pairs",
+    oracle="""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+             6) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.e, b.e)
+            / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+            6) >= 0.35
+""",
+    tags=("dedup", "embedding"),
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: exact all-pairs baseline (the
+    LSH-bucketed variant is operators.dedup with bucket_bits>0)."""
+    e = T(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup_pairs(
+        e, "vec_id", "embedding", threshold=0.35, bucket_bits=0
+    )
+
+
+# ===========================================================================
+# Similarity search (ANN)
+# ===========================================================================
+
+@_register(
+    "ann_bruteforce_top10",
+    oracle="""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
+s AS (
+    SELECT q.query_id, v.vec_id AS neighbor_id,
+           round(list_dot_product(v.e, q.qe)
+                 / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qe, q.qe))),
+                 6) AS cosine
+    FROM v, q WHERE v.vec_id <> q.query_id
+), r AS (
+    SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM s
+)
+SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 10
+""",
+    tags=("ann", "similarity-search"),
+    bench=True,
+)
+def ann_bruteforce_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 query vectors — broadcast map
+    stage + per-query window, the exact-search baseline."""
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return ann.brute_force_topk(e, q, "vec_id", "embedding", k=10)
+
+
+@_register(
+    "ann_ivf_top10",
+    oracle=None,  # probe-pruned search has no compact SQL twin; rows-only
+    tags=("ann", "ivf"),
+)
+def ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (16 cells, nprobe=4) approximate top-10 — the scale path."""
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return ann.ivf_topk(e, q, "vec_id", "embedding", k=10, num_cells=16, nprobe=4)
+
+
+# ===========================================================================
+# Hebrew normalization (literal corpus — engine-constructed, sf-independent)
+# ===========================================================================
+
+# Public-domain Genesis 1:1-2 words with nikkud (the reference's data shape).
+_HEBREW_ROWS: list[tuple[int, str]] = [
+    (1, "בְּרֵאשִׁית בָּרָא אֱלֹהִים"),
+    (2, "אֵת הַשָּׁמַיִם וְאֵת הָאָרֶץ"),
+    (3, "וְהָאָרֶץ הָיְתָה תֹהוּ וָבֹהוּ"),
+    (4, "וְחֹשֶׁךְ עַל־פְּנֵי תְהוֹם"),
+    (5, "וְרוּחַ אֱלֹהִים מְרַחֶפֶת עַל־פְּנֵי הַמָּיִם"),
+]
+
+_HEBREW_VALUES = ", ".join(f"({i}, '{s}')" for i, s in _HEBREW_ROWS)
+
+@_register(
+    "hebrew_normalize",
+    oracle=f"""
+WITH t(id, txt) AS (VALUES {_HEBREW_VALUES})
+SELECT id,
+       regexp_replace(txt, '[֑-ׇ]', '', 'g') AS no_nikkud,
+       trim(regexp_replace(regexp_replace(regexp_replace(txt, '[֑-ׇ]', '', 'g'),
+            '[^א-ת\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS normalized,
+       len(txt) - len(regexp_replace(txt, '[֐-׿]', '', 'g')) AS n_hebrew_chars
+FROM t
+""",
+    tags=("F1", "F2", "F3", "F5", "hebrew"),
+)
+def hebrew_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1–F5: the reference's normalization chain
+    (`fixed_hebrew_aligner.py:559-574`) on a fixed public-domain sample —
+    same literal rows on both engines, so the oracle checks the regex
+    semantics, not the data plumbing."""
+    df = spark.createDataFrame(_HEBREW_ROWS, ["id", "txt"])
+    no_nikkud = hebrew.strip_nikkud(F.col("txt"))
+    # letters-only maps non-letters to space (maqaf-separated words split),
+    # then whitespace-normalize — mirroring the SQL twin exactly.
+    normalized = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(no_nikkud, "[^א-ת\\s]", " "), r"\s+", " "
+        )
+    )
+    return df.select(
+        "id",
+        no_nikkud.alias("no_nikkud"),
+        normalized.alias("normalized"),
+        hebrew.hebrew_char_count(F.col("txt")).alias("n_hebrew_chars"),
+    )
+
+
+# ===========================================================================
+# Cursor alignment (applyInPandas — rows-only check)
+# ===========================================================================
+
+@_register(
+    "cursor_align_tokens",
+    oracle=None,  # order-stateful per-group cursor: not SQL-expressible
+    tags=("J5", "W5", "U6"),
+    bench=True,
+)
+def cursor_align_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: sequential fuzzy cursor alignment. Reference stream = each
+    doc's tokens; 'transcript' stream = the same tokens with every 3rd
+    dropped and synthetic timestamps — deterministic, so the rows-only
+    check is still stable across runs."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    toks = d.select(
+        "doc_id", F.posexplode(text.whitespace_tokens(F.col("text"))).alias("pos", "word")
+    )
+    ref = toks.select("doc_id", "pos", "word")
+    trans = (
+        toks.filter(F.col("pos") % 3 != 0)
+        .select(
+            "doc_id",
+            "pos",
+            "word",
+            (F.col("pos") * 0.5).alias("t_start"),
+            (F.col("pos") * 0.5 + 0.4).alias("t_end"),
+        )
+    )
+    return alignment.fuzzy_cursor_align(
+        ref,
+        trans,
+        group_col="doc_id",
+        ref_order_col="pos",
+        ref_word_col="word",
+        trans_order_col="pos",
+        trans_word_col="word",
+        trans_start_col="t_start",
+        trans_end_col="t_end",
+        window=5,
+        threshold=0.6,
+    )

@@ -1,0 +1,105 @@
+"""Source readers (SURVEY.md §2.1).
+
+The reference loads a nested bible JSON eagerly into dicts
+(`hebrew_alignment_tool.py:137-150`), globs MP3 directories
+(`scripts/hebrew_audio_trimmer.py:270-297`), and derives per-file keys
+from filenames (`fixed_hebrew_aligner.py:194-203`). Here every source is
+a lazy DataFrame scan so Catalyst can push filters and prune columns
+into the file format.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+# Columns written as parquet TIMESTAMP(NANOS), which Spark's vectorized
+# reader cannot decode natively: with spark.sql.legacy.parquet.nanosAsLong
+# they arrive as LongType nanos and are converted here to microsecond
+# timestamps (truncation — identical to DuckDB's ns→us narrowing).
+NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan of one synthetic table. Plain ``spark.read.parquet``
+    keeps predicate pushdown / column pruning / partition splitting in
+    Catalyst's hands (S1-analog for the columnar path)."""
+    if name in NANO_TS_COLS:
+        # Must hold for any caller-supplied session (e.g. the driver's),
+        # not only ones built by session.get_spark(); runtime-settable.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in NANO_TS_COLS.get(name, ()):
+        if col in df.columns and dict(df.dtypes)[col] == "bigint":
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    names = names or TPCH_TABLES
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def read_nested_json_corpus(spark: SparkSession, path: str, drop_keys: tuple[str, ...] = ("Aramaic",)) -> DataFrame:
+    """S1: nested multi-line JSON corpus scan with key-filter.
+
+    Reference: `hebrew_alignment_tool.py:137-150` loads
+    ``Dict[book, [[chapter [verse [word]]]]]`` and deletes the 'Aramaic'
+    key. Spark-first: read multiLine JSON, melt the map-of-books into
+    rows with a stack of the top-level fields, filter declaratively.
+    """
+    raw = spark.read.option("multiLine", "true").json(path)
+    cols = [c for c in raw.columns if c not in drop_keys]
+    stacked = raw.select(
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(c) for c in cols]),
+                F.array(*[F.col(c) for c in cols]),
+            )
+        ).alias("book", "chapters")
+    )
+    return stacked
+
+
+def read_binary_files(spark: SparkSession, directory: str, glob: str = "*.mp3") -> DataFrame:
+    """S2: directory/glob binary-file scan.
+
+    Reference: `scripts/hebrew_audio_trimmer.py:270-297` builds glob
+    patterns and os.walks the tree. Spark's binaryFile source gives the
+    same inventory as a DataFrame (path, modificationTime, length,
+    content) with partition-parallel listing.
+    """
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true")
+        .load(directory)
+    )
+
+
+def expected_grid(df: DataFrame, key_col: str, n_col: str, out_col: str = "chapter") -> DataFrame:
+    """J9 helper: expected (key, 1..n) grid via sequence+explode.
+
+    Reference: `fixed_hebrew_aligner.py:692` iterates
+    ``range(1, len(chapters)+1)`` per book to probe for missing audio.
+    """
+    return df.select(
+        F.col(key_col),
+        F.explode(F.sequence(F.lit(1), F.col(n_col))).alias(out_col),
+    )
