@@ -712,23 +712,73 @@ GROUP BY l.l_orderkey, l.l_linenumber
     bench=True,
 )
 def orders_containing_shipdate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J7 point-in-interval join via the binned rewrite: for every
-    lineitem shipdate, how many orders' [orderdate, +3d] windows contain
-    it (the playback-time→verse lookup shape,
-    `standalone_hebrew_tester.html:458-492`)."""
-    points = T(spark, sf_dir, "lineitem").select(
+    """J7 point-in-interval count (the playback-time→verse lookup shape,
+    `standalone_hebrew_tester.html:458-492`) with aggregate pushdown
+    through the range join: the query only needs a COUNT per point, so
+    instead of materializing the |points|×|matching intervals| pairs
+    (the binned-join plan — 150M rows at sf0.1), collapse intervals to
+    per-date counts (bounded by the date domain, ~2.4k rows), range-join
+    those against the *distinct* point values, and broadcast the finished
+    per-date window counts back onto lineitem. The fact table never
+    shuffles — this is the plan that survives 100 TB."""
+    li = T(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_shipdate"
     )
-    o = T(spark, sf_dir, "orders").select(
-        F.col("o_orderdate").alias("iv_start"),
-        (F.col("o_orderdate") + F.expr("INTERVAL 3 DAYS")).alias("iv_end"),
+    per_date = (
+        T(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("odate"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    ship_days = li.select(F.col("l_shipdate").alias("sday")).distinct()
+    window_counts = (
+        ship_days.join(
+            F.broadcast(per_date),
+            (F.col("odate") <= F.col("sday"))
+            & (F.col("sday") <= F.col("odate") + F.expr("INTERVAL 3 DAYS")),
+        )
+        .groupBy("sday")
+        .agg(F.sum("cnt").alias("n_orders"))
+    )
+    # (l_orderkey, l_linenumber) is not unique in the synthetic lineitem,
+    # so mirror the oracle's GROUP BY: duplicates merge, counts add.
+    return (
+        li.join(F.broadcast(window_counts), li["l_shipdate"] == F.col("sday"))
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.sum("n_orders").alias("n_orders"))
+    )
+
+
+@_register(
+    "clicks_in_purchase_windows",
+    oracle="""
+SELECT c.event_id AS click_id, p.event_id AS purchase_id
+FROM events c
+JOIN events p
+  ON c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+""",
+    tags=("J7",),
+    bench=True,
+)
+def clicks_in_purchase_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 point-in-interval *pair* join via the binned rewrite
+    (`standalone_hebrew_tester.html:458-492` — playback tick inside a
+    verse window). No join key exists, so the naive plan is a nested
+    loop over |clicks|×|purchases|; the bin equi-key turns it into a
+    shuffled hash join both sides can partition on."""
+    ev = T(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("iv_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("iv_end"),
     )
     joined = intervals.point_in_interval_join(
-        points, o, "l_shipdate", "iv_start", "iv_end", bin_width=3 * 86400.0
+        clicks, purchases, "cts", "iv_start", "iv_end", bin_width=3600.0
     )
-    return joined.groupBy("l_orderkey", "l_linenumber").agg(
-        F.count("*").alias("n_orders")
-    )
+    return joined.select("click_id", "purchase_id")
 
 
 @_register(

@@ -1,0 +1,71 @@
+"""Driver-contract tests: entry() smoke, catalog/oracle key agreement,
+and a fast oracle-parity sweep at sf0.001 (the full sf0.01 gate runs via
+tools/parity.py)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from tools.parity import TABLES, table_hash  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+# Fast representative subset for per-commit runs; tools/parity.py covers all.
+PARITY_SUBSET = [
+    "pricing_summary",
+    "rollup_region_nation",
+    "alloc_order_value",
+    "tumbling_hour_stats",
+    "asof_click_purchase",
+    "user_sessions_30min",
+    "upsert_last_event_state",
+    "orders_containing_shipdate",
+    "dedup_exact_keepers",
+    "simhash_fingerprints",
+    "ann_bruteforce_top10",
+    "hebrew_normalize",
+]
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.limit(10).collect()
+    assert len(rows) > 0
+    assert {"start", "end"} <= set(df.columns)
+
+
+def test_catalog_keys_consistent():
+    q, o = entry_mod.queries(), entry_mod.oracle_sql()
+    assert set(o) <= set(q), "oracle_sql keys must be a subset of queries"
+    assert len(q) >= 30
+    # every query callable is callable
+    for fn in q.values():
+        assert callable(fn)
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", PARITY_SUBSET)
+def test_oracle_parity_sf0001(spark, oracle_con, name):
+    q, o = entry_mod.queries(), entry_mod.oracle_sql()
+    sdf = q[name](spark, SF)
+    srows = [tuple(r) for r in sdf.collect()]
+    cur = oracle_con.execute(o[name])
+    ocols = [d[0] for d in cur.description]
+    orows = cur.fetchall()
+    assert len(srows) == len(orows), f"{name}: rowcount"
+    assert sorted(sdf.columns) == sorted(ocols), f"{name}: columns"
+    assert table_hash(srows, sdf.columns) == table_hash(orows, ocols), f"{name}: values"

@@ -1,0 +1,139 @@
+"""Unit tests for the scalar expression libraries (SURVEY.md §2.8)."""
+
+from __future__ import annotations
+
+import difflib
+import math
+import unicodedata
+
+from pyspark.sql import functions as F
+
+from hebrew_tutor_data_pipeline_spark.functions import hebrew as H
+from hebrew_tutor_data_pipeline_spark.functions import similarity as S
+from hebrew_tutor_data_pipeline_spark.functions import text as T
+
+# Gen 1:1 with nikkud — the reference's canonical golden sample
+# (`scripts/hebrew_encoding_test.py`).
+GEN_1_1 = "בְּרֵאשִׁית בָּרָא אֱלֹהִים אֵת הַשָּׁמַיִם וְאֵת הָאָרֶץ"
+GEN_1_1_BARE = "בראשית ברא אלהים את השמים ואת הארץ"
+
+
+def one(spark, expr, **cols):
+    """Evaluate a Column over a single-row DataFrame built from cols."""
+    df = spark.createDataFrame([tuple(cols.values())], list(cols.keys()))
+    return df.select(expr.alias("v")).first()["v"]
+
+
+class TestHebrew:
+    def test_strip_nikkud_roundtrip(self, spark):
+        got = one(spark, H.strip_nikkud(F.col("s")), s=GEN_1_1)
+        assert got == GEN_1_1_BARE
+
+    def test_normalize_chain_idempotent(self, spark):
+        a = one(spark, H.normalize_hebrew(F.col("s")), s=GEN_1_1)
+        b = one(spark, H.normalize_hebrew(F.col("s")), s=a)
+        assert a == b == GEN_1_1_BARE
+
+    def test_letters_only_drops_latin_and_punct(self, spark):
+        got = one(spark, H.hebrew_letters_only(F.col("s")), s="abc אָב׃, def")
+        # nikkud qamats U+05B8 is outside א-ת and dropped here too
+        assert got.replace(" ", "") == "אב"
+
+    def test_hebrew_char_count_matches_python(self, spark):
+        s = "hello בראשית world ברא"
+        expected = sum(1 for c in s if "֐" <= c <= "׿")
+        assert one(spark, H.hebrew_char_count(F.col("s")), s=s) == expected
+
+    def test_char_class_map(self, spark):
+        got = one(spark, H.char_class_map(F.col("s"), H.HEBREW_LETTER_CLASS), s="aבc")
+        assert got == [0, 1, 0]
+
+    def test_nfc_normalize_udf(self, spark):
+        # Hebrew base+nikkud has no precomposed NFC forms (NFD == NFC), so
+        # exercise the UDF with a Latin character that does: é.
+        decomposed = "cafe\u0301"  # cafe + combining acute (NFD form)
+        got = one(spark, H.nfc_normalize(F.col("s")), s=decomposed)
+        assert got == "caf\u00e9"
+        assert one(spark, H.is_nfc_normalized(F.col("s")), s=decomposed) is False
+        assert one(spark, H.is_nfc_normalized(F.col("s")), s=GEN_1_1) is True
+
+    def test_replacement_char_probe(self, spark):
+        assert one(spark, H.has_replacement_char(F.col("s")), s="bad �") is True
+        assert one(spark, H.has_replacement_char(F.col("s")), s=GEN_1_1) is False
+
+
+class TestSimilarity:
+    def test_levenshtein_ratio_known_values(self, spark):
+        assert one(spark, S.levenshtein_ratio(F.col("a"), F.col("b")), a="abc", b="abc") == 1.0
+        assert one(spark, S.levenshtein_ratio(F.col("a"), F.col("b")), a="", b="") == 1.0
+        got = one(spark, S.levenshtein_ratio(F.col("a"), F.col("b")), a="kitten", b="sitting")
+        assert math.isclose(got, 1 - 3 / 7)
+
+    def test_token_sort_ratio_order_invariant(self, spark):
+        got = one(
+            spark, S.token_sort_ratio(F.col("a"), F.col("b")), a="world hello", b="hello world"
+        )
+        assert got == 1.0
+
+    def test_token_set_jaccard(self, spark):
+        got = one(spark, S.token_set_jaccard(F.col("a"), F.col("b")), a="a b c", b="b c d")
+        assert math.isclose(got, 2 / 4)
+
+    def test_dot_and_cosine(self, spark):
+        df = spark.createDataFrame([([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])], ["a", "b"])
+        row = df.select(
+            S.dot(F.col("a"), F.col("b")).alias("d"),
+            S.cosine_similarity(F.col("a"), F.col("b")).alias("c"),
+        ).first()
+        assert row["d"] == 32.0
+        expected = 32.0 / (math.sqrt(14) * math.sqrt(77))
+        assert math.isclose(row["c"], expected, rel_tol=1e-9)
+
+    def test_cosine_zero_vector_is_null(self, spark):
+        df = spark.createDataFrame([([0.0, 0.0], [1.0, 2.0])], ["a", "b"])
+        assert df.select(S.cosine_similarity(F.col("a"), F.col("b")).alias("c")).first()["c"] is None
+
+
+class TestText:
+    def test_whitespace_tokens_empty_string(self, spark):
+        assert one(spark, T.whitespace_tokens(F.col("s")), s="") == []
+        assert one(spark, T.whitespace_token_count(F.col("s")), s="  a  b ") == 2
+
+    def test_bpe_ish_token_count(self, spark):
+        # "don't stop 42" -> don | ' | t | stop | 4 | 2
+        assert one(spark, T.bpe_ish_token_count(F.col("s")), s="don't stop 42") == 6
+
+    def test_punct_ratio(self, spark):
+        assert one(spark, T.punct_ratio(F.col("s")), s="ab, cd!") == round(2 / 6, 6)
+
+    def test_stopword_ratio(self, spark):
+        assert one(spark, T.stopword_ratio(F.col("s")), s="The cat and a dog") == round(3 / 5, 6)
+
+    def test_predict_lang_markers(self, spark):
+        assert one(spark, T.predict_lang(F.col("s")), s="the cat is on the mat") == "en"
+        assert one(spark, T.predict_lang(F.col("s")), s="der Hund ist nicht da") == "de"
+        assert one(spark, T.predict_lang(F.col("s")), s="你好世界") == "zh"
+        assert one(spark, T.predict_lang(F.col("s")), s="zzz qqq") == "und"
+
+    def test_doc_fingerprint_matches_python(self, spark):
+        s = "the quick brown fox"
+
+        def py_fp(text: str) -> int:
+            h = 0
+            for tok in text.split():
+                th = 0
+                for c in tok:
+                    th = (th * 31 + ord(c)) % (2**31 - 1)
+                h = (h * 31 + th) % (2**31 - 1)
+            return h
+
+        assert one(spark, T.doc_fingerprint(F.col("s")), s=s) == py_fp(s)
+        # order sensitivity
+        assert one(spark, T.doc_fingerprint(F.col("s")), s="fox brown quick the") != py_fp(s)
+
+    def test_word_ngrams(self, spark):
+        toks = F.split(F.col("s"), " ")
+        got = one(spark, T.word_ngrams(toks, 2), s="a b c")
+        assert got == ["a b", "b c"]
+        got_short = one(spark, T.word_ngrams(toks, 5), s="a b")
+        assert got_short == ["a b"]

@@ -1,0 +1,378 @@
+"""Unit tests for the operator layer — each operator checked against a
+brute-force or hand-computed expectation on tiny data (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from hebrew_tutor_data_pipeline_spark.operators.alignment import (
+    allocate_proportional,
+    fuzzy_cursor_align,
+    spread_uniform,
+)
+from hebrew_tutor_data_pipeline_spark.operators.ann import brute_force_topk, ivf_topk
+from hebrew_tutor_data_pipeline_spark.operators.asof import asof_join
+from hebrew_tutor_data_pipeline_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    embedding_near_dup_pairs_blocked,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from hebrew_tutor_data_pipeline_spark.operators.intervals import (
+    interval_overlap_join,
+    point_in_interval_join,
+)
+from hebrew_tutor_data_pipeline_spark.operators.sessionize import session_stats, sessionize
+from hebrew_tutor_data_pipeline_spark.operators.upsert import last_wins_upsert
+
+
+def ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+class TestAsofJoin:
+    def make(self, spark):
+        left = spark.createDataFrame(
+            [(1, 10.0, "l1"), (1, 20.0, "l2"), (2, 5.0, "l3")], ["k", "t", "lv"]
+        )
+        right = spark.createDataFrame(
+            [(1, 9.0, "r1"), (1, 15.0, "r2"), (2, 6.0, "r3")], ["k", "t", "rv"]
+        )
+        return left, right
+
+    def test_backward(self, spark):
+        left, right = self.make(spark)
+        got = {
+            r["lv"]: r["rv_right"]
+            for r in asof_join(left, right, ["k"], "t", "t").collect()
+        }
+        assert got == {"l1": "r1", "l2": "r2", "l3": None}
+
+    def test_forward(self, spark):
+        left, right = self.make(spark)
+        got = {
+            r["lv"]: r["rv_right"]
+            for r in asof_join(left, right, ["k"], "t", "t", direction="forward").collect()
+        }
+        assert got == {"l1": "r2", "l2": None, "l3": "r3"}
+
+    def test_tolerance(self, spark):
+        left, right = self.make(spark)
+        got = {
+            r["lv"]: r["rv_right"]
+            for r in asof_join(left, right, ["k"], "t", "t", tolerance=1.5).collect()
+        }
+        # l2's nearest prior (r2@15) is 5s away -> nulled
+        assert got == {"l1": "r1", "l2": None, "l3": None}
+
+    def test_equal_ts_matches_backward(self, spark):
+        left = spark.createDataFrame([(1, 10.0, "l")], ["k", "t", "lv"])
+        right = spark.createDataFrame([(1, 10.0, "r")], ["k", "t", "rv"])
+        got = asof_join(left, right, ["k"], "t", "t").first()
+        assert got["rv_right"] == "r"
+
+
+class TestIntervalJoins:
+    def test_point_in_interval_matches_naive(self, spark):
+        points = spark.createDataFrame([(float(i),) for i in range(0, 50, 3)], ["t"])
+        intervals = spark.createDataFrame(
+            [(i, float(i * 4), float(i * 4 + 6)) for i in range(12)], ["iv", "s", "e"]
+        )
+        fast = point_in_interval_join(points, intervals, "t", "s", "e", bin_width=5.0)
+        naive = points.crossJoin(intervals).filter(
+            (F.col("t") >= F.col("s")) & (F.col("t") <= F.col("e"))
+        )
+        assert sorted((r["t"], r["iv"]) for r in fast.collect()) == sorted(
+            (r["t"], r["iv"]) for r in naive.collect()
+        )
+
+    def test_overlap_join_matches_naive_and_dedups(self, spark):
+        left = spark.createDataFrame(
+            [(i, float(i * 3), float(i * 3 + 10)) for i in range(10)], ["li", "ls", "le"]
+        )
+        right = spark.createDataFrame(
+            [(j, float(j * 7), float(j * 7 + 4)) for j in range(6)], ["rj", "rs", "re"]
+        )
+        fast = interval_overlap_join(left, right, "ls", "le", "rs", "re", bin_width=6.0)
+        naive = left.crossJoin(right).filter(
+            (F.col("ls") <= F.col("re")) & (F.col("rs") <= F.col("le"))
+        )
+        got = sorted((r["li"], r["rj"]) for r in fast.collect())
+        want = sorted((r["li"], r["rj"]) for r in naive.collect())
+        assert got == want  # exactly once per overlapping pair
+
+
+class TestDedup:
+    def test_exact_dedup_keeps_first(self, spark):
+        df = spark.createDataFrame(
+            [(1, "same"), (2, "same"), (3, "other")], ["id", "text"]
+        )
+        kept = sorted(r["id"] for r in exact_dedup(df, ["text"], "id").collect())
+        assert kept == [1, 3]
+        kept_last = sorted(
+            r["id"] for r in exact_dedup(df, ["text"], "id", keep="last").collect()
+        )
+        assert kept_last == [2, 3]
+
+    def test_jaccard_pairs_match_python(self, spark):
+        docs = [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different content here entirely now"),
+        ]
+        df = spark.createDataFrame(docs, ["id", "text"])
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(df, "id", "text", n=3, threshold=0.0).collect()
+        }
+
+        def sh(t, n=3):
+            toks = t.split()
+            return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+        for (a, ta), (b, tb) in [(docs[0], docs[1]), (docs[0], docs[2]), (docs[1], docs[2])]:
+            A, B = sh(ta), sh(tb)
+            expected = len(A & B) / len(A | B)
+            if expected > 0:
+                assert math.isclose(got[(a, b)], round(expected, 6))
+            else:
+                assert (a, b) not in got  # no shared shingle -> never joined
+
+    def test_minhash_lsh_finds_near_dups(self, spark):
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        docs = [
+            (1, base),
+            (2, base + " extra"),          # near-dup of 1
+            (3, "one two three four five six seven eight nine ten"),
+        ]
+        df = spark.createDataFrame(docs, ["id", "text"])
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_pairs(df, "id", "text", threshold=0.4).collect()
+        }
+        assert (1, 2) in pairs
+        assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    def test_simhash_similar_docs_close(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "the quick brown fox jumps over the lazy cat"),
+                (3, "zzz yyy xxx www vvv uuu ttt sss"),
+            ],
+            ["id", "text"],
+        )
+        fps = {r["id"]: r["simhash"] for r in simhash(df, "id", "text").collect()}
+
+        def ham(a, b):
+            return bin(a ^ b).count("1")
+
+        assert ham(fps[1], fps[2]) < ham(fps[1], fps[3])
+        for v in fps.values():
+            assert 0 <= v < 2**16
+
+    def test_embedding_near_dup_pairs(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, [1.0, 0.0, 0.0]),
+                (2, [0.999, 0.04, 0.0]),  # ~cos 0.999
+                (3, [0.0, 1.0, 0.0]),
+            ],
+            ["id", "vec"],
+        )
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_dup_pairs(df, "id", "vec", threshold=0.95).collect()
+        }
+        assert pairs == {(1, 2)}
+
+    def test_blocked_matches_expression_variant(self, spark):
+        """The numpy blocked kernel must reproduce the pure-SQL all-pairs
+        results exactly (ids AND 6-dp cosines)."""
+        rows = [
+            (i, [math.sin(i * (d + 1) * 0.31) for d in range(16)]) for i in range(30)
+        ]
+        df = spark.createDataFrame(rows, ["id", "vec"])
+        expr = {
+            (r["id_a"], r["id_b"]): r["cosine"]
+            for r in embedding_near_dup_pairs(df, "id", "vec", threshold=0.3).collect()
+        }
+        blocked = {
+            (r["id_a"], r["id_b"]): r["cosine"]
+            for r in embedding_near_dup_pairs_blocked(
+                df, "id", "vec", threshold=0.3, num_blocks=4
+            ).collect()
+        }
+        assert expr == blocked
+        assert len(expr) > 0
+
+
+class TestAnn:
+    def make_corpus(self, spark, n=40, dim=8):
+        rows = []
+        for i in range(n):
+            # i+1 so no vector is all-zero (sin(0) == 0)
+            vec = [math.sin((i + 1) * (d + 1) * 0.7) for d in range(dim)]
+            rows.append((i, vec))
+        return spark.createDataFrame(rows, ["id", "vec"])
+
+    def test_brute_force_topk_matches_python(self, spark):
+        corpus = self.make_corpus(spark)
+        queries = corpus.filter(F.col("id") < 2)
+        got = brute_force_topk(corpus, queries, "id", "vec", k=5).collect()
+        data = {r["id"]: r["vec"] for r in corpus.collect()}
+
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            na, nb = math.sqrt(sum(x * x for x in a)), math.sqrt(sum(x * x for x in b))
+            return round(d / (na * nb), 6)
+
+        for qid in (0, 1):
+            expect = sorted(
+                ((cos(data[qid], v), -i) for i, v in data.items() if i != qid),
+                reverse=True,
+            )[:5]
+            expect_ids = [-negid for _, negid in expect]
+            got_ids = [
+                r["neighbor_id"] for r in sorted(
+                    (r for r in got if r["query_id"] == qid), key=lambda r: r["rank"]
+                )
+            ]
+            assert got_ids == expect_ids
+
+    def test_ivf_topk_recall_vs_exact(self, spark):
+        corpus = self.make_corpus(spark, n=60)
+        queries = corpus.filter(F.col("id") < 3)
+        exact = brute_force_topk(corpus, queries, "id", "vec", k=5)
+        approx = ivf_topk(corpus, queries, "id", "vec", k=5, num_cells=8, nprobe=4)
+        e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+        a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+        recall = len(e & a) / len(e)
+        assert recall >= 0.5  # nprobe=4 of 8 cells
+
+
+class TestAlignment:
+    def test_allocate_proportional_invariants(self, spark):
+        df = spark.createDataFrame(
+            [("g", i, [2, 3, 5][i - 1], 100.0) for i in (1, 2, 3)],
+            ["grp", "verse", "wc", "total"],
+        )
+        out = (
+            allocate_proportional(df, ["grp"], "verse", "wc", "total")
+            .orderBy("verse")
+            .collect()
+        )
+        # proportional shares of 100 by weights 2:3:5
+        assert [r["start"] for r in out] == [0.0, 20.0, 50.0]
+        assert [r["end"] for r in out] == [20.0, 50.0, 100.0]
+        # contiguity
+        for prev, cur in zip(out, out[1:]):
+            assert prev["end"] == cur["start"]
+
+    def test_allocate_min_unit(self, spark):
+        df = spark.createDataFrame(
+            [("g", 1, 1, 10.0), ("g", 2, 99, 10.0)], ["grp", "verse", "wc", "total"]
+        )
+        out = (
+            allocate_proportional(df, ["grp"], "verse", "wc", "total", min_unit=1.0)
+            .orderBy("verse")
+            .collect()
+        )
+        assert out[0]["end"] - out[0]["start"] >= 1.0
+
+    def test_spread_uniform(self, spark):
+        df = spark.createDataFrame(
+            [(["a", "b", "c", "d"], 10.0, 18.0)], ["words", "s", "e"]
+        )
+        out = spread_uniform(df, "words", "s", "e").orderBy("word_pos").collect()
+        assert [r["word"] for r in out] == ["a", "b", "c", "d"]
+        assert [r["word_start"] for r in out] == [10.0, 12.0, 14.0, 16.0]
+        assert [r["word_end"] for r in out] == [12.0, 14.0, 16.0, 18.0]
+
+    def test_fuzzy_cursor_align_basic(self, spark):
+        ref = spark.createDataFrame(
+            [("c1", i, w) for i, w in enumerate(["shalom", "olam", "tov"])],
+            ["grp", "idx", "word"],
+        )
+        trans = spark.createDataFrame(
+            [
+                ("c1", 0, "shalom", 0.0, 1.0),
+                ("c1", 1, "oolam", 1.0, 2.0),
+                ("c1", 2, "xyz", 2.0, 3.0),
+            ],
+            ["grp", "idx", "word", "s", "e"],
+        )
+        out = {
+            r["ref_word"]: r
+            for r in fuzzy_cursor_align(
+                ref, trans, "grp", "idx", "word", "idx", "word", "s", "e"
+            ).collect()
+        }
+        assert out["shalom"]["matched"] == 1 and out["shalom"]["start"] == 0.0
+        assert out["olam"]["matched"] == 1 and out["olam"]["matched_word"] == "oolam"
+        assert out["tov"]["matched"] == 0 and out["tov"]["start"] is None
+
+    def test_cursor_monotonic(self, spark):
+        """Matched transcript indices must be strictly increasing (the
+        cursor never goes back — `fixed_hebrew_aligner.py:531`)."""
+        ref = spark.createDataFrame(
+            [("c", i, w) for i, w in enumerate(["aa", "bb", "aa", "cc"])],
+            ["g", "i", "w"],
+        )
+        trans = spark.createDataFrame(
+            [("c", i, w, float(i), float(i + 1)) for i, w in enumerate(["aa", "aa", "cc"])],
+            ["g", "i", "w", "s", "e"],
+        )
+        rows = (
+            fuzzy_cursor_align(ref, trans, "g", "i", "w", "i", "w", "s", "e")
+            .filter(F.col("matched") == 1)
+            .orderBy("ref_idx")
+            .collect()
+        )
+        idxs = [r["matched_idx"] for r in rows]
+        assert idxs == sorted(idxs) and len(set(idxs)) == len(idxs)
+
+
+class TestSessionize:
+    def test_sessionize_gap(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, ts("2024-01-01T00:00:00")),
+                (1, ts("2024-01-01T00:10:00")),
+                (1, ts("2024-01-01T01:00:00")),  # >30min gap -> new session
+                (2, ts("2024-01-01T00:00:00")),
+            ],
+            ["user", "t"],
+        )
+        out = sessionize(df, ["user"], "t", gap_seconds=1800).collect()
+        sess = {(r["user"], r["t"].minute, r["t"].hour): r["session_id"] for r in out}
+        assert sess[(1, 0, 0)] == 1 and sess[(1, 10, 0)] == 1 and sess[(1, 0, 1)] == 2
+        assert sess[(2, 0, 0)] == 1
+
+    def test_session_stats(self, spark):
+        df = spark.createDataFrame(
+            [(1, ts("2024-01-01T00:00:00")), (1, ts("2024-01-01T00:10:00"))],
+            ["user", "t"],
+        )
+        row = session_stats(df, ["user"], "t", 1800).first()
+        assert row["n_events"] == 2 and row["duration_sec"] == 600.0
+
+
+class TestUpsert:
+    def test_last_wins(self, spark):
+        state = spark.createDataFrame([("a", 1.0, "old"), ("b", 1.0, "keep")], ["k", "ts", "v"])
+        updates = spark.createDataFrame([("a", 2.0, "new"), ("c", 1.0, "ins")], ["k", "ts", "v"])
+        got = {r["k"]: r["v"] for r in last_wins_upsert(state, updates, ["k"], "ts").collect()}
+        assert got == {"a": "new", "b": "keep", "c": "ins"}
+
+    def test_tie_prefers_update(self, spark):
+        state = spark.createDataFrame([("a", 1.0, "old")], ["k", "ts", "v"])
+        updates = spark.createDataFrame([("a", 1.0, "new")], ["k", "ts", "v"])
+        got = last_wins_upsert(state, updates, ["k"], "ts").first()
+        assert got["v"] == "new"
