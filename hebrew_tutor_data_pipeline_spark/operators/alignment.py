@@ -93,7 +93,9 @@ def spread_uniform(
     """W3: explode an array column, spreading [start, end] uniformly over
     the elements. Output adds (word_pos 1-indexed, word, word_start,
     word_end) — timestamps rounded to 2 dp like every reference writer
-    (`scripts/hebrew_alignment_tool_gpu.py:493-495`)."""
+    (`scripts/hebrew_alignment_tool_gpu.py:493-495`). Uniform splits of
+    2-dp bounds land exactly on .005 boundaries constantly (e.g.
+    6.09/2), so the ROUND_EPS nudge applies here too."""
     n = F.size(F.col(words_col))
     step = (F.col(end_col) - F.col(start_col)) / n
     return df.select(
@@ -103,8 +105,12 @@ def spread_uniform(
         *df.columns,
         (F.col("_pos") + 1).alias("word_pos"),
         F.col("word"),
-        F.round(F.col(start_col) + F.col("_pos") * step, 2).alias("word_start"),
-        F.round(F.col(start_col) + (F.col("_pos") + 1) * step, 2).alias("word_end"),
+        F.round(F.col(start_col) + F.col("_pos") * step + ROUND_EPS, 2).alias(
+            "word_start"
+        ),
+        F.round(F.col(start_col) + (F.col("_pos") + 1) * step + ROUND_EPS, 2).alias(
+            "word_end"
+        ),
     )
 
 

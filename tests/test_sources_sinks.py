@@ -1,0 +1,142 @@
+"""Source/sink tests (SURVEY.md §2.1 S1/S2/S7/S9): binary-file glob
+scan, nested JSON corpus reader, partitioned JSON sink round-trip."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from hebrew_tutor_data_pipeline_spark.sources.readers import (
+    expected_grid,
+    read_binary_files,
+    read_nested_json_corpus,
+)
+
+FIXTURE_CORPUS = str(
+    Path(__file__).resolve().parent / "fixtures" / "bible_corpus.json"
+)
+
+
+class TestBinaryScan:
+    def make_tree(self, tmp_path):
+        """NN_BookName/NN-Abbr_CC.mp3 layout like the reference corpus
+        (`Hebrew Audio Trimmer Tool - As-Built Documentation.md:95-106`)."""
+        for book_num, name, abbr, chapters in [
+            (1, "Genesis", "Gen", 3),
+            (18, "Obadiah", "Obad", 1),
+        ]:
+            d = tmp_path / f"{book_num:02d}_{name}"
+            d.mkdir()
+            for c in range(1, chapters + 1):
+                (d / f"{book_num:02d}-{abbr}_{c:02d}.mp3").write_bytes(
+                    b"\xff\xfb" + bytes(100)
+                )
+            (d / "notes.txt").write_text("not audio")
+        return tmp_path
+
+    def test_glob_scan_inventory(self, spark, tmp_path):
+        root = self.make_tree(tmp_path)
+        df = read_binary_files(spark, str(root), glob="*.mp3")
+        rows = df.select("path", "length").collect()
+        assert len(rows) == 4  # txt file excluded by the glob
+        assert all(r["length"] == 102 for r in rows)
+        # S3: parse (book_num, abbr, chapter) from the computed filename
+        parsed = df.select(
+            F.regexp_extract("path", r"(\d+)-([A-Za-z]+)_(\d+)\.mp3$", 2).alias(
+                "abbr"
+            ),
+            F.regexp_extract("path", r"(\d+)-([A-Za-z]+)_(\d+)\.mp3$", 3)
+            .cast("int")
+            .alias("chapter"),
+        )
+        got = sorted((r["abbr"], r["chapter"]) for r in parsed.collect())
+        assert got == [("Gen", 1), ("Gen", 2), ("Gen", 3), ("Obad", 1)]
+
+    def test_missing_chapter_audit(self, spark, tmp_path):
+        """J9: expected grid anti-joined against the actual inventory
+        (`fixed_hebrew_aligner.py:176-192`)."""
+        root = self.make_tree(tmp_path)
+        # remove one file to create a hole
+        (root / "01_Genesis" / "01-Gen_02.mp3").unlink()
+        actual = read_binary_files(spark, str(root), glob="*.mp3").select(
+            F.regexp_extract("path", r"(\d+)-([A-Za-z]+)_(\d+)\.mp3$", 2).alias("abbr"),
+            F.regexp_extract("path", r"(\d+)-([A-Za-z]+)_(\d+)\.mp3$", 3)
+            .cast("int")
+            .alias("chapter"),
+        )
+        expected = expected_grid(
+            spark.createDataFrame([("Gen", 3), ("Obad", 1)], ["abbr", "n_chapters"]),
+            "abbr",
+            "n_chapters",
+        )
+        missing = expected.join(actual, ["abbr", "chapter"], "left_anti").collect()
+        assert [(r["abbr"], r["chapter"]) for r in missing] == [("Gen", 2)]
+
+
+class TestCorpusReader:
+    def test_aramaic_dropped_and_shape(self, spark):
+        df = read_nested_json_corpus(spark, FIXTURE_CORPUS)
+        books = {r["book"] for r in df.select("book").collect()}
+        assert "Aramaic" not in books
+        assert {"Gen", "Exod", "Ps", "Obad", "Ruth"} == books
+
+
+class TestPartitionedJsonSink:
+    def test_partitioned_roundtrip(self, spark, tmp_path):
+        """S7: one directory per book, JSON rows inside, UTF-8 Hebrew
+        preserved byte-for-byte (`scripts/hebrew_alignment_tool_gpu.py:589-609`
+        + the encoding round-trip golden test,
+        `scripts/hebrew_encoding_test.py:8-80`)."""
+        out = str(tmp_path / "alignments")
+        df = spark.createDataFrame(
+            [
+                ("Gen", 1, 1, "בְּרֵאשִׁית בָּרָא", 0.0, 2.5),
+                ("Gen", 1, 2, "וְהָאָרֶץ הָיְתָה", 2.5, 5.0),
+                ("Obad", 1, 1, "חֲזוֹן עֹבַדְיָה", 0.0, 3.0),
+            ],
+            ["book", "chapter", "verse_num", "text", "start", "end"],
+        )
+        df.write.partitionBy("book").mode("overwrite").json(out)
+        # per-book directories exist (the reference's output layout)
+        subdirs = {p.name for p in Path(out).iterdir() if p.is_dir()}
+        assert subdirs == {"book=Gen", "book=Obad"}
+        back = spark.read.json(out)
+        assert back.count() == 3
+        got = {
+            (r["book"], r["chapter"], r["verse_num"], r["text"])
+            for r in back.collect()
+        }
+        assert ("Gen", 1, 1, "בְּרֵאשִׁית בָּרָא") in got
+        assert ("Obad", 1, 1, "חֲזוֹן עֹבַדְיָה") in got
+
+    def test_config_upsert_roundtrip(self, spark, tmp_path):
+        """S9: the trim-config store maintained as overwrite-after-upsert
+        (`scripts/hebrew_audio_trimmer.py:67-87,186-195`)."""
+        from hebrew_tutor_data_pipeline_spark.operators.upsert import (
+            last_wins_upsert,
+        )
+
+        store = str(tmp_path / "trim_config")
+        state = spark.createDataFrame(
+            [("a.mp3", 1.0, 2.5), ("b.mp3", 1.0, 4.0)], ["path", "ts", "trim_start"]
+        )
+        state.write.mode("overwrite").json(store)
+        updates = spark.createDataFrame(
+            [("a.mp3", 2.0, 3.0), ("c.mp3", 2.0, 1.0)], ["path", "ts", "trim_start"]
+        )
+        merged = last_wins_upsert(
+            spark.read.schema("path string, ts double, trim_start double").json(store),
+            updates,
+            ["path"],
+            "ts",
+        )
+        out2 = str(tmp_path / "trim_config_v2")
+        merged.write.mode("overwrite").json(out2)
+        back = {
+            r["path"]: r["trim_start"]
+            for r in spark.read.schema(
+                "path string, ts double, trim_start double"
+            ).json(out2).collect()
+        }
+        assert back == {"a.mp3": 3.0, "b.mp3": 4.0, "c.mp3": 1.0}

@@ -1,0 +1,170 @@
+"""Streaming-layer tests (SURVEY.md §2.10 T1–T5): replay the events
+table through a file stream and check streaming results equal the batch
+twin computed on the same data."""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+import time
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from hebrew_tutor_data_pipeline_spark.sources.readers import load_table
+from hebrew_tutor_data_pipeline_spark.streaming import (
+    CountingListener,
+    events_file_stream,
+    session_window_stats,
+    terminal_jobs,
+    tumbling_window_stats,
+    with_observed_metrics,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Events slice written as JSON files — the replayable stream input."""
+    d = tmp_path_factory.mktemp("events_stream")
+    (
+        load_table(spark, SF, "events")
+        .filter(F.col("user_id") < 10)
+        .coalesce(4)
+        .write.mode("overwrite")
+        .json(str(d / "in"))
+    )
+    return str(d / "in")
+
+
+def run_available_now(df, out_table: str, mode: str = "append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"/tmp/ckpt-{out_table}-{uuid.uuid4().hex}")
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+class TestTumbling:
+    def test_stream_equals_batch(self, spark, events_dir):
+        stream = events_file_stream(spark, events_dir, fmt="json")
+        out = tumbling_window_stats(stream, window_duration="1 hour")
+        name = f"tumble_{uuid.uuid4().hex[:8]}"
+        run_available_now(out, name)
+        got = {
+            (r["window_start"], r["n_events"], r["sum_value"])
+            for r in spark.table(name).collect()
+        }
+        src = spark.read.schema(
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string"
+        ).json(events_dir)
+        # Append mode emits a window only once the watermark (max event
+        # time - delay) passes its end — exclude still-open windows.
+        cutoff = src.agg(
+            F.max("ts") - F.expr("INTERVAL 10 MINUTES")
+        ).first()[0]
+        batch = src.groupBy(F.window("ts", "1 hour")).agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("s"),
+        )
+        want = {
+            (r["window"]["start"], r["n"], r["s"])
+            for r in batch.collect()
+            if r["window"]["end"] <= cutoff
+        }
+        assert got == want and len(got) > 0
+
+
+class TestSessionWindows:
+    def test_session_counts_match_batch_sessionize(self, spark, events_dir):
+        from hebrew_tutor_data_pipeline_spark.operators.sessionize import (
+            session_stats,
+        )
+
+        stream = events_file_stream(spark, events_dir, fmt="json")
+        out = session_window_stats(stream, gap="30 minutes")
+        name = f"sess_{uuid.uuid4().hex[:8]}"
+        run_available_now(out, name)
+        got = {
+            (r["user_id"], r["session_start"], r["n_events"])
+            for r in spark.table(name).collect()
+        }
+        src = spark.read.schema(
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string"
+        ).json(events_dir)
+        cutoff = src.agg(F.max("ts") - F.expr("INTERVAL 10 MINUTES")).first()[0]
+        batch = session_stats(src, ["user_id"], "ts", 1800.0)
+        # session_window's end = last event + gap; only sessions whose
+        # end cleared the watermark are emitted in append mode.
+        want = {
+            (r["user_id"], r["session_start"], r["n_events"])
+            for r in batch.collect()
+            if r["session_end"] + dt.timedelta(minutes=30) <= cutoff
+        }
+        assert got == want and len(got) > 0
+
+
+class TestStatefulPolling:
+    def test_terminal_jobs_emitted_once(self, spark, tmp_path):
+        rows = [
+            ("job1", "Running", "2024-01-01T00:00:00"),
+            ("job1", "Running", "2024-01-01T00:00:05"),
+            ("job1", "Succeeded", "2024-01-01T00:00:10"),
+            ("job2", "Running", "2024-01-01T00:00:00"),
+            ("job2", "Failed", "2024-01-01T00:00:05"),
+            ("job3", "Running", "2024-01-01T00:00:00"),  # never terminal
+        ]
+        src = tmp_path / "updates"
+        spark.createDataFrame(
+            [(j, s, dt.datetime.fromisoformat(t)) for j, s, t in rows],
+            "job_id string, status string, ts timestamp",
+        ).coalesce(1).write.mode("overwrite").parquet(str(src))
+        stream = spark.readStream.schema(
+            "job_id string, status string, ts timestamp"
+        ).parquet(str(src))
+        out = terminal_jobs(stream)
+        name = f"jobs_{uuid.uuid4().hex[:8]}"
+        run_available_now(out, name)
+        got = {
+            r["job_id"]: (r["final_status"], r["n_updates"])
+            for r in spark.table(name).collect()
+        }
+        assert got == {"job1": ("Succeeded", 3), "job2": ("Failed", 2)}
+        # job3 never reached a terminal state -> no emission
+        assert "job3" not in got
+
+
+class TestProgress:
+    def test_listener_and_observe(self, spark, events_dir):
+        listener = CountingListener()
+        spark.streams.addListener(listener)
+        try:
+            stream = with_observed_metrics(
+                events_file_stream(spark, events_dir, fmt="json"), "progress"
+            )
+            out = tumbling_window_stats(stream, window_duration="6 hours")
+            name = f"obs_{uuid.uuid4().hex[:8]}"
+            q = run_available_now(out, name)
+            time.sleep(1)  # listener events are async
+            n_input = spark.read.schema(
+                "event_id long, ts timestamp, user_id long, event_type string,"
+                " value double, props string"
+            ).json(events_dir).count()
+            assert listener.total_input_rows() == n_input
+            observed = [
+                p["observedMetrics"]["progress"]["rows_seen"]
+                for p in listener.progress
+                if "progress" in p["observedMetrics"]
+            ]
+            assert sum(observed) == n_input
+        finally:
+            spark.streams.removeListener(listener)
