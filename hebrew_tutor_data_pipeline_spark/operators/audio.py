@@ -30,12 +30,16 @@ def rms_energy_segments(
     Map-side partial aggregation keeps the shuffle at one row per
     (file, segment), not per sample.
     """
-    seg_len = (F.lit(segment_seconds) * F.col(sample_rate_col)).cast("long")
     exploded = waveforms.select(
         F.col(id_col).alias("path"),
         F.col(sample_rate_col).alias("sr"),
         F.posexplode(F.col(samples_col)).alias("pos", "x"),
-    ).withColumn("seg_idx", (F.col("pos") / seg_len).cast("int"))
+    ).withColumn(
+        "seg_idx",
+        (F.col("pos") / (F.lit(segment_seconds) * F.col("sr")).cast("long")).cast(
+            "int"
+        ),
+    )
     return (
         exploded.groupBy("path", "sr", "seg_idx")
         .agg(

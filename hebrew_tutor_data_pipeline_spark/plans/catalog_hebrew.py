@@ -25,6 +25,9 @@ from .catalog import T, _register
 FIXTURE_CORPUS = str(
     Path(__file__).resolve().parents[2] / "tests" / "fixtures" / "bible_corpus.json"
 )
+FIXTURE_AUDIO_TREE = str(
+    Path(__file__).resolve().parents[2] / "tests" / "fixtures" / "audio_tree"
+)
 
 # Shared oracle CTE: nested JSON -> (book, chapter, verse_num, words)
 _CORPUS_SQL = f"""
@@ -152,6 +155,64 @@ def corpus_word_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return spread.select(
         "book", "chapter", "verse_num", "word", "word_pos", "word_start", "word_end"
+    )
+
+
+@_register(
+    "audio_inventory",
+    oracle=f"""
+SELECT regexp_extract(filename, '(\\d+)-([A-Za-z]+)_(\\d+)\\.mp3$', 2) AS abbr,
+       CAST(regexp_extract(filename, '(\\d+)-([A-Za-z]+)_(\\d+)\\.mp3$', 3) AS INTEGER)
+           AS chapter,
+       size AS length
+FROM read_blob('{FIXTURE_AUDIO_TREE}/*/*.mp3')
+""",
+    tags=("S2", "S3", "F7", "P3"),
+)
+def audio_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 binary glob scan of the NN_Book/NN-Abbr_CC.mp3 tree with S3/F7
+    filename-key parsing (`scripts/hebrew_audio_trimmer.py:270-297`,
+    `fixed_hebrew_aligner.py:194-203`). The binaryFile source lists
+    partition-parallel; the length predicate (P3 validity gate ≥1 KB)
+    stays in the scan."""
+    from ..sources.readers import read_binary_files
+
+    files = read_binary_files(spark, FIXTURE_AUDIO_TREE, glob="*.mp3")
+    return files.filter(F.col("length") >= 1024).select(
+        F.regexp_extract("path", r"(\d+)-([A-Za-z]+)_(\d+)\.mp3$", 2).alias("abbr"),
+        F.regexp_extract("path", r"(\d+)-([A-Za-z]+)_(\d+)\.mp3$", 3)
+        .cast("int")
+        .alias("chapter"),
+        F.col("length"),
+    )
+
+
+@_register(
+    "alignment_sink_roundtrip",
+    oracle=f"""
+WITH {_CORPUS_SQL}
+SELECT book, chapter, verse_num, array_to_string(words, ' ') AS text
+FROM vs WHERE book IN ('Gen', 'Obad')
+""",
+    tags=("S7", "S8"),
+)
+def alignment_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 partitioned JSON sink proven by round-trip: write the corpus
+    verses partitionBy(book) to a scratch dir (Spark's FileCommitProtocol
+    = the reference's atomic tmp+rename, S8), read the directory back,
+    return the rows — which must equal what was written
+    (`scripts/hebrew_alignment_tool_gpu.py:589-609`)."""
+    import tempfile
+
+    out = str(Path(tempfile.gettempdir()) / "htdp_spark_alignment_sink")
+    verses = corpus_verses_df(spark).filter(F.col("book").isin("Gen", "Obad")).select(
+        "book", "chapter", "verse_num", F.concat_ws(" ", "words").alias("text")
+    )
+    verses.write.partitionBy("book").mode("overwrite").json(out)
+    return (
+        spark.read.schema("chapter int, verse_num int, text string, book string")
+        .json(out)
+        .select("book", "chapter", "verse_num", "text")
     )
 
 

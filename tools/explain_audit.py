@@ -1,0 +1,110 @@
+"""Physical-plan audit: print `.explain("formatted")` for the headline
+queries and check the plan properties that matter at 100 TB —
+filter/column pushdown into the parquet scan, broadcast joins for
+dimensions, TakeOrderedAndProject for top-k, partial aggregation, and
+whole-stage codegen coverage.
+
+Usage: python tools/explain_audit.py [query ...]   (default: key set)
+Exit 1 if any REQUIRED property is missing.
+"""
+
+from __future__ import annotations
+
+import io
+import sys
+from contextlib import redirect_stdout
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SF_DIR = "/root/testdata/sf0.01"
+
+#: query -> list of (required, substring, why)
+EXPECTATIONS: dict[str, list[tuple[bool, str, str]]] = {
+    "pricing_summary": [
+        (True, "PushedFilters: [IsNotNull(l_shipdate)", "shipdate filter reaches the scan"),
+        (True, "HashAggregate", "partial+final hash aggregation"),
+        # codegen ids only annotate AQE plans post-execution — informational
+        (False, "[codegen id :", "agg pipeline inside whole-stage codegen"),
+        (True, "!BatchEvalPython", "no row-at-a-time Python in the plan"),
+    ],
+    "region_revenue": [
+        (True, "BroadcastHashJoin", "nation/region dims broadcast, fact never shuffles for the join"),
+        (True, "PushedFilters", "date predicate pushed to lineitem scan"),
+    ],
+    "customers_quiet_1995": [
+        (True, "PushedFilters", "acctbal predicate pushed down"),
+    ],
+    "top10_orders": [
+        (True, "TakeOrderedAndProject", "top-k never globally sorts"),
+    ],
+    "orders_containing_shipdate": [
+        (True, "BroadcastHashJoin", "window counts broadcast back onto lineitem"),
+    ],
+    "alloc_order_value": [
+        (True, "Window", "running allocation is one window over one shuffle"),
+    ],
+    "asof_click_purchase": [
+        (True, "Window", "as-of = union + one window, no per-key loop"),
+    ],
+    "ann_bruteforce_top10": [
+        (True, "BroadcastNestedLoopJoin", "query block broadcast; corpus scanned map-side"),
+    ],
+    "minhash_lsh_candidates": [
+        # equi join on (band, bucket): SMJ at scale; AQE rightly demotes
+        # to broadcast at small SF — either is the correct plan
+        (True, "SortMergeJoin|BroadcastHashJoin", "band-bucket equi join"),
+    ],
+    "doc_text_stats": [
+        (True, "[codegen id :", "text metrics stay JVM-side in codegen"),
+        (True, "!BatchEvalPython", "no row-at-a-time Python in the plan"),
+    ],
+}
+
+
+def main() -> int:
+    from hebrew_tutor_data_pipeline_spark.plans import CATALOG
+    from hebrew_tutor_data_pipeline_spark.session import get_spark
+
+    only = set(sys.argv[1:]) or set(EXPECTATIONS)
+    spark = get_spark("explain-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    failures = []
+    for name in only:
+        spec = CATALOG.get(name)
+        if spec is None:
+            print(f"?? unknown query {name}")
+            continue
+        df = spec.spark(spark, SF_DIR)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        print(f"\n{'='*70}\n{name}\n{'='*70}")
+        checks = EXPECTATIONS.get(name, [])
+        for required, needle, why in checks:
+            if needle.startswith("!"):  # '!'-prefix = must NOT appear
+                ok = needle[1:] not in plan
+            else:
+                ok = any(alt in plan for alt in needle.split("|"))
+            mark = "ok " if ok else ("MISS" if required else "warn")
+            print(f"  [{mark}] {needle!r} — {why}")
+            if required and not ok:
+                failures.append((name, needle))
+        if "--full" in sys.argv or not checks:
+            print(plan)
+        else:
+            # print the compact operator tree (header section only)
+            print("\n".join(plan.split("\n\n")[0].splitlines()[:40]))
+
+    if failures:
+        print(f"\nFAILED required plan properties: {failures}")
+    else:
+        print("\nall required plan properties present")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
