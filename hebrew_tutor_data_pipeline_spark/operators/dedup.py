@@ -112,24 +112,30 @@ def ngram_jaccard_pairs(
     quadratic blowup (the join is per-shingle |docs|²).
     """
     sets = shingle_sets(df, id_col, text_col, n)
-    sizes = sets.select("id", F.size("shingles").alias("nsh"))
-    posting = sets.select("id", F.explode("shingles").alias("shingle"))
+    # carry the set size inline with each posting so the pair aggregate
+    # needs no joins back to a sizes table (and the shingle subtree is
+    # evaluated only for the two self-join sides, not four branches)
+    posting = sets.select(
+        "id", F.size("shingles").alias("nsh"), F.explode("shingles").alias("shingle")
+    )
     if max_shingle_freq is not None:
         freq = posting.groupBy("shingle").agg(F.count("*").alias("df"))
-        posting = (
-            posting.join(freq.filter(F.col("df") <= max_shingle_freq), "shingle")
-            .select("id", "shingle")
-        )
+        posting = posting.join(
+            freq.filter(F.col("df") <= max_shingle_freq), "shingle"
+        ).select("id", "nsh", "shingle")
     a, b = posting.alias("a"), posting.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.nsh").alias("nsh_a"),
+            F.col("b.nsh").alias("nsh_b"),
+        )
         .agg(F.count("*").alias("inter"))
     )
-    scored = (
-        inter.join(sizes.withColumnsRenamed({"id": "id_a", "nsh": "nsh_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "nsh": "nsh_b"}), "id_b")
-        .withColumn(
+    return (
+        inter.withColumn(
             "jaccard",
             F.round(
                 F.col("inter")
@@ -140,7 +146,6 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return scored
 
 
 # ---------------------------------------------------------------------------
@@ -173,18 +178,28 @@ def minhash_signatures(
     shingle → polynomial hash → for each of ``num_hashes`` universal
     hashes take the min over the doc's shingles. Higher-order array
     functions only: no explode, no shuffle, no UDF.
+
+    Single-pass formulation: one ``aggregate`` over the hashed shingles
+    carries an array of ``num_hashes`` running minima, so each shingle
+    is hashed exactly once (the naive per-hash-function form inlines the
+    whole per-char hashing subtree ``num_hashes`` times — higher-order
+    functions are outside codegen CSE, making that 32× real work).
     """
     sets = shingle_sets(df, id_col, text_col, n)
-    hashes = F.transform(F.col("shingles"), token_hash)
     params = _minhash_params(num_hashes)
-
-    def _universal(a: int, b: int):
-        # factory so the lambda stays 1-ary (pyspark maps lambda arity to
-        # the higher-order function's arguments)
-        return lambda h: (a * h + b) % HASH_MOD
-
-    sig = F.array(
-        *[F.array_min(F.transform(hashes, _universal(a, b))) for a, b in params]
+    A = F.lit([a for a, _ in params]).cast("array<long>")
+    B = F.lit([b for _, b in params]).cast("array<long>")
+    idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    sig = F.aggregate(
+        F.transform(F.col("shingles"), token_hash),
+        F.array_repeat(F.lit(HASH_MOD).cast("long"), num_hashes),
+        lambda acc, h: F.zip_with(
+            acc,
+            idx,
+            lambda cur, i: F.least(
+                cur, (F.element_at(A, i + 1) * h + F.element_at(B, i + 1)) % HASH_MOD
+            ),
+        ),
     )
     return sets.select("id", sig.alias("sig"))
 
@@ -278,21 +293,22 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     into one integer. Pure per-row array arithmetic (portable to the SQL
     oracle); near-dup search = grouping or Hamming-band joins on the
     fingerprint.
+
+    Single-pass formulation (same reason as minhash_signatures): one
+    ``aggregate`` carries the per-bit ±1 counters, hashing each token
+    exactly once instead of once per bit.
     """
-    toks_h = F.transform(whitespace_tokens(F.col(text_col)), token_hash)
-    bit = F.transform(
-        F.sequence(F.lit(bits - 1), F.lit(0), F.lit(-1)),
-        lambda i: F.when(
-            F.aggregate(
-                toks_h,
-                F.lit(0).cast("long"),
-                lambda acc, h: acc + bit_at(h, i) * 2 - 1,
-            )
-            > 0,
-            F.lit(1),
-        ).otherwise(F.lit(0)).cast("long"),
+    positions = F.sequence(F.lit(bits - 1), F.lit(0), F.lit(-1))  # MSB first
+    counts = F.aggregate(
+        F.transform(whitespace_tokens(F.col(text_col)), token_hash),
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(acc, positions, lambda c, i: c + bit_at(h, i) * 2 - 1),
     )
-    packed = F.aggregate(bit, F.lit(0).cast("long"), lambda acc, v: acc * 2 + v)
+    packed = F.aggregate(
+        counts,
+        F.lit(0).cast("long"),
+        lambda acc, v: acc * 2 + F.when(v > 0, F.lit(1)).otherwise(F.lit(0)),
+    )
     return df.select(F.col(id_col).alias("id"), packed.alias("simhash"))
 
 
