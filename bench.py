@@ -35,11 +35,43 @@ def main() -> int:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen/parquet-reader/noop-sink warmup so the first measured
-    # query doesn't absorb session startup cost.
+    # Warmup: exercise every engine path the catalog uses — JVM JIT,
+    # parquet reader, noop sink, broadcast join, window sort, higher-
+    # order functions, local-relation serializer, and the Python-worker
+    # fork + Arrow channel that grouped-map pandas UDFs pay on first use
+    # — so the first measured query of each kind doesn't absorb session
+    # startup cost. All on tiny data; warmup time is not measured.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     warm = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
     warm.write.format("noop").mode("overwrite").save()
+    w = Window.partitionBy("n_regionkey").orderBy("n_nationkey").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    region = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    (
+        warm.join(F.broadcast(region), warm["n_regionkey"] == region["r_regionkey"])
+        .withColumn("run", F.sum("n_nationkey").over(w))
+        .withColumn("toks", F.split(F.regexp_replace("n_name", "[^A-Z]", ""), ""))
+        .withColumn(
+            "h",
+            F.aggregate(
+                F.col("toks"), F.lit(0).cast("long"), lambda a, c: (a * 31 + F.ascii(c)) % 997
+            ),
+        )
+        .write.format("noop").mode("overwrite").save()
+    )
+    spark.createDataFrame([(1, "a")], ["id", "txt"]).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    (
+        warm.select("n_regionkey", "n_nationkey")
+        .groupBy("n_regionkey")
+        .applyInPandas(lambda pdf: pdf, "n_regionkey long, n_nationkey long")
+        .write.format("noop").mode("overwrite").save()
+    )
 
     timings: dict[str, float] = {}
     for name, spec in CATALOG.items():

@@ -419,9 +419,9 @@ def embedding_near_dup_pairs_blocked(
             )
         ).alias("g"),
     ).select("id", "vec", "_blk", F.col("g.gi").alias("gi"), F.col("g.gj").alias("gj"))
-    # A row in block b appears once per j, but (gi,gj) repeats when b==j;
-    # dedupe so each row occurs exactly once per group.
-    pairs = pairs.dropDuplicates(["id", "gi", "gj"])
+    # A row in block b maps j=0..B-1 to the B distinct groups
+    # {(min(b,j), max(b,j))} — no two j collide — so each row lands in
+    # each of its groups exactly once and no dedup shuffle is needed.
 
     def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np

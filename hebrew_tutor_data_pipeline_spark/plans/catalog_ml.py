@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import hebrew, text
+from ..sources.readers import spread
 from ..operators import alignment, ann, dedup
 from .catalog import T, _register
 
@@ -77,7 +78,7 @@ FROM t
 def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring + token counting + rolling-hash fingerprint, all
     JVM-side column expressions (training-pipeline requirement)."""
-    d = T(spark, sf_dir, "documents")
+    d = spread(T(spark, sf_dir, "documents"))
     c = F.col("text")
     return d.select(
         "doc_id",
@@ -121,7 +122,7 @@ FROM best GROUP BY lang, predicted_lang
 def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic vs the labeled lang column — a confusion
     matrix as a grouped count."""
-    d = T(spark, sf_dir, "documents")
+    d = spread(T(spark, sf_dir, "documents"))
     return (
         d.select("lang", text.predict_lang(F.col("text")).alias("predicted_lang"))
         .groupBy("lang", "predicted_lang")
@@ -178,7 +179,7 @@ WHERE round(inter / (sa.nsh + sb.nsh - inter), 6) >= 0.5
 )
 def jaccard_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram (n=1) Jaccard near-dup pairs via the posting-list self-join."""
-    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d = spread(T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200))
     return dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=1, threshold=0.5)
 
 
@@ -191,7 +192,7 @@ def jaccard_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32)+LSH(8 bands) near-dup pairs, verified with exact
     Jaccard ≥ 0.2 over 2-gram shingles."""
-    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d = spread(T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200))
     return dedup.minhash_lsh_pairs(
         d, "doc_id", "text", n=2, num_hashes=32, bands=8, threshold=0.2
     )
@@ -221,7 +222,7 @@ FROM h
 )
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document — pure per-row array arithmetic."""
-    d = T(spark, sf_dir, "documents")
+    d = spread(T(spark, sf_dir, "documents"))
     return dedup.simhash(d, "doc_id", "text", bits=16).withColumnRenamed("id", "doc_id")
 
 
@@ -245,7 +246,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandas kernel (numpy inside, same results as the pure-SQL
     expression variant but ~50× faster; the LSH-bucketed prefilter is
     operators.dedup.embedding_near_dup_pairs with bucket_bits>0)."""
-    e = T(spark, sf_dir, "embeddings")
+    e = spread(T(spark, sf_dir, "embeddings"))
     return dedup.embedding_near_dup_pairs_blocked(
         e, "vec_id", "embedding", threshold=0.35
     )
@@ -280,7 +281,7 @@ SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 10
 def ann_bruteforce_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for 5 query vectors — broadcast map
     stage + per-query window, the exact-search baseline."""
-    e = T(spark, sf_dir, "embeddings")
+    e = spread(T(spark, sf_dir, "embeddings"))
     q = e.filter(F.col("vec_id") < 5)
     return ann.brute_force_topk(e, q, "vec_id", "embedding", k=10)
 
@@ -292,7 +293,7 @@ def ann_bruteforce_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (16 cells, nprobe=4) approximate top-10 — the scale path."""
-    e = T(spark, sf_dir, "embeddings")
+    e = spread(T(spark, sf_dir, "embeddings"))
     q = e.filter(F.col("vec_id") < 5)
     return ann.ivf_topk(e, q, "vec_id", "embedding", k=10, num_cells=16, nprobe=4)
 

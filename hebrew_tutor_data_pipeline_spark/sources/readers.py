@@ -51,6 +51,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition a scan whose input-split count is below
+    the cluster's parallelism, so a compute-bound downstream stage (per-
+    char hashing, vector scoring) uses every core.
+
+    Small-SF parquet arrives as ONE split (a single file under
+    maxPartitionBytes), which would serialize expression-heavy per-row
+    work onto one task. The shuffle moved is just the raw rows —
+    negligible against the interpreted higher-order-function work it
+    parallelizes. At 100 TB inputs arrive with thousands of natural
+    splits, the guard is false, and this is a no-op — so it is safe to
+    leave in the operator path at any scale.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # inputFiles() is a pure metadata probe of the plan's FileIndex —
+    # unlike df.rdd.getNumPartitions() it never builds the RDD lineage
+    # (which costs ~2 s of driver time on first use). File count is a
+    # conservative lower bound on split count: many files ⇒ already
+    # parallel; one small file ⇒ one split ⇒ repartition.
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = target
+    if n_files >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     names = names or TPCH_TABLES
     return {n: load_table(spark, sf_dir, n) for n in names}
