@@ -63,7 +63,16 @@ def allocate_proportional(
     otherwise nondeterministic).
     """
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
-    g = Window.partitionBy(*group_cols)
+    # The group total doesn't need an ordering, but giving it the SAME
+    # (partition, order) spec as the running-sum window — with an
+    # unbounded frame, so the result is still the whole-group sum — lets
+    # the planner satisfy both windows with ONE sort instead of sorting
+    # the group twice (once keys-only, once keys+order).
+    g = (
+        Window.partitionBy(*group_cols)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
     w_sum = F.sum(F.col(weight_col)).over(g)
     dur = F.col(weight_col) / w_sum * F.col(total_col)
     if min_unit is not None:

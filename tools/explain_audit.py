@@ -77,6 +77,10 @@ def main() -> int:
             print(f"?? unknown query {name}")
             continue
         df = spec.spark(spark, SF_DIR)
+        # Execute first so AQE finalizes: an unexecuted AdaptiveSparkPlan
+        # (any plan with an exchange) hides codegen ids and the runtime-
+        # chosen join strategies — the audit must see the FINAL plan.
+        df.collect()
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")
