@@ -25,7 +25,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from ..schemas import WAVEFORM_SCHEMA
+from ..schemas import PDF_PAGE_SCHEMA, VIDEO_FRAME_SCHEMA, WAVEFORM_SCHEMA
 
 FAKE_SR = 16_000
 FAKE_SECONDS_PER_KB = 0.05  # deterministic duration ∝ payload size
@@ -127,3 +127,141 @@ def image_features(
             )
 
     return files.mapInPandas(extract, IMAGE_FEATURE_SCHEMA)
+
+
+RESIZED_IMAGE_SCHEMA = "path string, width int, height int, image binary"
+
+
+def image_resize(
+    files: DataFrame,
+    width: int = 64,
+    height: int = 64,
+    fake: bool = True,
+    path_col: str = "path",
+    content_col: str = "content",
+) -> DataFrame:
+    """Multimodal resize plumbing: binary image → fixed-dims binary image.
+
+    Real slot = cv2/PIL ``resize`` (the reference's CLAHE/Otsu preprocess
+    sits at the same pipeline point, `scripts/convert_hebrew_grammar_pdf.py:34-42`).
+    Fake mode emits ``width*height`` deterministic bytes by cycling the
+    payload digest, so downstream byte-level assertions are stable."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = width * height
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row[content_col]) if row[content_col] is not None else b""
+                if not fake:
+                    raise NotImplementedError(
+                        "real image resize requires cv2/PIL (U8 slot)"
+                    )
+                d = hashlib.md5(payload).digest()
+                out.append(
+                    {
+                        "path": row[path_col],
+                        "width": width,
+                        "height": height,
+                        "image": (d * (n // len(d) + 1))[:n],
+                    }
+                )
+            yield pd.DataFrame(out, columns=["path", "width", "height", "image"])
+
+    return files.mapInPandas(resize, RESIZED_IMAGE_SCHEMA)
+
+
+def video_frame_sample(
+    files: DataFrame,
+    every_s: float = 1.0,
+    fake: bool = True,
+    path_col: str = "path",
+    content_col: str = "content",
+) -> DataFrame:
+    """Multimodal frame-sample plumbing: binary video → one row per
+    sampled frame (path, frame_idx, t, frame bytes).
+
+    1-in-N frame sampling is the video analog of the reference's chunked
+    audio decode (U1 ``chunk_length_s``, `hebrew_alignment_tool.py:216-251`).
+    Fake mode derives duration from payload size (like ``decode_audio``)
+    and each frame's bytes from digest(payload ‖ frame_idx) —
+    deterministic across executors and runs; real slot = ffmpeg/cv2."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row[content_col]) if row[content_col] is not None else b""
+                if not fake:
+                    raise NotImplementedError(
+                        "real frame sampling requires ffmpeg/cv2 (U9 slot, "
+                        "`scripts/audio_trimmer_interface.py:37-131`)"
+                    )
+                duration = max(every_s, len(payload) / 1024 * FAKE_SECONDS_PER_KB * 20)
+                n_frames = int(duration / every_s)
+                for i in range(n_frames):
+                    out.append(
+                        {
+                            "path": row[path_col],
+                            "frame_idx": i,
+                            "t": round(i * every_s, 6),
+                            "frame": hashlib.md5(payload + bytes([i % 256])).digest(),
+                        }
+                    )
+            yield pd.DataFrame(out, columns=["path", "frame_idx", "t", "frame"])
+
+    return files.mapInPandas(sample, VIDEO_FRAME_SCHEMA)
+
+
+def pdf_pages(
+    files: DataFrame,
+    fake: bool = True,
+    path_col: str = "path",
+    content_col: str = "content",
+) -> DataFrame:
+    """S11+S12+U7: binary PDF → per-page OCR'd rows
+    (page_number 1-indexed, page_image, text, nikud_map, entities).
+
+    Reference: PyMuPDF renders pages and Azure Document Intelligence OCRs
+    them in parallel (`scripts/convert_hebrew_grammar_pdf.py:34-86`); the
+    per-page records carry char-class maps and NER entities
+    (`scripts/convert_hebrew_grammar_pdf.py:88-133`). One ``mapInPandas``
+    stage = one connection-reusing worker per partition (the reference's
+    ThreadPoolExecutor analog). Fake mode synthesizes page count, text,
+    and entity structs from the payload digest."""
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in PDF_PAGE_SCHEMA.fields]
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row[content_col]) if row[content_col] is not None else b""
+                if not fake:
+                    raise NotImplementedError(
+                        "real PDF render/OCR requires PyMuPDF + an OCR service "
+                        "(S11/S12, `scripts/convert_hebrew_grammar_pdf.py:34-86`)"
+                    )
+                d = hashlib.md5(payload).digest()
+                n_pages = 1 + d[0] % 4
+                for p in range(1, n_pages + 1):
+                    pd_digest = hashlib.md5(payload + bytes([p])).digest()
+                    text = " ".join(f"w{b:02x}" for b in pd_digest[:6])
+                    out.append(
+                        {
+                            "path": row[path_col],
+                            "page_number": p,
+                            "page_image": pd_digest,
+                            "text": text,
+                            "nikud_map": [b % 2 for b in pd_digest[:8]],
+                            "entities": [
+                                {
+                                    "entity": f"w{pd_digest[0]:02x}",
+                                    "label": "WORD",
+                                    "score": round(pd_digest[1] / 255.0, 6),
+                                }
+                            ],
+                        }
+                    )
+            yield pd.DataFrame(out, columns=cols)
+
+    return files.mapInPandas(render, PDF_PAGE_SCHEMA)

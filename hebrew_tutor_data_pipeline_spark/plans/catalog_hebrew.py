@@ -389,3 +389,51 @@ def doc_vowel_class_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vowel_map"
         ),
     )
+
+
+@_register(
+    "pdf_page_scan",
+    oracle=None,  # digest-derived fake OCR has no SQL twin; rows-only check
+    tags=("S11", "S12", "U7"),
+)
+def pdf_page_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11/S12/U7: binary scan → per-page render/OCR rows (stubbed codec,
+    real mapInPandas plumbing; `scripts/convert_hebrew_grammar_pdf.py:34-86`).
+    Deterministic fake pages, so the rows-only check is stable."""
+    from ..operators.multimodal import pdf_pages
+    from ..sources.readers import read_binary_files
+
+    files = read_binary_files(spark, FIXTURE_AUDIO_TREE, glob="*.mp3")
+    return (
+        pdf_pages(files)
+        .select(
+            F.regexp_extract("path", r"([^/]+)$", 1).alias("filename"),
+            "page_number",
+            F.length("text").alias("text_len"),
+            F.size("nikud_map").alias("map_len"),
+        )
+        .orderBy("filename", "page_number")
+    )
+
+
+@_register(
+    "video_frame_index",
+    oracle=None,  # digest-derived fake frames have no SQL twin; rows-only
+    tags=("U9", "multimodal"),
+)
+def video_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sample plumbing: binary → (file, frame_idx, t)
+    index rows via mapInPandas (stubbed decoder, U9 ffmpeg slot)."""
+    from ..operators.multimodal import video_frame_sample
+    from ..sources.readers import read_binary_files
+
+    files = read_binary_files(spark, FIXTURE_AUDIO_TREE, glob="*.mp3")
+    return (
+        video_frame_sample(files, every_s=0.5)
+        .select(
+            F.regexp_extract("path", r"([^/]+)$", 1).alias("filename"),
+            "frame_idx",
+            "t",
+        )
+        .orderBy("filename", "frame_idx")
+    )

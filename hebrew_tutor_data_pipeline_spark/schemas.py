@@ -108,6 +108,41 @@ WAVEFORM_SCHEMA = StructType(
     ]
 )
 
+# (g) OCR'd grammar-book page (`scripts/convert_hebrew_grammar_pdf.py:120-133`):
+# per-page text + char-class binary maps + NER-entity structs.
+PDF_PAGE_SCHEMA = StructType(
+    [
+        StructField("path", StringType(), False),
+        StructField("page_number", IntegerType(), False),
+        StructField("page_image", BinaryType(), True),
+        StructField("text", StringType(), True),
+        StructField("nikud_map", ArrayType(IntegerType()), True),
+        StructField(
+            "entities",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("entity", StringType(), False),
+                        StructField("label", StringType(), False),
+                        StructField("score", DoubleType(), False),
+                    ]
+                )
+            ),
+            True,
+        ),
+    ]
+)
+
+# Sampled video frame rows (multimodal frame-sample plumbing).
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("path", StringType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("t", DoubleType(), False),
+        StructField("frame", BinaryType(), True),
+    ]
+)
+
 # Energy segment rows (tumbling 2-s RMS windows,
 # `scripts/hebrew_audio_trimmer.py:113-124`).
 ENERGY_SEGMENT_SCHEMA = StructType(

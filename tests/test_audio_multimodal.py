@@ -20,6 +20,9 @@ from hebrew_tutor_data_pipeline_spark.operators.audio import (
 from hebrew_tutor_data_pipeline_spark.operators.multimodal import (
     decode_audio,
     image_features,
+    image_resize,
+    pdf_pages,
+    video_frame_sample,
 )
 from hebrew_tutor_data_pipeline_spark.sources.readers import read_binary_files
 
@@ -147,3 +150,59 @@ class TestMultimodalPlumbing:
         for r in feats:
             assert 64 <= r["width"] <= 319 and len(r["feature"]) == 8
             assert 0.0 <= r["mean_luma"] <= 1.0
+
+
+    def test_image_resize_fake(self, spark):
+        files = read_binary_files(spark, FIXTURE_AUDIO, glob="*.mp3")
+        rows = image_resize(files, width=8, height=4).collect()
+        assert len(rows) == 6
+        for r in rows:
+            assert (r["width"], r["height"]) == (8, 4)
+            assert len(bytes(r["image"])) == 8 * 4
+        # determinism across runs
+        again = {r["path"]: bytes(r["image"]) for r in image_resize(files, 8, 4).collect()}
+        assert {r["path"]: bytes(r["image"]) for r in rows} == again
+
+    def test_video_frame_sample_fake(self, spark):
+        files = read_binary_files(spark, FIXTURE_AUDIO, glob="*.mp3")
+        frames = video_frame_sample(files, every_s=0.5)
+        rows = frames.collect()
+        assert len(rows) >= 6  # at least one frame per file
+        per_file = {}
+        for r in rows:
+            per_file.setdefault(r["path"], []).append(r)
+        for path, fr in per_file.items():
+            idxs = sorted(f["frame_idx"] for f in fr)
+            assert idxs == list(range(len(fr)))  # dense 0..n-1
+            ts = {f["frame_idx"]: f["t"] for f in fr}
+            assert all(abs(ts[i] - 0.5 * i) < 1e-9 for i in idxs)
+            assert len({bytes(f["frame"]) for f in fr}) == len(fr)  # distinct frames
+
+    def test_pdf_pages_fake(self, spark):
+        files = read_binary_files(spark, FIXTURE_AUDIO, glob="*.mp3")
+        rows = pdf_pages(files).collect()
+        assert len(rows) >= 6
+        by_file = {}
+        for r in rows:
+            by_file.setdefault(r["path"], []).append(r)
+        assert len(by_file) == 6
+        for path, pages in by_file.items():
+            nums = sorted(p["page_number"] for p in pages)
+            assert nums == list(range(1, len(pages) + 1))  # 1-indexed dense
+            for p in pages:
+                assert p["text"] and len(p["nikud_map"]) == 8
+                assert set(p["nikud_map"]) <= {0, 1}
+                (ent,) = p["entities"]
+                assert ent["label"] == "WORD" and 0.0 <= ent["score"] <= 1.0
+
+    def test_real_mode_slots_raise(self, spark):
+        files = read_binary_files(spark, FIXTURE_AUDIO, glob="*.mp3").limit(1)
+        import pytest as _pytest
+
+        for op in (
+            lambda: image_resize(files, fake=False).collect(),
+            lambda: video_frame_sample(files, fake=False).collect(),
+            lambda: pdf_pages(files, fake=False).collect(),
+        ):
+            with _pytest.raises(Exception, match="NotImplementedError|requires"):
+                op()
