@@ -83,33 +83,62 @@ def ivf_topk(
 
     Codebook = the ``num_cells`` corpus vectors with the smallest ids
     (deterministic; swap in k-means centroids for better recall without
-    touching the plan). Every corpus vector is assigned to its max-cosine
-    cell (broadcast map stage); each query probes its ``nprobe`` best
-    cells and ranks only those members. At scale the corpus side can be
-    written out partitioned by ``cell`` so probes prune at the source.
+    touching the plan). The codebook is collected to the driver and
+    inlined as a literal array — the standard bounded-size broadcast of
+    a model artifact (≤ ~10⁴ cells), NOT a data collect — so cell
+    assignment is a map-only projection: the corpus is never shuffled or
+    joined to find its cell. Each query probes its ``nprobe`` best cells
+    and ranks only those members; the only shuffles left are the
+    per-query top-k and (at scale) writing the corpus out partitioned by
+    ``cell`` so probes prune at the source.
+
+    Tiebreaks mirror the window formulation exactly: max cosine first,
+    then the smallest cell id (encoded as ``-cell`` inside the ordered
+    struct), with scores rounded to 6 dp before comparison.
     """
     qid = query_id_col or id_col
     c = _as_double_vec(corpus, id_col, vec_col)
-    centroids = c.orderBy("id").limit(num_cells).select(
-        F.col("id").alias("cell"), F.col("vec").alias("cvec")
+    cent_rows = (
+        c.orderBy("id").limit(num_cells).select("id", "vec").collect()
+    )
+    codebook = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["id"])).cast("long").alias("cell"),
+                F.lit([float(x) for x in r["vec"]]).cast("array<double>").alias("cvec"),
+            )
+            for r in cent_rows
+        ]
     )
 
-    def best_cells(df: DataFrame, in_id: str, in_vec: str, n: int, out: str) -> DataFrame:
-        scored = df.join(F.broadcast(centroids)).withColumn(
-            "csim", F.round(cosine_similarity(F.col(in_vec), F.col("cvec")), 6)
-        )
-        w = Window.partitionBy(in_id).orderBy(F.col("csim").desc(), F.col("cell").asc())
-        return (
-            scored.withColumn("crank", F.row_number().over(w))
-            .filter(F.col("crank") <= n)
-            .select(in_id, in_vec, F.col("cell").alias(out))
+    def cell_scores(vec):
+        # array<struct<csim, negcell, cell>> — struct comparison orders by
+        # (csim, negcell), so max/sort give csim DESC, cell ASC tiebreak
+        return F.transform(
+            codebook,
+            lambda cc: F.struct(
+                F.round(cosine_similarity(vec, cc["cvec"]), 6).alias("csim"),
+                (-cc["cell"]).alias("negcell"),
+                cc["cell"].alias("cell"),
+            ),
         )
 
-    assigned = best_cells(c, "id", "vec", 1, "cell")
+    assigned = c.select(
+        "id", "vec", F.array_max(cell_scores(F.col("vec")))["cell"].alias("cell")
+    )
     q = queries.select(
         F.col(qid).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qvec")
     )
-    probes = best_cells(q, "query_id", "qvec", nprobe, "cell")
+    probes = q.select(
+        "query_id",
+        "qvec",
+        F.explode(
+            F.transform(
+                F.slice(F.reverse(F.array_sort(cell_scores(F.col("qvec")))), 1, nprobe),
+                lambda s: s["cell"],
+            )
+        ).alias("cell"),
+    )
 
     scored = (
         assigned.join(F.broadcast(probes), "cell")

@@ -1,0 +1,126 @@
+"""Property-based tests (hypothesis) for the engine's algebraic
+invariants — a layer the reference's script-and-log test strategy
+(SURVEY.md §5) never had. Each property is checked against many
+generated inputs through the REAL Spark operators, not Python mirrors.
+
+Spark-session round trips are ~100 ms each, so examples are capped low;
+the value is the generator's edge cases (empty strings, single tokens,
+equal weights, duplicate keys), not volume.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from hebrew_tutor_data_pipeline_spark.functions.text import whitespace_tokens
+from hebrew_tutor_data_pipeline_spark.operators.alignment import allocate_proportional
+from hebrew_tutor_data_pipeline_spark.operators.dedup import (
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+
+SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+texts = st.text(
+    alphabet=st.sampled_from("ab עשה "),  # tiny alphabet → frequent collisions
+    min_size=0,
+    max_size=40,
+)
+
+
+class TestAllocationProperties:
+    @SLOW
+    @given(
+        weights=st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=12),
+        total=st.floats(min_value=1.0, max_value=10_000.0, allow_nan=False),
+    )
+    def test_allocation_covers_total_and_is_monotone(self, spark, weights, total):
+        """Σ durations == total (±rounding); starts strictly ordered and
+        each row's end == next row's start up to 2-dp rounding error."""
+        rows = [("g", i, w, float(total)) for i, w in enumerate(weights)]
+        df = spark.createDataFrame(rows, ["grp", "pos", "w", "total"])
+        out = (
+            allocate_proportional(df, ["grp"], "pos", "w", "total")
+            .orderBy("pos")
+            .collect()
+        )
+        # rounding each of n starts/ends to 2 dp bounds drift by n cents
+        tol = 0.01 * (len(weights) + 1)
+        assert abs(out[-1]["end"] - total) <= tol
+        assert out[0]["start"] == 0.0
+        for a, b in zip(out, out[1:]):
+            assert a["start"] <= b["start"]
+            assert abs(a["end"] - b["start"]) <= tol
+
+    @SLOW
+    @given(
+        weights=st.lists(st.integers(min_value=1, max_value=9), min_size=2, max_size=6)
+    )
+    def test_allocation_proportionality(self, spark, weights):
+        """Durations are proportional to weights: dur_i / dur_j ≈ w_i / w_j."""
+        total = 1000.0
+        rows = [("g", i, w, total) for i, w in enumerate(weights)]
+        df = spark.createDataFrame(rows, ["grp", "pos", "w", "total"])
+        out = allocate_proportional(df, ["grp"], "pos", "w", "total").orderBy("pos").collect()
+        s = sum(weights)
+        for r, w in zip(out, weights):
+            assert math.isclose(r["end"] - r["start"], w / s * total, abs_tol=0.03)
+
+
+class TestDedupProperties:
+    @SLOW
+    @given(doc=texts)
+    def test_minhash_signature_entries_are_true_minima(self, spark, doc):
+        """Every signature entry is ≤ MOD and the signature is identical
+        when the same document appears under two ids (permutation
+        invariance of the per-row computation)."""
+        df = spark.createDataFrame([(1, doc), (2, doc)], ["id", "text"])
+        rows = minhash_signatures(df, "id", "text", n=2, num_hashes=8).collect()
+        sigs = {r["id"]: list(r["sig"]) for r in rows}
+        assert sigs[1] == sigs[2]
+        assert all(len(s) == 8 for s in sigs.values())
+
+    @SLOW
+    @given(a=texts, b=texts)
+    def test_jaccard_pairs_bounds_and_identity(self, spark, a, b):
+        """0 ≤ jaccard ≤ 1 for any pair; identical non-empty docs score
+        exactly 1.0 (n=1 token shingles)."""
+        df = spark.createDataFrame([(1, a), (2, b), (3, a)], ["id", "text"])
+        pairs = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(df, "id", "text", n=1, threshold=0.0).collect()
+        }
+        for v in pairs.values():
+            assert 0.0 <= v <= 1.0
+        if a.split():  # doc 1 and 3 identical and non-empty
+            assert pairs.get((1, 3)) == 1.0
+
+    @SLOW
+    @given(doc=texts)
+    def test_simhash_stable_and_bounded(self, spark, doc):
+        """Fingerprint fits in `bits` bits and is deterministic."""
+        df = spark.createDataFrame([(1, doc)], ["id", "text"])
+        h1 = simhash(df, "id", "text", bits=16).first()["simhash"]
+        h2 = simhash(df, "id", "text", bits=16).first()["simhash"]
+        assert h1 == h2
+        assert 0 <= h1 < 2**16
+
+
+class TestTokenizerProperties:
+    @SLOW
+    @given(doc=texts)
+    def test_whitespace_tokens_match_python_split(self, spark, doc):
+        """The engine's tokenizer agrees with str.split() — the oracle
+        SQL's string_split_regex twin relies on this equivalence."""
+        df = spark.createDataFrame([(doc,)], ["text"])
+        got = df.select(whitespace_tokens(F.col("text")).alias("t")).first()["t"]
+        assert got == doc.split()
