@@ -40,13 +40,25 @@ def session_stats(
     ts_col: str,
     gap_seconds: float,
 ) -> DataFrame:
-    """Per-session rollup: bounds, duration, event count."""
+    """Per-session rollup: bounds, duration, event count.
+
+    Duration is an integer-millisecond bigint (``duration_ms``), not a
+    rounded double: epoch-second doubles round differently across
+    engines at .0005 boundaries (Spark HALF_UP vs DuckDB), which flips
+    value hashes under strict canonicalization. Integer microsecond
+    subtraction + ``div`` is exact on every engine.
+    """
     s = sessionize(df, key_cols, ts_col, gap_seconds)
-    return s.groupBy(*key_cols, "session_id").agg(
-        F.min(ts_col).alias("session_start"),
-        F.max(ts_col).alias("session_end"),
-        F.round(
-            F.max(F.col(ts_col).cast("double")) - F.min(F.col(ts_col).cast("double")), 3
-        ).alias("duration_sec"),
-        F.count("*").alias("n_events"),
+    return (
+        s.groupBy(*key_cols, "session_id")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .withColumn(
+            "duration_ms",
+            F.expr("(unix_micros(session_end) - unix_micros(session_start)) div 1000"),
+        )
+        .select(*key_cols, "session_id", "session_start", "session_end", "duration_ms", "n_events")
     )

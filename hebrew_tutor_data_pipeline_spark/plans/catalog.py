@@ -671,12 +671,18 @@ def asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "user_sessions_30min",
     oracle="""
-WITH s AS (
+WITH e AS (
+    -- events.ts is parquet TIMESTAMP(NANOS); Spark reads it truncated to
+    -- microseconds (nanosAsLong div 1000), so the oracle must aggregate
+    -- the SAME truncated values: CAST to DuckDB's microsecond TIMESTAMP.
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+    FROM events WHERE user_id < 30
+), s AS (
     SELECT user_id, ts,
            CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                   OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
                 THEN 1 ELSE 0 END AS is_new
-    FROM events WHERE user_id < 30
+    FROM e
 ), numbered AS (
     SELECT user_id, ts,
            sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
@@ -685,7 +691,7 @@ WITH s AS (
 )
 SELECT user_id, session_id,
        min(ts) AS session_start, max(ts) AS session_end,
-       round(epoch(max(ts)) - epoch(min(ts)), 3) AS duration_sec,
+       (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000 AS duration_ms,
        count(*) AS n_events
 FROM numbered GROUP BY user_id, session_id
 """,

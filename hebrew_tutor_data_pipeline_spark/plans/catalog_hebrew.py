@@ -166,6 +166,7 @@ SELECT regexp_extract(filename, '(\\d+)-([A-Za-z]+)_(\\d+)\\.mp3$', 2) AS abbr,
            AS chapter,
        size AS length
 FROM read_blob('{FIXTURE_AUDIO_TREE}/*/*.mp3')
+WHERE size >= 1024
 """,
     tags=("S2", "S3", "F7", "P3"),
 )
@@ -369,8 +370,10 @@ def part_name_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_vowel_class_map",
     oracle="""
 SELECT doc_id,
-       [CASE WHEN regexp_matches(c, '^[aeiou]$') THEN 1 ELSE 0 END
-        FOR c IN string_split(substr(lower(text), 1, 16), '')] AS vowel_map
+       coalesce(list_aggregate(
+           [CASE WHEN regexp_matches(c, '^[aeiou]$') THEN '1' ELSE '0' END
+            FOR c IN string_split(substr(lower(text), 1, 16), '')],
+           'string_agg', ''), '') AS vowel_map
 FROM documents
 WHERE doc_id < 100
 """,
@@ -379,15 +382,20 @@ WHERE doc_id < 100
 def doc_vowel_class_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F17 per-character 0/1 class map as a higher-order transform
     (`scripts/convert_hebrew_grammar_pdf.py:123-124` nikud/dagesh maps;
-    vowels stand in for nikkud on the ASCII documents table)."""
+    vowels stand in for nikkud on the ASCII documents table).
+
+    The map is serialized to a '0101...' bitstring: oracle-checked
+    queries must never emit array-typed columns (the driver's
+    canonicalizer cannot hash lists). Same F17 semantics, hashable
+    output; the array form stays covered by unit tests."""
     from ..functions.hebrew import char_class_map
 
     d = T(spark, sf_dir, "documents")
     return d.filter(F.col("doc_id") < 100).select(
         "doc_id",
-        char_class_map(F.substring(F.lower("text"), 1, 16), "[aeiou]").alias(
-            "vowel_map"
-        ),
+        F.concat_ws(
+            "", char_class_map(F.substring(F.lower("text"), 1, 16), "[aeiou]").cast("array<string>")
+        ).alias("vowel_map"),
     )
 
 

@@ -30,10 +30,13 @@ def norm_cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        # collapse -0.0 and integral floats
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return repr(round(v, 9))
+        # Exact float repr — the driver's canonicalizer does NOT round,
+        # so local rounding here would mask real cross-engine drift
+        # (it hid the round-1 user_sessions_30min hash failure).
+        # Only collapse -0.0, which both engines may emit for a zero sum.
+        if v == 0.0:
+            return "0.0"
+        return repr(v)
     if isinstance(v, bool):
         return "1" if v else "0"
     if isinstance(v, datetime.datetime):
