@@ -274,3 +274,24 @@ def fuzzy_cursor_align(
         )
 
     return both.groupBy("group_key").applyInPandas(align, CURSOR_ALIGN_SCHEMA)
+
+
+def validate_total_duration(
+    df: DataFrame,
+    group_cols: list[str],
+    end_col: str,
+    duration_col: str,
+    factor: float = 1.1,
+) -> DataFrame:
+    """The reference's output-validation invariant
+    (`hebrew_alignment_tool.py:405-415` `_validate_output`): a group's
+    aligned total duration (max end) must not exceed the audio duration
+    × ``factor`` (1.1). Adds ``total_duration`` and boolean ``valid``
+    via one unbounded window — when ``df`` arrives already partitioned
+    by the group key (the usual case, straight out of a grouped
+    aggregate) no extra shuffle is introduced."""
+    w = Window.partitionBy(*group_cols)
+    return df.withColumn("total_duration", F.max(F.col(end_col)).over(w)).withColumn(
+        "valid",
+        F.col("total_duration") <= F.col(duration_col) * F.lit(float(factor)),
+    )

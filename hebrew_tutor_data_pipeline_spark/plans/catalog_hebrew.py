@@ -159,6 +159,72 @@ def corpus_word_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "transcribe_chapter",
+    oracle=f"""
+WITH {_CORPUS_SQL},
+tok AS (
+  SELECT book, chapter, verse_num,
+         unnest(words) AS word,
+         generate_subscripts(words, 1) AS wpos
+  FROM vs),
+seq AS (
+  SELECT book, chapter, word,
+         row_number() OVER (PARTITION BY book, chapter
+                            ORDER BY verse_num, wpos) - 1 AS word_idx,
+         count(*) OVER (PARTITION BY book, chapter) AS n,
+         60000 + 10000 * chapter AS d
+  FROM tok),
+kept AS (
+  SELECT *, ((word_idx * d) // n) // 20000 AS chunk_idx
+  FROM seq WHERE word_idx % 7 <> 6)
+SELECT book, chapter,
+       CAST(word_idx AS INTEGER) AS word_idx, word,
+       CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       chunk_idx * 20000 AS start_ms,
+       least((chunk_idx + 1) * 20000, d) AS end_ms,
+       (ascii(substr(md5(word), 1, 1)) % 50 + 50) / 100.0 AS confidence
+FROM kept
+""",
+    tags=("U1", "U2", "U3"),
+    bench=True,
+)
+def transcribe_chapter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1–U3 mock ASR over whole chapters: verse rows are rolled up to
+    one ordered chapter text (array_sort on verse_num keeps
+    collect_list deterministic), joined with a per-chapter duration
+    dim, then transcribed by the executor-singleton fake model in
+    ``operators/transcribe.py`` — chunked 20 s word timestamps exactly
+    as `hebrew_alignment_tool.py:216-251`, every 7th token dropped to
+    simulate ASR misses. The fake's integer-ms arithmetic is mirrored
+    exactly by the DuckDB oracle, so this runs the full value-hash gate
+    despite being a mapInPandas operator."""
+    from ..operators import transcribe
+
+    ch = chapter_texts(spark).withColumn(
+        "duration_ms",
+        (F.lit(60000) + F.lit(10000) * F.col("chapter")).cast("long"),
+    )
+    return transcribe.transcribe_words(ch, id_cols=["book", "chapter"], drop_every=7)
+
+
+def chapter_texts(spark: SparkSession) -> DataFrame:
+    """Roll verse rows up to one ordered full-text row per chapter
+    (`hebrew_alignment_tool.py:177-206` `_extract_chapter_text`).
+    array_sort on the (verse_num, words) structs makes collect_list
+    deterministic regardless of partition arrival order."""
+    return (
+        corpus_verses_df(spark)
+        .groupBy("book", "chapter")
+        .agg(F.array_sort(F.collect_list(F.struct("verse_num", "words"))).alias("vs"))
+        .select(
+            "book",
+            "chapter",
+            F.concat_ws(" ", F.flatten("vs.words")).alias("text"),
+        )
+    )
+
+
+@_register(
     "audio_inventory",
     oracle=f"""
 SELECT regexp_extract(filename, '(\\d+)-([A-Za-z]+)_(\\d+)\\.mp3$', 2) AS abbr,
@@ -189,6 +255,126 @@ def audio_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "chapter_pipeline_e2e",
+    oracle=None,  # contains the order-stateful J5 cursor: not SQL-expressible
+    tags=("S3", "J5", "W5", "W6", "U1", "S7", "S8"),
+    bench=True,
+)
+def chapter_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's entry point 1, `process_chapter`
+    (`hebrew_alignment_tool.py:417-464`), composed end-to-end as ONE
+    plan: resolve audio (S2/S3 inventory scan, fake-decode duration) →
+    extract chapter text (S1/P1 rollup) → mock-transcribe (U1–U3) →
+    fuzzy cursor align (J5/W5) → per-verse rollup (W6) → duration
+    validation invariant ≤1.1× (`hebrew_alignment_tool.py:405-415`) →
+    partitioned JSON sink + read-back (S7/S8). Every stage is the same
+    operator the standalone catalog entries exercise; this entry proves
+    they compose. Deterministic throughout, so the rows-only check is
+    stable; the invariants themselves are asserted in
+    tests/test_chapter_pipeline.py."""
+    import tempfile
+
+    from ..operators import transcribe
+    from ..sources.readers import read_binary_files
+
+    # 1. S2/S3: audio inventory; fake-decode duration at a deterministic
+    # 10 ms/byte (integer math so mock transcription timings are exact;
+    # rate chosen so the 2-5 KB fixture chapters span MULTIPLE 20 s
+    # chunks and the chunked timestamps actually vary per verse).
+    inv = (
+        read_binary_files(spark, FIXTURE_AUDIO_TREE, glob="*.mp3")
+        .filter(F.col("length") >= 1024)
+        .select(
+            F.regexp_extract("path", r"(\d+)-([A-Za-z]+)_(\d+)\.mp3$", 2).alias("book"),
+            F.regexp_extract("path", r"(\d+)-([A-Za-z]+)_(\d+)\.mp3$", 3)
+            .cast("int")
+            .alias("chapter"),
+            (F.col("length") * 10).cast("long").alias("duration_ms"),
+        )
+    )
+    # 2. chapters having BOTH corpus text and audio (broadcast dim join)
+    ch = chapter_texts(spark).join(F.broadcast(inv), ["book", "chapter"])
+
+    # 3. U1-U3 mock ASR (drop every 7th token: alignment has real work)
+    trans = transcribe.transcribe_words(
+        ch, id_cols=["book", "chapter"], drop_every=7
+    ).withColumn("chkey", F.concat_ws("_", "book", "chapter"))
+
+    # 4. J5 cursor alignment of corpus tokens vs transcript
+    from pyspark.sql import Window
+
+    toks = (
+        corpus_verses_df(spark)
+        .select("book", "chapter", "verse_num", F.posexplode("words").alias("wpos", "word"))
+        .withColumn(
+            "token_idx",
+            F.row_number().over(
+                Window.partitionBy("book", "chapter").orderBy("verse_num", "wpos")
+            )
+            - 1,
+        )
+        .withColumn("chkey", F.concat_ws("_", "book", "chapter"))
+    )
+    aligned = alignment.fuzzy_cursor_align(
+        toks,
+        trans,
+        group_col="chkey",
+        ref_order_col="token_idx",
+        ref_word_col="word",
+        trans_order_col="word_idx",
+        trans_word_col="word",
+        trans_start_col="start_ms",
+        trans_end_col="end_ms",
+        window=5,
+        threshold=0.6,
+    ).withColumnRenamed("group_key", "chkey")
+
+    # 5. W6 verse rollup (ref_idx → verse via the token table)
+    per_verse = (
+        aligned.join(
+            toks.select("chkey", F.col("token_idx").alias("ref_idx"), "book", "chapter", "verse_num"),
+            ["chkey", "ref_idx"],
+        )
+        .groupBy("book", "chapter", "verse_num")
+        .agg(
+            F.count("*").alias("word_count"),
+            F.sum("matched").alias("n_matched"),
+            F.min("start").cast("long").alias("verse_start_ms"),
+            F.max("end").cast("long").alias("verse_end_ms"),
+        )
+    )
+
+    # 6. validation invariant: chapter total ≤ 1.1 × audio duration
+    flagged = alignment.validate_total_duration(
+        per_verse.join(F.broadcast(ch.select("book", "chapter", "duration_ms")), ["book", "chapter"]),
+        group_cols=["book", "chapter"],
+        end_col="verse_end_ms",
+        duration_col="duration_ms",
+        factor=1.1,
+    )
+
+    # 7. S7/S8 partitioned sink + read-back (app-scoped dir: two
+    # concurrent sessions must not race on the same path)
+    out = str(
+        Path(tempfile.gettempdir())
+        / f"htdp_e2e_{spark.sparkContext.applicationId}"
+    )
+    flagged.write.partitionBy("book").mode("overwrite").json(out)
+    return (
+        spark.read.schema(
+            "chapter int, verse_num int, word_count bigint, n_matched bigint, "
+            "verse_start_ms bigint, verse_end_ms bigint, duration_ms bigint, "
+            "total_duration bigint, valid boolean, book string"
+        )
+        .json(out)
+        .select(
+            "book", "chapter", "verse_num", "word_count", "n_matched",
+            "verse_start_ms", "verse_end_ms", "duration_ms", "total_duration", "valid",
+        )
+    )
+
+
+@_register(
     "alignment_sink_roundtrip",
     oracle=f"""
 WITH {_CORPUS_SQL}
@@ -205,7 +391,11 @@ def alignment_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`scripts/hebrew_alignment_tool_gpu.py:589-609`)."""
     import tempfile
 
-    out = str(Path(tempfile.gettempdir()) / "htdp_spark_alignment_sink")
+    # app-scoped dir: two concurrent sessions must not race on one path
+    out = str(
+        Path(tempfile.gettempdir())
+        / f"htdp_spark_alignment_sink_{spark.sparkContext.applicationId}"
+    )
     verses = corpus_verses_df(spark).filter(F.col("book").isin("Gen", "Obad")).select(
         "book", "chapter", "verse_num", F.concat_ws(" ", "words").alias("text")
     )

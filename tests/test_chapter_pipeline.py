@@ -1,0 +1,112 @@
+"""Tests for the mock ASR stage (U1–U3) and the composed end-to-end
+chapter pipeline (`hebrew_alignment_tool.py:417-464` `process_chapter`),
+including the duration-validation invariant (`:405-415`).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hebrew_tutor_data_pipeline_spark.operators import alignment, transcribe
+from tests.conftest import SF_SMOKE
+
+
+def _chapters(spark):
+    return spark.createDataFrame(
+        [
+            ("Gen", 1, "alpha beta gamma delta epsilon zeta eta theta", 45_000),
+            ("Gen", 2, "one two three", 10_000),
+            ("Obad", 1, "", 5_000),  # empty text → no word rows
+        ],
+        "book string, chapter int, text string, duration_ms long",
+    )
+
+
+def test_transcribe_words_chunked_timestamps(spark):
+    out = transcribe.transcribe_words(
+        _chapters(spark), id_cols=["book", "chapter"], drop_every=0
+    ).collect()
+    # empty chapter contributes nothing
+    assert all(r.book != "Obad" for r in out)
+    g1 = sorted([r for r in out if r.book == "Gen" and r.chapter == 1], key=lambda r: r.word_idx)
+    assert [r.word for r in g1] == "alpha beta gamma delta epsilon zeta eta theta".split()
+    for r in g1:
+        # words carry their CHUNK's bounds (hebrew_alignment_tool.py:227-235)
+        assert r.start_ms == r.chunk_idx * transcribe.DEFAULT_CHUNK_MS
+        assert r.end_ms == min((r.chunk_idx + 1) * transcribe.DEFAULT_CHUNK_MS, 45_000)
+        assert 0.5 <= r.confidence <= 0.99
+    # 8 words over 45 s: nominal starts i*45000//8 land in chunks 0 and 1
+    assert {r.chunk_idx for r in g1} == {0, 1}
+    # chunk index is the nominal uniform start // 20 s
+    for i, r in enumerate(g1):
+        assert r.chunk_idx == (i * 45_000 // 8) // transcribe.DEFAULT_CHUNK_MS
+
+
+def test_transcribe_words_drop_every(spark):
+    out = transcribe.transcribe_words(
+        _chapters(spark), id_cols=["book", "chapter"], drop_every=3
+    ).collect()
+    g1 = [r.word_idx for r in out if r.book == "Gen" and r.chapter == 1]
+    # every 3rd token (idx 2, 5, ...) dropped; original indices preserved
+    assert sorted(g1) == [0, 1, 3, 4, 6, 7]
+
+
+def test_transcribe_backends_identical(spark):
+    ch = _chapters(spark)
+    a = transcribe.transcribe_words(ch, ["book", "chapter"], backend="whisper").collect()
+    b = transcribe.transcribe_words(ch, ["book", "chapter"], backend="azure").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_transcribe_real_slot_raises():
+    with pytest.raises(NotImplementedError):
+        transcribe._AsrSingleton.get("whisper", fake=False)
+
+
+def test_validate_total_duration_flags_violations(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 900.0, 1000), ("a", 2, 1050.0, 1000), ("b", 1, 1200.0, 1000)],
+        "grp string, i int, end double, duration_ms long",
+    )
+    out = alignment.validate_total_duration(
+        df, group_cols=["grp"], end_col="end", duration_col="duration_ms", factor=1.1
+    ).collect()
+    by_grp = {(r.grp, r.i): r for r in out}
+    # group a: total 1050 ≤ 1100 → valid on every row of the group
+    assert by_grp[("a", 1)].valid and by_grp[("a", 2)].valid
+    assert by_grp[("a", 1)].total_duration == 1050.0
+    # group b: 1200 > 1100 → flagged
+    assert not by_grp[("b", 1)].valid
+
+
+def test_chapter_pipeline_e2e_invariants(spark):
+    from hebrew_tutor_data_pipeline_spark.plans.catalog import CATALOG
+
+    rows = CATALOG["chapter_pipeline_e2e"].spark(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    # covers more than one book and composes through the sink round-trip
+    assert len({r.book for r in rows}) >= 2
+    for r in rows:
+        # the reference's validation invariant holds on the fake pipeline
+        assert r.valid, r
+        assert r.total_duration <= r.duration_ms * 1.1
+        # verse bounds are sane and inside the audio
+        if r.verse_start_ms is not None:
+            assert 0 <= r.verse_start_ms <= r.verse_end_ms <= r.duration_ms
+    # most corpus words should match the (6-in-7 kept) transcript; the
+    # greedy cursor can strand individual tail verses (faithful to the
+    # reference's drift pathology), so assert the corpus-level fraction
+    assert sum(r.n_matched for r in rows) >= 0.6 * sum(r.word_count for r in rows)
+    # verse bounds are monotone non-decreasing within a chapter
+    from itertools import groupby
+
+    for _, ch_rows in groupby(
+        sorted(rows, key=lambda r: (r.book, r.chapter, r.verse_num)),
+        key=lambda r: (r.book, r.chapter),
+    ):
+        prev_start = -1
+        for r in ch_rows:
+            if r.verse_start_ms is not None:
+                assert r.verse_start_ms >= prev_start
+                prev_start = r.verse_start_ms
