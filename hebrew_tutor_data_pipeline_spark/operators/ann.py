@@ -167,13 +167,15 @@ def _pseudo_random_plane(dim: int, bit: int) -> list[float]:
     return vals
 
 
-def signed_projection_bucket(vec: Column, bits: int, dim: int = 64) -> Column:
+def signed_projection_bucket(vec: Column, bits: int, dim: int = 64, table: int = 0) -> Column:
     """Pack ``bits`` sign-of-projection bits (vs fixed ±1 hyperplanes)
     into one long — the classic SRP-LSH bucket id. Cosine-similar vectors
-    collide with probability ``1 - θ/π`` per bit."""
+    collide with probability ``1 - θ/π`` per bit. ``table`` selects a
+    disjoint hyperplane set (seed offset ``table*bits``) so multi-table
+    LSH can union candidates from independent buckets."""
     acc = F.lit(0).cast("long")
     for b in range(bits):
-        plane = F.lit(_pseudo_random_plane(dim, b)).cast("array<double>")
+        plane = F.lit(_pseudo_random_plane(dim, table * bits + b)).cast("array<double>")
         sign_bit = F.when(dot(vec, plane) >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
         acc = acc * 2 + sign_bit
     return acc

@@ -100,7 +100,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | float | None = None,
 ) -> DataFrame:
     """All document pairs with n-gram Jaccard similarity ≥ threshold.
 
@@ -109,8 +109,18 @@ def ngram_jaccard_pairs(
     ``J = inter / (|A| + |B| - inter)``. ``max_shingle_freq`` prunes
     shingles appearing in more than that many docs before the join —
     at 100 TB a handful of stop-shingles would otherwise produce a
-    quadratic blowup (the join is per-shingle |docs|²).
+    quadratic blowup (the join is per-shingle |docs|²). An int is an
+    absolute document-frequency cap; a float in (0, 1) is a FRACTION of
+    the corpus size (resolved with one count job), which is the form
+    that stays meaningful as the corpus grows — an absolute cap that
+    prunes nothing at SF 0.01 silently prunes everything at 100×.
     """
+    if isinstance(max_shingle_freq, float):
+        if not 0.0 < max_shingle_freq < 1.0:
+            raise ValueError("fractional max_shingle_freq must be in (0, 1)")
+        import math
+
+        max_shingle_freq = math.ceil(max_shingle_freq * df.count())
     sets = shingle_sets(df, id_col, text_col, n)
     # carry the set size inline with each posting so the pair aggregate
     # needs no joins back to a sizes table (and the shingle subtree is
@@ -334,31 +344,52 @@ def embedding_near_dup_pairs(
     vec_col: str,
     threshold: float = 0.95,
     bucket_bits: int = 0,
+    num_tables: int = 1,
 ) -> DataFrame:
     """Pairs of rows whose embedding cosine ≥ threshold.
 
     ``bucket_bits = 0``: exact all-pairs (self-join on the smaller side
-    broadcast when possible) — correctness baseline. ``bucket_bits > 0``:
-    random-hyperplane LSH prefilter — only pairs agreeing on all sign
-    bits are compared, the scale path (see operators.ann for the shared
-    hyperplane construction).
+    broadcast when possible) — correctness baseline, O(n²) by nature.
+    ``bucket_bits > 0``: random-hyperplane LSH prefilter — only pairs
+    agreeing on ALL sign bits of at least one of ``num_tables``
+    independent hyperplane sets are scored, then verified with exact
+    cosine. This is the scale path: per-row bucket computation is a
+    map-only projection, the self-join shuffles on (table, bucket) —
+    never all-pairs — and recall is tuned by (bits, tables): per-table
+    collision for a pair at angle θ is ``(1-θ/π)^bits``, union over
+    tables. One table of many bits ≈ high precision / low recall;
+    more tables buy recall linearly in cost, the standard LSH dial.
     """
     from .ann import signed_projection_bucket  # local import; no cycle at module load
     from ..functions.similarity import cosine_similarity
 
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec"))
     if bucket_bits > 0:
-        v = v.withColumn("bucket", signed_projection_bucket(F.col("vec"), bucket_bits))
-        join_cond = (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
+        buckets = F.array(
+            *[
+                signed_projection_bucket(F.col("vec"), bucket_bits, table=t)
+                for t in range(num_tables)
+            ]
+        )
+        v = v.select("id", "vec", F.posexplode(buckets).alias("tbl", "bucket"))
+        join_cond = (
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id"))
+        )
     else:
         join_cond = F.col("a.id") < F.col("b.id")
     a, b = v.alias("a"), v.alias("b")
-    return (
+    out = (
         a.join(b, join_cond)
         .withColumn("cosine", F.round(cosine_similarity(F.col("a.vec"), F.col("b.vec")), 6))
         .filter(F.col("cosine") >= threshold)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
     )
+    # a pair colliding in several tables appears once per table; the
+    # scored row is identical in each, so a distinct on the (scalar)
+    # output collapses them without comparing vectors
+    return out.distinct() if bucket_bits > 0 and num_tables > 1 else out
 
 
 def embedding_near_dup_pairs_blocked(
@@ -446,7 +477,10 @@ def embedding_near_dup_pairs_blocked(
             dots += np.outer(MA[:, d], MB[:, d])
             sqa += MA[:, d] * MA[:, d]
             sqb += MB[:, d] * MB[:, d]
-        cos = np.round(dots / np.outer(np.sqrt(sqa), np.sqrt(sqb)), 6)
+        ratio = dots / np.outer(np.sqrt(sqa), np.sqrt(sqb))
+        # half-AWAY-from-zero to match Spark round()/DuckDB round();
+        # np.round is half-to-even and diverges on exact 5e-7 boundaries
+        cos = np.sign(ratio) * np.floor(np.abs(ratio) * 1e6 + 0.5) / 1e6
         ida = A["id"].to_numpy()
         idb = B["id"].to_numpy()
         if gi == gj:

@@ -28,6 +28,9 @@ FIXTURE_CORPUS = str(
 FIXTURE_AUDIO_TREE = str(
     Path(__file__).resolve().parents[2] / "tests" / "fixtures" / "audio_tree"
 )
+FIXTURE_REMOTE_TREE = str(
+    Path(__file__).resolve().parents[2] / "tests" / "fixtures" / "audio_remote_tree"
+)
 
 # Shared oracle CTE: nested JSON -> (book, chapter, verse_num, words)
 _CORPUS_SQL = f"""
@@ -252,6 +255,37 @@ def audio_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("chapter"),
         F.col("length"),
     )
+
+
+@_register(
+    "local_first_audio",
+    oracle=f"""
+WITH loc AS (
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS fname, size, 0 AS pri
+    FROM read_blob('{FIXTURE_AUDIO_TREE}/*/*.mp3')),
+rem AS (
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS fname, size, 1 AS pri
+    FROM read_blob('{FIXTURE_REMOTE_TREE}/*/*.mp3')),
+u AS (SELECT * FROM loc UNION ALL SELECT * FROM rem)
+SELECT fname AS filename,
+       min_by(size, pri) AS length,
+       CASE WHEN min(pri) = 0 THEN 'local' ELSE 'remote' END AS source
+FROM u GROUP BY fname
+""",
+    tags=("S4", "S2"),
+)
+def local_first_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 local-preferred source coalesce
+    (`hebrew_alignment_tool.py:152-175`): files in both trees resolve
+    to the local copy (the fixture's Gen_01 exists in both with
+    different sizes, so the value hash proves which side won), files
+    only in the 'remote' tree are served from there, and the
+    metadata-only scan never reads content bytes."""
+    from ..sources.readers import local_first_scan
+
+    return local_first_scan(
+        spark, FIXTURE_AUDIO_TREE, FIXTURE_REMOTE_TREE, glob="*.mp3"
+    ).select("filename", "length", "source")
 
 
 @_register(

@@ -156,12 +156,22 @@ def dedup_exact_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "jaccard_token_pairs",
     oracle="""
 WITH d AS (
-    SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS toks
-    FROM documents WHERE doc_id < 200
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), g AS (
+    SELECT doc_id,
+           list_distinct([list_aggr(t[i:i+1], 'string_agg', ' ')
+                          for i in range(1, len(t))]) AS toks
+    FROM d
 ), s AS (
-    SELECT doc_id, len(toks) AS nsh FROM d
+    SELECT doc_id, len(toks) AS nsh FROM g
+), p0 AS (
+    SELECT doc_id, unnest(toks) AS tok FROM g
+), f AS (
+    SELECT tok, count(*) AS df FROM p0 GROUP BY 1
 ), p AS (
-    SELECT doc_id, unnest(toks) AS tok FROM d
+    SELECT p0.doc_id, p0.tok FROM p0
+    JOIN f ON f.tok = p0.tok
+          AND f.df <= ceil(0.08 * (SELECT count(*) FROM documents))
 ), i AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
     FROM p a JOIN p b ON a.tok = b.tok AND a.doc_id < b.doc_id
@@ -178,9 +188,17 @@ WHERE round(inter / (sa.nsh + sb.nsh - inter), 6) >= 0.5
     bench=True,
 )
 def jaccard_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N-gram (n=1) Jaccard near-dup pairs via the posting-list self-join."""
-    d = spread(T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200))
-    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=1, threshold=0.5)
+    """Bigram-shingle Jaccard near-dup pairs over the FULL corpus via
+    the posting-list self-join WITH document-frequency pruning — the
+    registered form is the 100 TB form: shingles in > 8% of documents
+    (this corpus has a 31-token vocabulary, so unigrams are all stop
+    tokens) never enter the self-join, capping per-shingle fan-out;
+    set sizes stay unpruned so Jaccard keeps its exact denominator.
+    The oracle applies the identical fractional cutoff."""
+    d = spread(T(spark, sf_dir, "documents"))
+    return dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=2, threshold=0.5, max_shingle_freq=0.08
+    )
 
 
 @_register(
@@ -249,6 +267,75 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spread(T(spark, sf_dir, "embeddings"))
     return dedup.embedding_near_dup_pairs_blocked(
         e, "vec_id", "embedding", threshold=0.35
+    )
+
+
+_LSH_BITS, _LSH_TABLES, _LSH_DIM = 6, 8, 64
+
+
+def _lsh_bucket_sql(table: int) -> str:
+    """DuckDB expression for one SRP-LSH table's packed bucket id, with
+    the engine's LCG-derived ±1 hyperplanes inlined as literals — the
+    oracle re-derives nothing, it evaluates the exact same planes."""
+    from ..operators.ann import _pseudo_random_plane
+
+    terms = []
+    for b in range(_LSH_BITS):
+        plane = _pseudo_random_plane(_LSH_DIM, table * _LSH_BITS + b)
+        lit = "[" + ", ".join("1.0" if x > 0 else "-1.0" for x in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(e, {lit}) >= 0"
+            f" THEN {1 << (_LSH_BITS - 1 - b)} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+@_register(
+    "embedding_near_dup_lsh",
+    oracle="""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+bk AS (
+    SELECT vec_id, e,
+           """
+    + ",\n           ".join(
+        f"({_lsh_bucket_sql(t)}) AS b{t}" for t in range(_LSH_TABLES)
+    )
+    + """
+    FROM v
+),
+cand AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.e AS ea, b.e AS eb
+    FROM bk a JOIN bk b
+      ON a.vec_id < b.vec_id
+     AND ("""
+    + " OR ".join(f"a.b{t} = b.b{t}" for t in range(_LSH_TABLES))
+    + """)
+)
+SELECT id_a, id_b,
+       round(list_dot_product(ea, eb)
+             / (sqrt(list_dot_product(ea, ea)) * sqrt(list_dot_product(eb, eb))),
+             6) AS cosine
+FROM cand
+WHERE round(list_dot_product(ea, eb)
+            / (sqrt(list_dot_product(ea, ea)) * sqrt(list_dot_product(eb, eb))),
+            6) >= 0.35
+""",
+    tags=("dedup", "embedding", "lsh"),
+    bench=True,
+)
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE tier of embedding near-dup: multi-table SRP-LSH
+    prefilter (6 bits × 8 tables) + exact-cosine verification of the
+    candidates. The bucket computation is a map-only projection; the
+    self-join shuffles on (table, bucket) instead of all-pairs — the
+    plan that survives 100 TB, now under the same value-hash gate as
+    the exact tier (the oracle inlines the identical hyperplanes).
+    Output is by construction a subset of ``embedding_near_dup_pairs``;
+    tests/test_operators.py measures its recall."""
+    e = spread(T(spark, sf_dir, "embeddings"))
+    return dedup.embedding_near_dup_pairs(
+        e, "vec_id", "embedding", threshold=0.35, bucket_bits=_LSH_BITS,
+        num_tables=_LSH_TABLES,
     )
 
 

@@ -121,6 +121,50 @@ def read_binary_files(spark: SparkSession, directory: str, glob: str = "*.mp3") 
     )
 
 
+def local_first_scan(
+    spark: SparkSession,
+    local_dir: str,
+    remote_dir: str,
+    glob: str = "*.mp3",
+    with_content: bool = False,
+) -> DataFrame:
+    """S4: local-preferred, else-remote source coalesce.
+
+    Reference: `hebrew_alignment_tool.py:152-175` `_get_audio_filename`
+    — return the local path if it exists, otherwise download the blob
+    with the same name, otherwise FileNotFoundError. Spark-first: scan
+    BOTH trees lazily (the "remote" side is any Hadoop-FS-compatible
+    URI — file://, s3a://, abfss:// — so no download step exists; the
+    scan IS the fetch, and only for files that survive pruning), union
+    with a source priority, keep the best-priority row per filename
+    with one max_by aggregation. Files present in neither tree simply
+    produce no row — the set-difference against an expected grid
+    (``expected_grid``/J9) is the declarative FileNotFoundError.
+
+    ``with_content`` False keeps the scan metadata-only (binaryFile
+    prunes the ``content`` column when unreferenced) — resolving 1M
+    files reads bytes from neither tree.
+    """
+    cols = ["path", "length", "modificationTime"] + (["content"] if with_content else [])
+
+    def scan(d: str, pri: int, src: str) -> DataFrame:
+        return (
+            read_binary_files(spark, d, glob)
+            .select(*cols)
+            .withColumn("_pri", F.lit(pri))
+            .withColumn("source", F.lit(src))
+            .withColumn("filename", F.regexp_extract("path", r"([^/]+)$", 1))
+        )
+
+    both = scan(local_dir, 0, "local").unionByName(scan(remote_dir, 1, "remote"))
+    # min_by over a struct keyed on priority: one shuffle on filename,
+    # no join — at scale this is a plain aggregate over the file listing
+    picked = both.groupBy("filename").agg(
+        F.min_by(F.struct(*cols, "source"), F.col("_pri")).alias("best")
+    )
+    return picked.select("filename", "best.*")
+
+
 def expected_grid(df: DataFrame, key_col: str, n_col: str, out_col: str = "chapter") -> DataFrame:
     """J9 helper: expected (key, 1..n) grid via sequence+explode.
 

@@ -212,6 +212,52 @@ class TestDedup:
         assert expr == blocked
         assert len(expr) > 0
 
+    def test_lsh_tier_subset_of_exact_with_recall(self, spark):
+        """The multi-table SRP-LSH prefilter must return a strict subset
+        of the exact tier (identical cosines on surviving pairs) with a
+        measured recall floor — the claim the 100 TB path rests on."""
+        df = (
+            spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+            .filter(F.col("vec_id") < 200)
+            .select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+        )
+        exact = {
+            (r["id_a"], r["id_b"]): r["cosine"]
+            for r in embedding_near_dup_pairs(df, "id", "vec", threshold=0.35).collect()
+        }
+        lsh = {
+            (r["id_a"], r["id_b"]): r["cosine"]
+            for r in embedding_near_dup_pairs(
+                df, "id", "vec", threshold=0.35, bucket_bits=6, num_tables=8
+            ).collect()
+        }
+        assert set(lsh) <= set(exact)
+        assert all(exact[p] == c for p, c in lsh.items())
+        assert len(exact) > 0
+        # weakly-similar pairs (cos ≈ 0.35-0.5): modest but real recall
+        assert len(lsh) / len(exact) >= 0.2
+
+    def test_lsh_tier_finds_planted_duplicates(self, spark):
+        """At true near-dup thresholds (cosine ≥ 0.95 — the dedup use
+        case) SRP-LSH collision probability per bit approaches 1, so the
+        prefilter must recover essentially every planted duplicate."""
+        rows = []
+        planted = set()
+        for i in range(25):
+            base = [math.sin((i + 1) * (d + 3) * 0.29) for d in range(64)]
+            rows.append((2 * i, base))
+            # tiny deterministic perturbation → cosine ≈ 0.9999
+            rows.append((2 * i + 1, [x + 0.003 * math.sin(d + i) for d, x in enumerate(base)]))
+            planted.add((2 * i, 2 * i + 1))
+        df = spark.createDataFrame(rows, ["id", "vec"])
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_dup_pairs(
+                df, "id", "vec", threshold=0.95, bucket_bits=6, num_tables=8
+            ).collect()
+        }
+        assert planted <= got
+
 
 class TestAnn:
     def make_corpus(self, spark, n=40, dim=8):
@@ -361,7 +407,7 @@ class TestSessionize:
             ["user", "t"],
         )
         row = session_stats(df, ["user"], "t", 1800).first()
-        assert row["n_events"] == 2 and row["duration_sec"] == 600.0
+        assert row["n_events"] == 2 and row["duration_ms"] == 600_000
 
 
 class TestUpsert:

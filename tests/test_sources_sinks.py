@@ -140,3 +140,117 @@ class TestPartitionedJsonSink:
             ).json(out2).collect()
         }
         assert back == {"a.mp3": 3.0, "b.mp3": 4.0, "c.mp3": 1.0}
+
+
+class TestLocalFirstScan:
+    def test_local_wins_remote_fills(self, spark, tmp_path):
+        from hebrew_tutor_data_pipeline_spark.sources.readers import local_first_scan
+
+        loc = tmp_path / "loc" / "01_Genesis"
+        rem = tmp_path / "rem" / "01_Genesis"
+        loc.mkdir(parents=True)
+        rem.mkdir(parents=True)
+        (loc / "01-Gen_01.mp3").write_bytes(b"L" * 100)   # both: local wins
+        (rem / "01-Gen_01.mp3").write_bytes(b"R" * 999)
+        (rem / "01-Gen_02.mp3").write_bytes(b"R" * 50)    # remote only
+        got = {
+            r["filename"]: (r["source"], r["length"])
+            for r in local_first_scan(
+                spark, str(tmp_path / "loc"), str(tmp_path / "rem")
+            ).collect()
+        }
+        assert got == {
+            "01-Gen_01.mp3": ("local", 100),
+            "01-Gen_02.mp3": ("remote", 50),
+        }
+
+    def test_missing_everywhere_is_absent(self, spark, tmp_path):
+        """The declarative FileNotFoundError: expected-vs-resolved anti join."""
+        from hebrew_tutor_data_pipeline_spark.sources.readers import local_first_scan
+
+        loc = tmp_path / "loc" / "b"
+        rem = tmp_path / "rem" / "b"
+        loc.mkdir(parents=True)
+        rem.mkdir(parents=True)
+        (loc / "f1.mp3").write_bytes(b"x" * 10)
+        resolved = local_first_scan(spark, str(tmp_path / "loc"), str(tmp_path / "rem"))
+        expected = spark.createDataFrame(
+            [("f1.mp3",), ("f2.mp3",)], ["filename"]
+        )
+        missing = [
+            r["filename"]
+            for r in expected.join(resolved, "filename", "left_anti").collect()
+        ]
+        assert missing == ["f2.mp3"]
+
+
+class TestBinarySideEffectSinks:
+    def make_tree(self, root: Path) -> dict[str, bytes]:
+        originals = {}
+        for sub, names in [("01_Genesis", ["a.mp3", "b.mp3"]), ("02_Exodus", ["c.mp3"])]:
+            d = root / sub
+            d.mkdir(parents=True)
+            for n in names:
+                payload = (sub + n).encode() * 40
+                (d / n).write_bytes(payload)
+                originals[f"{sub}/{n}"] = payload
+        return originals
+
+    def test_overwrite_backup_restore_roundtrip(self, spark, tmp_path):
+        from hebrew_tutor_data_pipeline_spark.operators.binary_sink import (
+            overwrite_with_backup,
+            restore_from_backup,
+        )
+
+        root = tmp_path / "audio"
+        backup = tmp_path / "backup"
+        originals = self.make_tree(root)
+
+        files = read_binary_files(spark, str(root), glob="*.mp3")
+        # the "trim": drop the first 16 bytes (hebrew_audio_trimmer.py:180)
+        trimmed = files.select("path", F.expr("substring(content, 17)").alias("content"))
+        overwrite_with_backup(trimmed, str(backup), str(root))
+
+        for rel, payload in originals.items():
+            assert (root / rel).read_bytes() == payload[16:]      # mutated in place
+            assert (backup / Path(rel).parent.name / Path(rel).name).read_bytes() == payload
+
+        # second overwrite must NOT clobber the first backup (idempotent)
+        files2 = read_binary_files(spark, str(root), glob="*.mp3")
+        overwrite_with_backup(
+            files2.select("path", F.expr("substring(content, 9)").alias("content")),
+            str(backup),
+            str(root),
+        )
+        for rel, payload in originals.items():
+            assert (backup / Path(rel).parent.name / Path(rel).name).read_bytes() == payload
+
+        n = restore_from_backup(spark, str(backup), str(root))
+        assert n == len(originals)
+        for rel, payload in originals.items():
+            assert (root / rel).read_bytes() == payload           # fully restored
+
+    def test_upload_blobs_fake_container(self, spark, tmp_path):
+        import pytest
+
+        from hebrew_tutor_data_pipeline_spark.operators.binary_sink import upload_blobs
+
+        root = tmp_path / "audio"
+        container = tmp_path / "container"
+        originals = self.make_tree(root)
+
+        files = read_binary_files(spark, str(root), glob="*.mp3")
+        upload_blobs(files, container_dir=str(container))
+        for rel, payload in originals.items():
+            assert (container / "audio" / Path(rel).name).read_bytes() == payload
+
+        # overwrite=True semantics: re-upload replaces
+        upload_blobs(
+            files.select("path", F.expr("substring(content, 1, 4)").alias("content")),
+            container_dir=str(container),
+        )
+        for rel, payload in originals.items():
+            assert (container / "audio" / Path(rel).name).read_bytes() == payload[:4]
+
+        with pytest.raises(NotImplementedError):
+            upload_blobs(files, fake=False)
