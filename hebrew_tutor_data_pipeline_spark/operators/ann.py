@@ -83,61 +83,96 @@ def ivf_topk(
 
     Codebook = the ``num_cells`` corpus vectors with the smallest ids
     (deterministic; swap in k-means centroids for better recall without
-    touching the plan). The codebook is collected to the driver and
-    inlined as a literal array — the standard bounded-size broadcast of
-    a model artifact (≤ ~10⁴ cells), NOT a data collect — so cell
-    assignment is a map-only projection: the corpus is never shuffled or
-    joined to find its cell. Each query probes its ``nprobe`` best cells
-    and ranks only those members; the only shuffles left are the
-    per-query top-k and (at scale) writing the corpus out partitioned by
-    ``cell`` so probes prune at the source.
+    touching the plan). The codebook is collected ONCE — a bounded model
+    artifact (≤ ~10⁴ cells), not a data collect — and shipped to the
+    executors as an ``sc.broadcast`` variable; cell assignment and query
+    probe selection run as Arrow-batched ``mapInPandas`` doing one numpy
+    GEMM per batch against the broadcast matrix. This replaces the
+    former plan-inlined literal codebook (2 × ~1.5 s of driver plan
+    build per run) AND the interpreted per-struct HOF scoring (16
+    cosines per row outside codegen) with vectorized arithmetic, while
+    the plan shape keeps its scale properties: assignment is map-only
+    (the corpus is never shuffled or joined to find its cell), each
+    query probes its ``nprobe`` best cells, and the only shuffles left
+    are the per-query top-k and (at scale) writing the corpus out
+    partitioned by ``cell`` so probes prune at the source. Final
+    candidate ranking stays exact-cosine in SQL.
 
-    Tiebreaks mirror the window formulation exactly: max cosine first,
-    then the smallest cell id (encoded as ``-cell`` inside the ordered
-    struct), with scores rounded to 6 dp before comparison.
+    Tiebreaks mirror the former window formulation exactly: scores
+    rounded half-away to 6 dp, max score first, smallest cell id on
+    ties (the codebook rows are sorted by cell, so numpy's first-max
+    argmax IS the cell-asc tiebreak).
     """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
     qid = query_id_col or id_col
     c = _as_double_vec(corpus, id_col, vec_col)
-    cent_rows = (
-        c.orderBy("id").limit(num_cells).select("id", "vec").collect()
-    )
-    codebook = F.array(
-        *[
-            F.struct(
-                F.lit(int(r["id"])).cast("long").alias("cell"),
-                F.lit([float(x) for x in r["vec"]]).cast("array<double>").alias("cvec"),
-            )
-            for r in cent_rows
-        ]
-    )
+    cent_rows = c.orderBy("id").limit(num_cells).collect()
+    cell_ids = np.array([int(r["id"]) for r in cent_rows], dtype="int64")
+    cent = np.stack([np.asarray(r["vec"], dtype="float64") for r in cent_rows])
+    cent_norm = np.sqrt((cent * cent).sum(axis=1))
+    bc = corpus.sparkSession.sparkContext.broadcast((cell_ids, cent, cent_norm))
 
-    def cell_scores(vec):
-        # array<struct<csim, negcell, cell>> — struct comparison orders by
-        # (csim, negcell), so max/sort give csim DESC, cell ASC tiebreak
-        return F.transform(
-            codebook,
-            lambda cc: F.struct(
-                F.round(cosine_similarity(vec, cc["cvec"]), 6).alias("csim"),
-                (-cc["cell"]).alias("negcell"),
-                cc["cell"].alias("cell"),
-            ),
-        )
+    def _scores(mat: "np.ndarray") -> "np.ndarray":
+        ids, cm, cn = bc.value
+        raw = (mat @ cm.T) / (np.sqrt((mat * mat).sum(axis=1))[:, None] * cn[None, :])
+        return np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6  # half-away 6dp
 
-    assigned = c.select(
-        "id", "vec", F.array_max(cell_scores(F.col("vec")))["cell"].alias("cell")
+    def assign(batches):
+        ids, _, _ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["vec"].to_numpy())
+            # first max along sorted-by-cell axis == smallest-cell tiebreak
+            pdf["cell"] = ids[np.argmax(_scores(mat), axis=1)]
+            yield pdf
+
+    assigned = c.mapInPandas(
+        assign,
+        StructType(
+            [
+                StructField("id", c.schema["id"].dataType, False),
+                StructField("vec", ArrayType(DoubleType()), False),
+                StructField("cell", LongType(), False),
+            ]
+        ),
     )
     q = queries.select(
         F.col(qid).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qvec")
     )
-    probes = q.select(
-        "query_id",
-        "qvec",
-        F.explode(
-            F.transform(
-                F.slice(F.reverse(F.array_sort(cell_scores(F.col("qvec")))), 1, nprobe),
-                lambda s: s["cell"],
-            )
-        ).alias("cell"),
+
+    def probe(batches):
+        ids, _, _ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["qvec"].to_numpy())
+            s = _scores(mat)
+            # argsort on (-score, cell): cells are sorted asc, and numpy
+            # stable sort preserves that order among equal scores
+            order = np.argsort(-s, axis=1, kind="stable")[:, :nprobe]
+            out = pdf.loc[pdf.index.repeat(nprobe)].reset_index(drop=True)
+            out["cell"] = ids[order].reshape(-1)
+            yield out
+
+    probes = q.mapInPandas(
+        probe,
+        StructType(
+            [
+                StructField("query_id", q.schema["query_id"].dataType, False),
+                StructField("qvec", ArrayType(DoubleType()), False),
+                StructField("cell", LongType(), False),
+            ]
+        ),
     )
 
     scored = (

@@ -323,15 +323,62 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
 
 
 def hamming_distance(a: Column, b: Column, bits: int = 16) -> Column:
-    """Popcount of XOR via bit-expansion — no UDF."""
-    x = a.bitwiseXOR(b)
-    return F.aggregate(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda i: bit_at(x, i),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
+    """Popcount of XOR. ``bit_count`` is a JVM built-in (codegen) — the
+    former bit-expansion HOF was interpreted per bit; ``bits`` is kept
+    for signature stability but unused."""
+    return F.bit_count(a.bitwiseXOR(b)).cast("long")
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+    bands: int = 4,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Banded Hamming-ball search over SimHash fingerprints — the cheap
+    dedup tier a training pipeline runs before MinHash/embeddings
+    (reference analog: the multi-metric fuzzy near-match,
+    `hebrew_alignment_optimized.py:577-581`).
+
+    The ``bits``-bit fingerprint splits into ``bands`` equal bands; a
+    candidate pair must agree EXACTLY on at least one band, then is
+    verified with the true Hamming distance. With
+    ``max_distance < bands`` this is exhaustive, not approximate — a
+    pair within distance d has its d differing bits in at most d < bands
+    bands, so some band matches (pigeonhole). Plan shape: per-row band
+    extraction (map-only shifts/masks), one shuffle on (band, value),
+    per-bucket self-join, scalar distinct — never all-pairs. The recall
+    dial at 100 TB is (bits, bands): 64-bit fingerprints with 4 bands
+    give 16-bit bands (selective buckets) and exactness to d ≤ 3.
+    """
+    if bits % bands != 0:
+        raise ValueError("bits must divide evenly into bands")
+    fps = simhash(df, id_col, text_col, bits)
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    band_vals = F.array(
+        *[
+            F.shiftright(F.col("simhash"), k * band_bits).bitwiseAND(F.lit(mask))
+            for k in range(bands)
+        ]
+    )
+    p = fps.select("id", "simhash", F.posexplode(band_vals).alias("band", "bval"))
+    a, b = p.alias("a"), p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .withColumn(
+            "hamming", hamming_distance(F.col("a.simhash"), F.col("b.simhash"), bits)
+        )
+        .filter(F.col("hamming") <= max_distance)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming")
+        .distinct()  # pairs agreeing on several bands appear once per band
     )
 
 
@@ -360,36 +407,117 @@ def embedding_near_dup_pairs(
     tables. One table of many bits ≈ high precision / low recall;
     more tables buy recall linearly in cost, the standard LSH dial.
     """
-    from .ann import signed_projection_bucket  # local import; no cycle at module load
     from ..functions.similarity import cosine_similarity
 
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec"))
-    if bucket_bits > 0:
-        buckets = F.array(
-            *[
-                signed_projection_bucket(F.col("vec"), bucket_bits, table=t)
-                for t in range(num_tables)
+    if bucket_bits == 0:
+        a, b = v.alias("a"), v.alias("b")
+        return (
+            a.join(b, F.col("a.id") < F.col("b.id"))
+            .withColumn(
+                "cosine", F.round(cosine_similarity(F.col("a.vec"), F.col("b.vec")), 6)
+            )
+            .filter(F.col("cosine") >= threshold)
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
+        )
+
+    # LSH path. Bucket bits and candidate cosines are numpy inside
+    # mapInPandas — the interpreted-HOF formulation costs ~10× at 10⁶
+    # candidates — but every float reduction accumulates DIM-BY-DIM in
+    # plan order, reproducing the sequential fp summation of the SQL
+    # twin bit-for-bit (same technique as the blocked GEMM kernel), so
+    # the oracle still hash-matches.
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+    from .ann import _pseudo_random_plane
+
+    id_type = v.schema["id"].dataType
+    dim = len(df.select(vec_col).first()[0])
+    planes = np.stack(
+        [
+            _pseudo_random_plane(dim, t * bucket_bits + b)
+            for t in range(num_tables)
+            for b in range(bucket_bits)
+        ]
+    )  # (num_tables*bits, dim)
+    weights = np.array([1 << (bucket_bits - 1 - b) for b in range(bucket_bits)])
+
+    def buckets(batches: "pd.DataFrame") -> "pd.DataFrame":
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["vec"].to_numpy())
+            # dim-sequential accumulation == SQL list_dot_product order
+            proj = np.zeros((len(pdf), planes.shape[0]))
+            for d in range(mat.shape[1]):
+                proj += np.outer(mat[:, d], planes[:, d])
+            bits = (proj >= 0).astype("int64").reshape(len(pdf), num_tables, bucket_bits)
+            bk = (bits * weights[None, None, :]).sum(axis=2)  # (n, tables)
+            out = pdf.loc[pdf.index.repeat(num_tables)].reset_index(drop=True)
+            out["tbl"] = np.tile(np.arange(num_tables), len(pdf)).astype("int32")
+            out["bucket"] = bk.reshape(-1)
+            yield out
+
+    banded = v.mapInPandas(
+        buckets,
+        StructType(
+            [
+                StructField("id", id_type, False),
+                StructField("vec", ArrayType(DoubleType()), False),
+                StructField("tbl", IntegerType(), False),
+                StructField("bucket", LongType(), False),
             ]
-        )
-        v = v.select("id", "vec", F.posexplode(buckets).alias("tbl", "bucket"))
-        join_cond = (
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id"))
-        )
-    else:
-        join_cond = F.col("a.id") < F.col("b.id")
-    a, b = v.alias("a"), v.alias("b")
-    out = (
-        a.join(b, join_cond)
-        .withColumn("cosine", F.round(cosine_similarity(F.col("a.vec"), F.col("b.vec")), 6))
-        .filter(F.col("cosine") >= threshold)
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
+        ),
+    )
+    # Verify INSIDE the bucket group: one shuffle of the banded rows to
+    # (table, bucket), then an applyInPandas kernel scores each bucket's
+    # intra-bucket pairs with a numpy GEMM and emits only survivors —
+    # candidate pairs never materialize as Spark rows (a candidate join
+    # would ship two 64-dim arrays per pair through an exchange; at 10⁶
+    # candidates that is the whole query's cost).
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        if n < 2:
+            return empty
+        M = np.stack(pdf["vec"].to_numpy())
+        dots = np.zeros((n, n))
+        sq = np.zeros(n)
+        for d in range(M.shape[1]):  # sequential over dims == SQL order
+            dots += np.outer(M[:, d], M[:, d])
+            sq += M[:, d] * M[:, d]
+        norm = np.sqrt(sq)
+        ratio = dots / np.outer(norm, norm)
+        cos = np.sign(ratio) * np.floor(np.abs(ratio) * 1e6 + 0.5) / 1e6
+        ids = pdf["id"].to_numpy()
+        mask = (cos >= threshold) & (ids[:, None] < ids[None, :])
+        ii, jj = np.nonzero(mask)
+        if len(ii) == 0:
+            return empty
+        return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj], "cosine": cos[ii, jj]})
+
+    out = banded.groupBy("tbl", "bucket").applyInPandas(
+        kernel,
+        StructType(
+            [
+                StructField("id_a", id_type, False),
+                StructField("id_b", id_type, False),
+                StructField("cosine", DoubleType(), False),
+            ]
+        ),
     )
     # a pair colliding in several tables appears once per table; the
     # scored row is identical in each, so a distinct on the (scalar)
     # output collapses them without comparing vectors
-    return out.distinct() if bucket_bits > 0 and num_tables > 1 else out
+    return out.distinct() if num_tables > 1 else out
 
 
 def embedding_near_dup_pairs_blocked(

@@ -159,8 +159,8 @@ WITH d AS (
     SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
 ), g AS (
     SELECT doc_id,
-           list_distinct([list_aggr(t[i:i+1], 'string_agg', ' ')
-                          for i in range(1, len(t))]) AS toks
+           list_distinct([list_aggr(t[i:i+2], 'string_agg', ' ')
+                          for i in range(1, len(t) - 1)]) AS toks
     FROM d
 ), s AS (
     SELECT doc_id, len(toks) AS nsh FROM g
@@ -188,52 +188,109 @@ WHERE round(inter / (sa.nsh + sb.nsh - inter), 6) >= 0.5
     bench=True,
 )
 def jaccard_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bigram-shingle Jaccard near-dup pairs over the FULL corpus via
+    """Trigram-shingle Jaccard near-dup pairs over the FULL corpus via
     the posting-list self-join WITH document-frequency pruning — the
-    registered form is the 100 TB form: shingles in > 8% of documents
-    (this corpus has a 31-token vocabulary, so unigrams are all stop
-    tokens) never enter the self-join, capping per-shingle fan-out;
-    set sizes stay unpruned so Jaccard keeps its exact denominator.
-    The oracle applies the identical fractional cutoff."""
+    registered form is the 100 TB form. n=3 (the standard dedup
+    shingle) keeps the posting join's Σdf² fan-out bounded even on this
+    31-token-vocabulary corpus where uni/bigrams are all stop-shingles
+    (bigrams cost 10× the candidates for the identical final pairs);
+    the >8%-of-corpus frequency prune caps whatever skew remains. Set
+    sizes stay unpruned so Jaccard keeps its exact denominator. The
+    oracle applies the identical shingling and fractional cutoff."""
     d = spread(T(spark, sf_dir, "documents"))
     return dedup.ngram_jaccard_pairs(
-        d, "doc_id", "text", n=2, threshold=0.5, max_shingle_freq=0.08
+        d, "doc_id", "text", n=3, threshold=0.5, max_shingle_freq=0.08
     )
+
+
+# MinHash oracle pieces: the engine's LCG-derived universal-hash params
+# are inlined as literals, so DuckDB evaluates the SAME 32 hash
+# functions; band collision is compared directly on the 4-tuples (no
+# digest needed — digest equality on both engines ⇔ tuple equality).
+_MH_PARAMS = dedup._minhash_params(32)
+_MH_COLS = ",\n           ".join(
+    f"list_min(list_transform(th, x -> ({a} * x + {b}) % {HASH_MOD})) AS m{i}"
+    for i, (a, b) in enumerate(_MH_PARAMS)
+)
+_MH_BAND_CONDS = "\n       OR ".join(
+    "(" + " AND ".join(f"a.m{bi * 4 + j} = b.m{bi * 4 + j}" for j in range(4)) + ")"
+    for bi in range(8)
+)
 
 
 @_register(
     "minhash_lsh_candidates",
-    oracle=None,  # LSH banding is not SQL-expressible compactly; rows-only check
+    oracle=f"""
+WITH d AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+    FROM documents WHERE doc_id < 200
+), g AS (
+    SELECT doc_id,
+           list_distinct([list_aggr(t[i:i+1], 'string_agg', ' ')
+                          for i in range(1, len(t))]) AS toks
+    FROM d
+), h AS (
+    SELECT doc_id, toks,
+           list_transform(toks, t2 -> {_sql_token_hash('t2')}) AS th
+    FROM g
+), m AS (
+    SELECT doc_id, toks,
+           {_MH_COLS}
+    FROM h
+), cand AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.toks AS ta, b.toks AS tb
+    FROM m a JOIN m b
+      ON a.doc_id < b.doc_id
+     AND ({_MH_BAND_CONDS})
+)
+SELECT id_a, id_b,
+       round(len(list_intersect(ta, tb))
+             / (len(ta) + len(tb) - len(list_intersect(ta, tb))), 6) AS jaccard
+FROM cand
+WHERE round(len(list_intersect(ta, tb))
+            / (len(ta) + len(tb) - len(list_intersect(ta, tb))), 6) >= 0.2
+""",
     tags=("dedup", "minhash", "lsh"),
     bench=True,
 )
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32)+LSH(8 bands) near-dup pairs, verified with exact
-    Jaccard ≥ 0.2 over 2-gram shingles."""
+    Jaccard ≥ 0.2 over 2-gram shingles. Formerly a rows-only check; the
+    oracle now replays the identical minhash family (inlined LCG
+    params) and band structure, so the full LSH pipeline — signatures,
+    banding, candidate join, exact-Jaccard verify — sits under the
+    value-hash gate."""
     d = spread(T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200))
     return dedup.minhash_lsh_pairs(
         d, "doc_id", "text", n=2, num_hashes=32, bands=8, threshold=0.2
     )
 
 
+# Shared oracle fragment: documents → (doc_id, 16-bit simhash)
+_SIMHASH_FP_SQL = f"""
+sd AS (
+    SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+), sh AS (
+    SELECT doc_id,
+           list_transform(toks, t2 -> {_sql_token_hash('t2')}) AS th
+    FROM sd
+), fp AS (
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform([15,14,13,12,11,10,9,8,7,6,5,4,3,2,1,0],
+                   i -> CASE WHEN list_sum(list_transform(th,
+                            hh -> (CAST(floor(hh / pow(2, i)) AS BIGINT) % 2) * 2 - 1)) > 0
+                        THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+               (a, b) -> a * 2 + b) AS simhash
+    FROM sh
+)"""
+
+
 @_register(
     "simhash_fingerprints",
     oracle=f"""
-WITH d AS (
-    SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
-), h AS (
-    SELECT doc_id,
-           list_transform(toks, t2 -> {_sql_token_hash('t2')}) AS th
-    FROM d
-)
-SELECT doc_id,
-       list_reduce(list_prepend(CAST(0 AS BIGINT),
-           list_transform([15,14,13,12,11,10,9,8,7,6,5,4,3,2,1,0],
-               i -> CASE WHEN list_sum(list_transform(th,
-                        hh -> (CAST(floor(hh / pow(2, i)) AS BIGINT) % 2) * 2 - 1)) > 0
-                    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
-           (a, b) -> a * 2 + b) AS simhash
-FROM h
+WITH {_SIMHASH_FP_SQL}
+SELECT doc_id, simhash FROM fp
 """,
     tags=("dedup", "simhash"),
     bench=True,
@@ -242,6 +299,30 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document — pure per-row array arithmetic."""
     d = spread(T(spark, sf_dir, "documents"))
     return dedup.simhash(d, "doc_id", "text", bits=16).withColumnRenamed("id", "doc_id")
+
+
+@_register(
+    "simhash_hamming_pairs",
+    oracle=f"""
+WITH {_SIMHASH_FP_SQL}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+""",
+    tags=("dedup", "simhash", "lsh"),
+    bench=True,
+)
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded Hamming-ball near-dup search (4 nibble bands, d ≤ 2).
+    Banding with max_distance < bands is EXACT by pigeonhole, so the
+    oracle is the brute-force all-pairs scan — the value-hash equality
+    of the two is itself the proof that the banded plan loses nothing
+    while never materializing the quadratic pair space."""
+    d = spread(T(spark, sf_dir, "documents"))
+    return dedup.simhash_near_dup_pairs(
+        d, "doc_id", "text", bits=16, bands=4, max_distance=2
+    )
 
 
 @_register(

@@ -38,6 +38,15 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # --- Shuffle sizing for local tests (AQE coalesces down when small)
     "spark.sql.shuffle.partitions": "32",
+    # --- Heap for the single local JVM (driver == executors in local
+    # mode): Spark's 1g default starves 32 task threads — posting-list
+    # self-joins OOM long before they would spill — but OVERSIZING hurts
+    # more than it helps here: a 48g heap measured 2-4× slower on the
+    # shuffle-heavy catalog queries than 8g (first-touch page faults +
+    # G1 scanning huge regions). Must be set before JVM launch, so it
+    # lives here, not in SparkConf-at-runtime. Cluster deployments size
+    # executors via spark-submit instead.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     # --- Scans: pushdown + pruning are on by default; keep partition files
     # near the 128 MB sweet spot at scale.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
