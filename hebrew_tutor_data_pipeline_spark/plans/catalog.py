@@ -807,3 +807,45 @@ def json_extract_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("k_val"),
         (F.col("value") > 100).alias("is_high"),
     )
+
+
+@_register(
+    "progress_running_eta",
+    oracle="""
+WITH e AS (
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+    FROM events WHERE user_id < 5
+), w AS (
+    SELECT user_id, event_id, ts,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS processed,
+           (epoch_us(ts) - epoch_us(first_value(ts) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) // 1000 AS elapsed_ms
+    FROM e
+)
+SELECT user_id, event_id, ts, processed, elapsed_ms,
+       (200 - processed) * elapsed_ms / processed AS eta_ms
+FROM w
+""",
+    tags=("A9", "T5"),
+)
+def progress_running_eta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 running average + ETA over a completion stream
+    (`scripts/hebrew_alignment_clean_fixed.py:415-429`): each user's
+    events are treated as item completions toward a fixed total of 200;
+    the ETA column is the reference's ``remaining × elapsed/processed``
+    as one window, with event_id as the deterministic tiebreak."""
+    from ..streaming.progress import running_eta
+
+    e = (
+        T(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 5)
+        .select("user_id", "event_id", "ts")
+    )
+    return running_eta(
+        e,
+        group_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        ts_col="ts",
+        total=200,
+    )

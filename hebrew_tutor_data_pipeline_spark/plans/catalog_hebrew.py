@@ -258,6 +258,39 @@ def audio_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "nfc_normalize_corpus",
+    oracle=f"""
+WITH {_CORPUS_SQL}
+SELECT book, chapter, verse_num,
+       nfc_normalize(array_to_string(words, ' ') || ' qa' || chr(769)) AS nfc_text,
+       (array_to_string(words, ' ') || ' qa' || chr(769))
+           <> nfc_normalize(array_to_string(words, ' ') || ' qa' || chr(769)) AS changed
+FROM vs
+""",
+    tags=("F16",),
+)
+def nfc_normalize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16 Unicode NFC normalization (pandas UDF — Java regex cannot
+    express it; `scripts/convert_hebrew_grammar_pdf.py:120-145`) under
+    the full value-hash gate: both engines must produce byte-identical
+    NFC output for nikkud-bearing Hebrew verse text. A decomposed
+    'a'+U+0301 suffix is appended so the normalizer provably rewrites
+    (every ``changed`` row must be true, not vacuously false)."""
+    from ..functions.hebrew import nfc_normalize
+
+    # decomposed a + combining U+0301 as an explicit escape (an 'á'
+    # typed composed in source would give the normalizer nothing to do)
+    raw = F.concat(F.concat_ws(" ", "words"), F.lit(" qa\u0301"))
+    return corpus_verses_df(spark).select(
+        "book",
+        "chapter",
+        "verse_num",
+        nfc_normalize(raw).alias("nfc_text"),
+        (raw != nfc_normalize(raw)).alias("changed"),
+    )
+
+
+@_register(
     "local_first_audio",
     oracle=f"""
 WITH loc AS (

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import threading
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.listener import StreamingQueryListener
 
@@ -66,3 +66,49 @@ class CountingListener(StreamingQueryListener):
     def total_input_rows(self) -> int:
         with self._lock:
             return sum(p["numInputRows"] for p in self.progress)
+
+
+def running_eta(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    ts_col: str,
+    total: int,
+) -> DataFrame:
+    """A9: per-completion running average + ETA, the declarative form of
+    the reference's progress loop (`scripts/hebrew_alignment_clean_fixed.py:415-429`:
+    ``avg = elapsed/processed; eta = remaining * avg``).
+
+    One window sort per group: ``processed`` = running completion count,
+    ``elapsed_ms`` = integer ms since the group's first completion,
+    ``eta_ms`` = ``(total - processed) * elapsed_ms / processed``.
+    ``order_cols`` must make the ordering unique within a group (pass a
+    unique event id as tiebreak) or running counts are nondeterministic.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    first_ts = F.first(F.col(ts_col)).over(run)
+    elapsed_ms = F.expr(
+        f"(unix_micros({ts_col}) - unix_micros(_first_ts)) div 1000"
+    )
+    return (
+        df.withColumn("_first_ts", first_ts)
+        .withColumn("processed", F.row_number().over(w))
+        .withColumn("elapsed_ms", elapsed_ms)
+        .withColumn(
+            "eta_ms",
+            (F.lit(total) - F.col("processed")) * F.col("elapsed_ms") / F.col("processed"),
+        )
+        .drop("_first_ts")
+    )
+
+
+def format_eta(seconds: Column) -> Column:
+    """The reference's three-tier ETA string
+    (`hebrew_alignment_clean_fixed.py:422-427`): seconds under a minute,
+    tenths of minutes under an hour, tenths of hours beyond."""
+    return (
+        F.when(seconds < 60, F.concat(F.format_string("%.0f", seconds), F.lit(" seconds")))
+        .when(seconds < 3600, F.concat(F.format_string("%.1f", seconds / 60), F.lit(" minutes")))
+        .otherwise(F.concat(F.format_string("%.1f", seconds / 3600), F.lit(" hours")))
+    )

@@ -168,3 +168,31 @@ class TestProgress:
             assert sum(observed) == n_input
         finally:
             spark.streams.removeListener(listener)
+
+
+class TestRunningEta:
+    def test_eta_math_and_monotonic_processed(self, spark):
+        from hebrew_tutor_data_pipeline_spark.streaming.progress import running_eta
+
+        rows = [(1, i, float(i * 10)) for i in range(1, 5)]  # ts every 10s
+        df = spark.createDataFrame(rows, ["grp", "eid", "sec"]).select(
+            "grp", "eid", F.timestamp_seconds("sec").alias("ts")
+        )
+        out = {
+            r["processed"]: r
+            for r in running_eta(
+                df, group_cols=["grp"], order_cols=["ts", "eid"], ts_col="ts", total=10
+            ).collect()
+        }
+        assert len(out) == 4
+        assert out[1]["elapsed_ms"] == 0 and out[1]["eta_ms"] == 0.0
+        # after 4 items in 30s: avg 7.5s/item, 6 remaining -> 45s
+        assert out[4]["elapsed_ms"] == 30_000
+        assert out[4]["eta_ms"] == (10 - 4) * 30_000 / 4
+
+    def test_format_eta_tiers(self, spark):
+        from hebrew_tutor_data_pipeline_spark.streaming.progress import format_eta
+
+        df = spark.createDataFrame([(45.0,), (120.0,), (7200.0,)], ["s"])
+        got = [r[0] for r in df.select(format_eta(F.col("s"))).collect()]
+        assert got == ["45 seconds", "2.0 minutes", "2.0 hours"]
