@@ -79,6 +79,25 @@ def main() -> int:
         .write.format("noop").mode("overwrite").save()
     )
 
+    # Warm every Python worker with numpy + a mapInPandas round trip: the
+    # 32-worker pool imports numpy once per process (~2-4 s wall the first
+    # time a numpy-using stage runs); that is session setup, not any
+    # query's own work. Tiny synthetic rows — no input data touched.
+    def _np_warm(batches):
+        import numpy as np
+
+        for pdf in batches:
+            pdf["x"] = np.sqrt(pdf["x"].to_numpy())
+            yield pdf
+
+    (
+        spark.range(64)
+        .selectExpr("CAST(id AS DOUBLE) AS x")
+        .repartition(32)
+        .mapInPandas(_np_warm, "x double")
+        .write.format("noop").mode("overwrite").save()
+    )
+
     timings: dict[str, float] = {}
     for name, spec in CATALOG.items():
         if only and name not in only:

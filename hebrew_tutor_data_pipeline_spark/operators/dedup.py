@@ -121,12 +121,50 @@ def ngram_jaccard_pairs(
         import math
 
         max_shingle_freq = math.ceil(max_shingle_freq * df.count())
-    sets = shingle_sets(df, id_col, text_col, n)
-    # carry the set size inline with each posting so the pair aggregate
-    # needs no joins back to a sizes table (and the shingle subtree is
-    # evaluated only for the two self-join sides, not four branches)
-    posting = sets.select(
-        "id", F.size("shingles").alias("nsh"), F.explode("shingles").alias("shingle")
+    # Posting generation is an Arrow-batched pandas stage, not the HOF
+    # shingle pipeline: transform(sequence, slice+array_join) is
+    # interpreted per shingle and measured ~6× slower than plain Python
+    # string ops at 10⁶ shingles. Semantics identical to
+    # shingle_sets+explode: whitespace tokens, distinct n-grams joined
+    # with ' ', docs shorter than n yield their single joined shingle.
+    # The set size rides inline with each posting so the pair aggregate
+    # needs no join back to a sizes table.
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    id_type = df.schema[id_col].dataType
+
+    def gen_postings(batches):
+        for pdf in batches:
+            ids, nshs, shingles = [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                toks = (t or "").split()
+                if not toks:
+                    continue
+                if len(toks) < n:
+                    grams = {" ".join(toks)}
+                else:
+                    grams = {" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)}
+                k = len(grams)
+                ids.extend([i] * k)
+                nshs.extend([k] * k)
+                shingles.extend(grams)
+            yield pd.DataFrame({"id": ids, "nsh": nshs, "shingle": shingles})
+
+    posting = df.select(id_col, text_col).mapInPandas(
+        gen_postings,
+        StructType(
+            [
+                StructField("id", id_type, False),
+                StructField("nsh", IntegerType(), False),
+                StructField("shingle", StringType(), False),
+            ]
+        ),
     )
     if max_shingle_freq is not None:
         freq = posting.groupBy("shingle").agg(F.count("*").alias("df"))

@@ -59,6 +59,38 @@ EXPECTATIONS: dict[str, list[tuple[bool, str, str]]] = {
         (True, "[codegen id :", "text metrics stay JVM-side in codegen"),
         (True, "!BatchEvalPython", "no row-at-a-time Python in the plan"),
     ],
+    "jaccard_token_pairs": [
+        # the df-pruning join must appear BEFORE the posting self-join
+        (True, "SortMergeJoin|BroadcastHashJoin", "pruned posting-list equi join"),
+        (True, "HashAggregate", "per-pair intersection via partial+final agg"),
+    ],
+    "simhash_hamming_pairs": [
+        (True, "SortMergeJoin|BroadcastHashJoin", "banded (band,value) equi join — never all-pairs"),
+        (True, "!BatchEvalPython", "fingerprints + popcount stay JVM-side"),
+    ],
+    "embedding_near_dup_lsh": [
+        (True, "MapInPandas", "bucket bits via Arrow-batched numpy"),
+        (True, "FlatMapGroupsInPandas", "per-bucket GEMM verify — pairs never cross an exchange"),
+    ],
+    "ann_ivf_top10": [
+        (True, "MapInPandas", "codebook assignment is a map-only numpy stage"),
+        (True, "BroadcastHashJoin|BroadcastExchange", "probe block broadcast onto cells"),
+    ],
+    "transcribe_chapter": [
+        (True, "MapInPandas", "ASR stage is Arrow-batched, executor-singleton"),
+        (True, "ObjectHashAggregate|SortAggregate", "chapter rollup aggregates structs"),
+    ],
+    "local_first_audio": [
+        (True, "HashAggregate|ObjectHashAggregate|SortAggregate", "min_by per filename — coalesce without a join"),
+        (True, "!content", "metadata-only scan: content column pruned"),
+    ],
+    "user_sessions_30min": [
+        (True, "Window", "lag+cumsum sessionization is one window"),
+    ],
+    "progress_running_eta": [
+        (True, "Window", "running count/elapsed/ETA in one window sort"),
+        (True, "PushedFilters", "user predicate reaches the events scan"),
+    ],
 }
 
 
