@@ -78,6 +78,7 @@ def ivf_topk(
     num_cells: int = 16,
     nprobe: int = 4,
     query_id_col: str | None = None,
+    codebook: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k.
 
@@ -115,9 +116,11 @@ def ivf_topk(
 
     qid = query_id_col or id_col
     c = _as_double_vec(corpus, id_col, vec_col)
-    cent_rows = c.orderBy("id").limit(num_cells).collect()
-    cell_ids = np.array([int(r["id"]) for r in cent_rows], dtype="int64")
-    cent = np.stack([np.asarray(r["vec"], dtype="float64") for r in cent_rows])
+    if codebook is None:
+        cent_rows = c.orderBy("id").limit(num_cells).collect()
+        codebook = [(int(r["id"]), list(r["vec"])) for r in cent_rows]
+    cell_ids = np.array([cid for cid, _ in codebook], dtype="int64")
+    cent = np.stack([np.asarray(v, dtype="float64") for _, v in codebook])
     cent_norm = np.sqrt((cent * cent).sum(axis=1))
     bc = corpus.sparkSession.sparkContext.broadcast((cell_ids, cent, cent_norm))
 
@@ -214,3 +217,78 @@ def signed_projection_bucket(vec: Column, bits: int, dim: int = 64, table: int =
         sign_bit = F.when(dot(vec, plane) >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
         acc = acc * 2 + sign_bit
     return acc
+
+
+def kmeans_codebook(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 16,
+    iters: int = 3,
+) -> list[tuple[int, list[float]]]:
+    """Spherical-ish Lloyd iterations producing a trained IVF codebook —
+    the "swap in k-means centroids" upgrade the ivf_topk docstring
+    promises, and the engine's representative ITERATIVE algorithm
+    (bounded model state on the driver, all data work distributed).
+
+    Init = the k smallest-id corpus vectors (deterministic, no RNG).
+    Each iteration: centroids ship as an ``sc.broadcast`` matrix; cell
+    assignment is the same map-only numpy GEMM as ``ivf_topk``; the new
+    centroid is the per-cell mean computed by ONE shuffle of
+    (cell, dim) partial sums; only the k×dim codebook is ever collected.
+    Empty cells keep their previous centroid. Returns
+    ``[(cell_id, centroid_vector), ...]`` feedable to
+    ``ivf_topk(codebook=...)``.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    c = _as_double_vec(corpus, id_col, vec_col)
+    init_rows = c.orderBy("id").limit(k).collect()
+    cent = np.stack([np.asarray(r["vec"], dtype="float64") for r in init_rows])
+    sc = corpus.sparkSession.sparkContext
+
+    assign_schema = StructType(
+        [
+            StructField("cell", LongType(), False),
+            StructField("vec", ArrayType(DoubleType()), False),
+        ]
+    )
+    for _ in range(iters):
+        bc = sc.broadcast(cent)
+        cn = np.sqrt((cent * cent).sum(axis=1))
+
+        def assign(batches, _cn=cn):
+            cm = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.stack(pdf["vec"].to_numpy())
+                sim = (mat @ cm.T) / (
+                    np.sqrt((mat * mat).sum(axis=1))[:, None] * _cn[None, :]
+                )
+                yield pd.DataFrame(
+                    {"cell": np.argmax(sim, axis=1).astype("int64"), "vec": pdf["vec"]}
+                )
+
+        assigned = c.mapInPandas(assign, assign_schema)
+        # per-cell mean: explode dims once, ONE shuffle on (cell, dim)
+        means = (
+            assigned.select("cell", F.posexplode("vec").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new_cent = cent.copy()  # empty cells keep previous centroid
+        for r in means:
+            new_cent[r["cell"], r["dim"]] = r["m"]
+        bc.unpersist()
+        cent = new_cent
+    return [(i, [float(x) for x in cent[i]]) for i in range(k)]

@@ -85,6 +85,69 @@ def decode_audio(
     return files.mapInPandas(decode, WAVEFORM_SCHEMA)
 
 
+def encode_wav(
+    waveforms: DataFrame,
+    path_col: str = "path",
+    samples_col: str = "samples",
+    rate_col: str = "sample_rate",
+) -> DataFrame:
+    """S6: waveform rows → REAL 16-bit PCM RIFF/WAV bytes.
+
+    The reference converts MP3→WAV for the Azure recognizer
+    (`hebrew_alignment_tool.py:208-214`: librosa.load at 16 kHz +
+    soundfile write). The encode half needs no codec library — the
+    stdlib ``wave`` module writes the RIFF container — so unlike the
+    decode slot this is NOT a stub: output bytes are a valid mono WAV
+    any reader can parse. Floats are clipped to [-1, 1] and quantized
+    half-away-from-zero to int16, the same convention soundfile uses.
+    """
+    import wave
+    from io import BytesIO
+
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("path", StringType(), False),
+            StructField("sample_rate", IntegerType(), False),
+            StructField("num_samples", LongType(), False),
+            StructField("wav", BinaryType(), False),
+        ]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                x = np.asarray(row[samples_col], dtype="float64")
+                x = np.clip(x, -1.0, 1.0)
+                pcm = (np.sign(x) * np.floor(np.abs(x) * 32767 + 0.5)).astype("<i2")
+                sr = int(row[rate_col])
+                buf = BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(sr)
+                    w.writeframes(pcm.tobytes())
+                rows.append((row[path_col], sr, len(pcm), buf.getvalue()))
+            yield pd.DataFrame(
+                rows, columns=["path", "sample_rate", "num_samples", "wav"]
+            )
+
+    return waveforms.select(path_col, rate_col, samples_col).mapInPandas(
+        encode, out_schema
+    )
+
+
 IMAGE_FEATURE_SCHEMA = (
     "path string, width int, height int, mean_luma double, feature array<double>"
 )

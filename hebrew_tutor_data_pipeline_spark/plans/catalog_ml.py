@@ -466,6 +466,24 @@ def ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.ivf_topk(e, q, "vec_id", "embedding", k=10, num_cells=16, nprobe=4)
 
 
+@_register(
+    "ann_ivf_kmeans_top10",
+    oracle=None,  # iterative k-means training has no SQL twin; rows-only
+    tags=("ann", "ivf", "kmeans", "iterative"),
+)
+def ann_ivf_kmeans_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-10 probing a TRAINED codebook: two deterministic Lloyd
+    iterations (no RNG — init is the smallest-id vectors, ties resolved
+    by cell order) then the same probe plan as ann_ivf_top10. The
+    engine's representative iterative algorithm: per iteration one
+    map-only numpy assignment + one (cell, dim) shuffle; only the k×dim
+    codebook ever reaches the driver."""
+    e = spread(T(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < 5)
+    cb = ann.kmeans_codebook(e, "vec_id", "embedding", k=16, iters=2)
+    return ann.ivf_topk(e, q, "vec_id", "embedding", k=10, nprobe=4, codebook=cb)
+
+
 # ===========================================================================
 # Hebrew normalization (literal corpus — engine-constructed, sf-independent)
 # ===========================================================================

@@ -422,3 +422,43 @@ class TestUpsert:
         updates = spark.createDataFrame([("a", 1.0, "new")], ["k", "ts", "v"])
         got = last_wins_upsert(state, updates, ["k"], "ts").first()
         assert got["v"] == "new"
+
+
+class TestKmeansCodebook:
+    def make_corpus(self, spark, n=80, dim=8):
+        rows = [
+            (i, [math.sin((i + 1) * (d + 1) * 0.7) for d in range(dim)])
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, ["id", "vec"])
+
+    def test_deterministic_and_shaped(self, spark):
+        from hebrew_tutor_data_pipeline_spark.operators.ann import kmeans_codebook
+
+        corpus = self.make_corpus(spark)
+        cb1 = kmeans_codebook(corpus, "id", "vec", k=6, iters=2)
+        cb2 = kmeans_codebook(corpus, "id", "vec", k=6, iters=2)
+        assert cb1 == cb2  # no RNG anywhere
+        assert len(cb1) == 6 and all(len(v) == 8 for _, v in cb1)
+
+    def test_training_improves_or_matches_recall(self, spark):
+        from hebrew_tutor_data_pipeline_spark.operators.ann import (
+            kmeans_codebook,
+            ivf_topk,
+        )
+
+        corpus = self.make_corpus(spark)
+        queries = corpus.filter(F.col("id") < 3)
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in brute_force_topk(corpus, queries, "id", "vec", k=5).collect()
+        }
+        cb = kmeans_codebook(corpus, "id", "vec", k=8, iters=3)
+        trained = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(
+                corpus, queries, "id", "vec", k=5, nprobe=4, codebook=cb
+            ).collect()
+        }
+        recall = len(exact & trained) / len(exact)
+        assert recall >= 0.5, recall
