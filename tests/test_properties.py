@@ -124,3 +124,75 @@ class TestTokenizerProperties:
         df = spark.createDataFrame([(doc,)], ["text"])
         got = df.select(whitespace_tokens(F.col("text")).alias("t")).first()["t"]
         assert got == doc.split()
+
+
+class TestBandedSearchProperties:
+    @SLOW
+    @given(
+        docs=st.lists(texts, min_size=2, max_size=10),
+        max_d=st.integers(min_value=0, max_value=3),
+    )
+    def test_simhash_banding_is_exhaustive(self, spark, docs, max_d):
+        """With max_distance < bands the banded plan must equal brute
+        force exactly — the pigeonhole claim, property-checked."""
+        from hebrew_tutor_data_pipeline_spark.operators.dedup import (
+            simhash_near_dup_pairs,
+        )
+
+        rows = [(i, t) for i, t in enumerate(docs)]
+        df = spark.createDataFrame(rows, ["id", "text"])
+        banded = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_near_dup_pairs(
+                df, "id", "text", bits=16, bands=4, max_distance=max_d
+            ).collect()
+        }
+        fps = {r["id"]: r["simhash"] for r in simhash(df, "id", "text", bits=16).collect()}
+        brute = {
+            (a, b, bin(fps[a] ^ fps[b]).count("1"))
+            for a in fps
+            for b in fps
+            if a < b and bin(fps[a] ^ fps[b]).count("1") <= max_d
+        }
+        assert banded == brute
+
+
+class TestTranscribeProperties:
+    @SLOW
+    @given(
+        n_words=st.integers(min_value=0, max_value=40),
+        duration_s=st.integers(min_value=1, max_value=120),
+        drop_every=st.sampled_from([0, 2, 7]),
+    )
+    def test_transcribe_timing_invariants(self, spark, n_words, duration_s, drop_every):
+        """Chunk bounds always lie inside the audio; chunk indices are
+        non-decreasing in word order; dropped indices are exactly the
+        drop_every-th ones."""
+        from hebrew_tutor_data_pipeline_spark.operators import transcribe
+
+        text = " ".join(f"w{i}" for i in range(n_words))
+        df = spark.createDataFrame(
+            [("b", 1, text, duration_s * 1000)],
+            "book string, chapter int, text string, duration_ms long",
+        )
+        out = sorted(
+            transcribe.transcribe_words(
+                df, ["book", "chapter"], drop_every=drop_every
+            ).collect(),
+            key=lambda r: r.word_idx,
+        )
+        if n_words == 0:
+            assert out == []
+            return
+        expected_idx = [
+            i
+            for i in range(n_words)
+            if not (drop_every and i % drop_every == drop_every - 1)
+        ]
+        assert [r.word_idx for r in out] == expected_idx
+        prev_chunk = -1
+        for r in out:
+            assert 0 <= r.start_ms <= r.end_ms <= duration_s * 1000
+            assert r.chunk_idx >= prev_chunk
+            prev_chunk = r.chunk_idx
+            assert 0.5 <= r.confidence <= 0.99

@@ -196,3 +196,33 @@ class TestRunningEta:
         df = spark.createDataFrame([(45.0,), (120.0,), (7200.0,)], ["s"])
         got = [r[0] for r in df.select(format_eta(F.col("s"))).collect()]
         assert got == ["45 seconds", "2.0 minutes", "2.0 hours"]
+
+
+class TestStreamingTranscribe:
+    def test_transcribe_stream_equals_batch(self, spark, tmp_path):
+        """U1-U3 on a stream: mapInPandas operators run unchanged under
+        Structured Streaming — each micro-batch of chapters transcribes
+        against the executor-singleton model; results equal the batch
+        twin on identical input."""
+        from hebrew_tutor_data_pipeline_spark.operators import transcribe
+
+        rows = [
+            ("Gen", 1, "alpha beta gamma delta epsilon zeta", 30_000),
+            ("Gen", 2, "one two three four", 15_000),
+            ("Obad", 1, "lone verse text here", 20_000),
+        ]
+        schema = "book string, chapter int, text string, duration_ms long"
+        src = str(tmp_path / "chapters_in")
+        spark.createDataFrame(rows, schema).coalesce(2).write.mode("overwrite").json(src)
+
+        stream = spark.readStream.schema(schema).json(src)
+        out = transcribe.transcribe_words(stream, ["book", "chapter"], drop_every=7)
+        name = f"asr_{uuid.uuid4().hex[:8]}"
+        run_available_now(out, name)
+        streamed = sorted(map(tuple, spark.table(name).collect()))
+
+        batch = transcribe.transcribe_words(
+            spark.createDataFrame(rows, schema), ["book", "chapter"], drop_every=7
+        )
+        assert streamed == sorted(map(tuple, batch.collect()))
+        assert len(streamed) > 0
