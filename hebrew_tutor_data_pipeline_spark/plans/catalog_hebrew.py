@@ -321,34 +321,14 @@ def local_first_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("filename", "length", "source")
 
 
-@_register(
-    "chapter_pipeline_e2e",
-    oracle=None,  # contains the order-stateful J5 cursor: not SQL-expressible
-    tags=("S3", "J5", "W5", "W6", "U1", "S7", "S8"),
-    bench=True,
-)
-def chapter_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's entry point 1, `process_chapter`
-    (`hebrew_alignment_tool.py:417-464`), composed end-to-end as ONE
-    plan: resolve audio (S2/S3 inventory scan, fake-decode duration) →
-    extract chapter text (S1/P1 rollup) → mock-transcribe (U1–U3) →
-    fuzzy cursor align (J5/W5) → per-verse rollup (W6) → duration
-    validation invariant ≤1.1× (`hebrew_alignment_tool.py:405-415`) →
-    partitioned JSON sink + read-back (S7/S8). Every stage is the same
-    operator the standalone catalog entries exercise; this entry proves
-    they compose. Deterministic throughout, so the rows-only check is
-    stable; the invariants themselves are asserted in
-    tests/test_chapter_pipeline.py."""
-    import tempfile
-
-    from ..operators import transcribe
+def audio_duration_dim(spark: SparkSession) -> DataFrame:
+    """S2/S3 audio inventory with fake-decode durations at a
+    deterministic 10 ms/byte (integer math so mock transcription
+    timings are exact; rate chosen so the 2-5 KB fixture chapters span
+    MULTIPLE 20 s chunks and chunked timestamps vary per verse)."""
     from ..sources.readers import read_binary_files
 
-    # 1. S2/S3: audio inventory; fake-decode duration at a deterministic
-    # 10 ms/byte (integer math so mock transcription timings are exact;
-    # rate chosen so the 2-5 KB fixture chapters span MULTIPLE 20 s
-    # chunks and the chunked timestamps actually vary per verse).
-    inv = (
+    return (
         read_binary_files(spark, FIXTURE_AUDIO_TREE, glob="*.mp3")
         .filter(F.col("length") >= 1024)
         .select(
@@ -359,16 +339,19 @@ def chapter_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("length") * 10).cast("long").alias("duration_ms"),
         )
     )
-    # 2. chapters having BOTH corpus text and audio (broadcast dim join)
-    ch = chapter_texts(spark).join(F.broadcast(inv), ["book", "chapter"])
 
-    # 3. U1-U3 mock ASR (drop every 7th token: alignment has real work)
+
+def aligned_verse_rollup(spark: SparkSession, ch: DataFrame) -> DataFrame:
+    """Stages 3-5 of `process_chapter`: mock ASR (U1-U3, every 7th token
+    dropped) → J5 cursor alignment of corpus tokens vs transcript →
+    W6 per-verse rollup. ``ch`` = (book, chapter, text, duration_ms)."""
+    from pyspark.sql import Window
+
+    from ..operators import transcribe
+
     trans = transcribe.transcribe_words(
         ch, id_cols=["book", "chapter"], drop_every=7
     ).withColumn("chkey", F.concat_ws("_", "book", "chapter"))
-
-    # 4. J5 cursor alignment of corpus tokens vs transcript
-    from pyspark.sql import Window
 
     toks = (
         corpus_verses_df(spark)
@@ -396,8 +379,7 @@ def chapter_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.6,
     ).withColumnRenamed("group_key", "chkey")
 
-    # 5. W6 verse rollup (ref_idx → verse via the token table)
-    per_verse = (
+    return (
         aligned.join(
             toks.select("chkey", F.col("token_idx").alias("ref_idx"), "book", "chapter", "verse_num"),
             ["chkey", "ref_idx"],
@@ -408,8 +390,103 @@ def chapter_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("matched").alias("n_matched"),
             F.min("start").cast("long").alias("verse_start_ms"),
             F.max("end").cast("long").alias("verse_end_ms"),
+            F.round(F.avg(F.when(F.col("matched") == 1, F.col("similarity"))), 6).alias(
+                "mean_sim"
+            ),
         )
     )
+
+
+@_register(
+    "chapter_pipeline_fallback",
+    oracle=None,  # the aligned branch contains the stateful J5 cursor
+    tags=("J2", "W2", "W3", "P5", "U1"),
+)
+def chapter_pipeline_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's graceful-degradation composition: chapters WITH
+    audio run ASR → cursor alignment; chapters WITHOUT take the
+    estimation-only path that produced the reference's sole 929/929 run
+    (`scripts/hebrew_alignment_tool_gpu.py:470-505`
+    `create_estimated_alignment`; shipped variant
+    `hebrew_alignment_clean_fixed.py`): word-density allocation at a
+    400 ms/word prior, confidence pinned to the reference's 0.1
+    estimated-tier convention (`hebrew_alignment_optimized.py:514`
+    region; SURVEY.md §7.6). One left join decides the branch; the
+    union is the chapter-complete output the HTML viewer expects."""
+    inv = audio_duration_dim(spark)
+    texts = chapter_texts(spark)
+    ch_all = texts.join(F.broadcast(inv), ["book", "chapter"], "left")
+
+    # the rollup's ref side covers EVERY corpus chapter (unmatched rows
+    # for chapters with no transcript), so constrain the aligned branch
+    # to chapters that actually have audio before unioning
+    aligned = (
+        aligned_verse_rollup(spark, ch_all.filter(F.col("duration_ms").isNotNull()))
+        .join(F.broadcast(inv.select("book", "chapter")), ["book", "chapter"], "left_semi")
+        .select(
+            "book",
+            "chapter",
+            "verse_num",
+            "word_count",
+            F.col("verse_start_ms").alias("start_ms"),
+            F.col("verse_end_ms").alias("end_ms"),
+            F.col("mean_sim").alias("confidence"),
+            F.lit("aligned").alias("source"),
+        )
+    )
+
+    from pyspark.sql import Window
+
+    no_audio = (
+        corpus_verses_df(spark)
+        .join(F.broadcast(inv.select("book", "chapter")), ["book", "chapter"], "left_anti")
+        .withColumn("word_count", F.size("words"))
+    )
+    w = (
+        Window.partitionBy("book", "chapter")
+        .orderBy("verse_num")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    estimated = no_audio.select(
+        "book",
+        "chapter",
+        "verse_num",
+        "word_count",
+        (F.coalesce(F.sum("word_count").over(w), F.lit(0)) * 400).cast("long").alias("start_ms"),
+        ((F.coalesce(F.sum("word_count").over(w), F.lit(0)) + F.col("word_count")) * 400)
+        .cast("long")
+        .alias("end_ms"),
+        F.lit(0.1).alias("confidence"),
+        F.lit("estimated").alias("source"),
+    )
+    return aligned.unionByName(estimated)
+
+
+@_register(
+    "chapter_pipeline_e2e",
+    oracle=None,  # contains the order-stateful J5 cursor: not SQL-expressible
+    tags=("S3", "J5", "W5", "W6", "U1", "S7", "S8"),
+    bench=True,
+)
+def chapter_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's entry point 1, `process_chapter`
+    (`hebrew_alignment_tool.py:417-464`), composed end-to-end as ONE
+    plan: resolve audio (S2/S3 inventory scan, fake-decode duration) →
+    extract chapter text (S1/P1 rollup) → mock-transcribe (U1–U3) →
+    fuzzy cursor align (J5/W5) → per-verse rollup (W6) → duration
+    validation invariant ≤1.1× (`hebrew_alignment_tool.py:405-415`) →
+    partitioned JSON sink + read-back (S7/S8). Every stage is the same
+    operator the standalone catalog entries exercise; this entry proves
+    they compose. Deterministic throughout, so the rows-only check is
+    stable; the invariants themselves are asserted in
+    tests/test_chapter_pipeline.py."""
+    import tempfile
+
+    # 2. chapters having BOTH corpus text and audio (broadcast dim join)
+    ch = chapter_texts(spark).join(F.broadcast(audio_duration_dim(spark)), ["book", "chapter"])
+
+    # 3-5. mock ASR → cursor align → verse rollup (shared helper)
+    per_verse = aligned_verse_rollup(spark, ch).drop("mean_sim")
 
     # 6. validation invariant: chapter total ≤ 1.1 × audio duration
     flagged = alignment.validate_total_duration(

@@ -110,3 +110,37 @@ def test_chapter_pipeline_e2e_invariants(spark):
             if r.verse_start_ms is not None:
                 assert r.verse_start_ms >= prev_start
                 prev_start = r.verse_start_ms
+
+
+def test_chapter_pipeline_fallback_covers_corpus_exactly_once(spark):
+    """Graceful degradation (`hebrew_alignment_tool_gpu.py:470-505`):
+    chapters with audio come back 'aligned', the rest 'estimated' at the
+    0.1 confidence tier — together exactly one row per corpus verse."""
+    from hebrew_tutor_data_pipeline_spark.plans.catalog import CATALOG
+    from hebrew_tutor_data_pipeline_spark.plans.catalog_hebrew import corpus_verses_df
+
+    rows = CATALOG["chapter_pipeline_fallback"].spark(spark, SF_SMOKE).collect()
+    keys = [(r.book, r.chapter, r.verse_num) for r in rows]
+    assert len(keys) == len(set(keys))  # exactly once
+    assert len(rows) == corpus_verses_df(spark).count()
+    srcs = {r.source for r in rows}
+    assert srcs == {"aligned", "estimated"}
+    for r in rows:
+        if r.source == "estimated":
+            assert r.confidence == 0.1
+            # word-density allocation at 400 ms/word: contiguous, exact
+            assert r.end_ms - r.start_ms == 400 * r.word_count
+        else:
+            assert r.confidence is None or 0.0 <= r.confidence <= 1.0
+    # estimated verses within a chapter tile the timeline with no gaps
+    from itertools import groupby
+
+    est = sorted(
+        (r for r in rows if r.source == "estimated"),
+        key=lambda r: (r.book, r.chapter, r.verse_num),
+    )
+    for _, ch_rows in groupby(est, key=lambda r: (r.book, r.chapter)):
+        expected_start = 0
+        for r in ch_rows:
+            assert r.start_ms == expected_start
+            expected_start = r.end_ms
