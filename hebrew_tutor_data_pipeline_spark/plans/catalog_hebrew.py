@@ -519,6 +519,107 @@ def chapter_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "trimmer_pipeline_e2e",
+    oracle=None,  # side-effect sink pipeline; deterministic rows-only
+    tags=("S2", "S5", "A7", "A8", "W1", "P5", "S10", "F8"),
+)
+def trimmer_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's entry point 2, the audio trimmer
+    (`scripts/hebrew_audio_trimmer.py` batch mode), composed end-to-end:
+    S2 glob scan → S5 decode (fake codec; waveform tiled 64× and its
+    first 3 s quieted to 1% so the intro detector has real work) → A7
+    tumbling RMS segments → A8 baseline threshold with intro skip → W1
+    first-over-threshold + P5 >1 s gate → proportional byte trim → S10
+    overwrite-with-backup → re-scan → restore-from-backup → re-scan.
+    The trimmed inventory is snapshotted to parquet BEFORE restore so
+    the returned plan stays deterministic when re-collected. Output per
+    file: original/trimmed/restored lengths + the suggestion — the
+    restore proving the backup tree holds the originals
+    (`hebrew_audio_trimmer.py:89-103,480-502`)."""
+    import shutil
+    import tempfile
+
+    from ..operators import audio as audio_ops
+    from ..operators.binary_sink import overwrite_with_backup, restore_from_backup
+    from ..operators.multimodal import decode_audio
+    from ..sources.readers import read_binary_files
+
+    app = spark.sparkContext.applicationId
+    scratch = Path(tempfile.gettempdir()) / f"htdp_trim_{app}"
+    backup = Path(tempfile.gettempdir()) / f"htdp_trim_backup_{app}"
+    snap = Path(tempfile.gettempdir()) / f"htdp_trim_snap_{app}"
+    for p in (scratch, backup, snap):
+        if p.exists():
+            shutil.rmtree(p)
+    shutil.copytree(FIXTURE_AUDIO_TREE, scratch)  # mutable working copy
+
+    def scan():
+        return read_binary_files(spark, str(scratch), glob="*.mp3").filter(
+            F.col("length") >= 1024
+        )
+
+    files = scan()
+    wf = decode_audio(files).select(
+        "path",
+        "sample_rate",
+        F.flatten(F.array_repeat(F.col("samples"), 64)).alias("samples"),
+    )
+    wf = wf.withColumn(
+        "samples",
+        F.expr(
+            "transform(samples, (x, i) ->"
+            " IF(i < CAST(3 * sample_rate AS INT), x * 0.01d, x))"
+        ),
+    ).withColumn("duration", F.size("samples") / F.col("sample_rate"))
+    segs = audio_ops.rms_energy_segments(wf, segment_seconds=1.0)
+    sugg = audio_ops.suggest_intro_trim(
+        segs, skip_segments=2, factor=0.3, buffer_seconds=0.25, min_trim=1.0
+    ).join(wf.select("path", "duration"), "path")
+
+    # proportional byte trim: drop the leading suggested/duration share
+    to_trim = (
+        files.join(sugg.filter(F.col("should_trim")), "path")
+        .withColumn(
+            "_off",
+            F.floor(F.col("length") * F.col("suggested_trim") / F.col("duration"))
+            .cast("int"),
+        )
+        .select("path", F.expr("substring(content, _off + 1)").alias("content"))
+    )
+    overwrite_with_backup(to_trim, str(backup), str(scratch))
+
+    # snapshot trimmed lengths to an immutable parquet BEFORE restoring
+    # (no size gate here: a trim may legitimately push a small file
+    # under the 1 KB inventory threshold and it must still be reported)
+    read_binary_files(spark, str(scratch), glob="*.mp3").select(
+        F.regexp_extract("path", r"([^/]+)$", 1).alias("filename"),
+        F.col("length").alias("trimmed_length"),
+    ).write.mode("overwrite").parquet(str(snap))
+
+    n_restored = restore_from_backup(spark, str(backup), str(scratch))
+    assert n_restored > 0
+
+    orig = read_binary_files(spark, str(FIXTURE_AUDIO_TREE), glob="*.mp3").select(
+        F.regexp_extract("path", r"([^/]+)$", 1).alias("filename"),
+        F.col("length").alias("orig_length"),
+    )
+    restored = scan().select(
+        F.regexp_extract("path", r"([^/]+)$", 1).alias("filename"),
+        F.col("length").alias("restored_length"),
+    )
+    s = sugg.select(
+        F.regexp_extract("path", r"([^/]+)$", 1).alias("filename"),
+        F.round("suggested_trim", 2).alias("suggested_trim"),
+        "should_trim",
+    )
+    return (
+        orig.join(spark.read.parquet(str(snap)), "filename")
+        .join(restored, "filename")
+        .join(s, "filename")
+    )
+
+
+@_register(
     "alignment_sink_roundtrip",
     oracle=f"""
 WITH {_CORPUS_SQL}

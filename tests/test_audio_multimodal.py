@@ -253,3 +253,18 @@ class TestWavEncode:
         for r in wavs:
             assert bytes(r["wav"])[:4] == b"RIFF"
             assert r["num_samples"] > 0
+
+
+def test_trimmer_pipeline_e2e_roundtrip(spark):
+    """Entry point 2 composed: detect intro -> trim bytes in place with
+    backup -> restore. Restored lengths must equal the originals and
+    trims must have actually shortened the working copies."""
+    from hebrew_tutor_data_pipeline_spark.plans.catalog import CATALOG
+
+    rows = CATALOG["trimmer_pipeline_e2e"].spark(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert r.restored_length == r.orig_length          # backup proven
+        if r.should_trim:
+            assert r.trimmed_length < r.orig_length        # mutation proven
+            assert r.suggested_trim > 1.0                  # P5 gate

@@ -254,3 +254,21 @@ class TestBinarySideEffectSinks:
 
         with pytest.raises(NotImplementedError):
             upload_blobs(files, fake=False)
+
+    def test_with_content_serves_winning_bytes(self, spark, tmp_path):
+        from hebrew_tutor_data_pipeline_spark.sources.readers import local_first_scan
+
+        loc = tmp_path / "loc" / "b"
+        rem = tmp_path / "rem" / "b"
+        loc.mkdir(parents=True)
+        rem.mkdir(parents=True)
+        (loc / "f.mp3").write_bytes(b"LOCAL")
+        (rem / "f.mp3").write_bytes(b"REMOTE-BYTES")
+        (rem / "g.mp3").write_bytes(b"ONLY-REMOTE")
+        got = {
+            r["filename"]: bytes(r["content"])
+            for r in local_first_scan(
+                spark, str(tmp_path / "loc"), str(tmp_path / "rem"), with_content=True
+            ).collect()
+        }
+        assert got == {"f.mp3": b"LOCAL", "g.mp3": b"ONLY-REMOTE"}
