@@ -849,3 +849,74 @@ def progress_running_eta(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts",
         total=200,
     )
+
+
+@_register(
+    "skewed_event_profile",
+    oracle="""
+WITH j AS (
+    SELECT e.event_type, e.event_id, e.user_id,
+           CAST(e.value AS DECIMAL(18,6)) AS value_dec,
+           CAST(e.value AS DECIMAL(18,6)) * len(e.event_type) AS wvalue
+    FROM events e
+)
+SELECT event_type,
+       count(event_id) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(round(sum(value_dec), 2) AS DOUBLE) AS total_value,
+       CAST(round(sum(wvalue), 2) AS DOUBLE) AS weighted_value,
+       array_to_string(list_sort(list(DISTINCT user_id)), ',') AS user_csv
+FROM j
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("A5", "A10", "scale-skew", "§2.11"),
+)
+def skewed_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation demo with an exact oracle: ``event_type`` has ~5
+    distinct values over the whole events table — the worst-case shuffle
+    key. The plan joins the fact table to a per-type dim via
+    ``salted_join`` (each hot key split across 8 sub-keys) and then runs
+    the profile aggregation via ``salted_aggregate`` two-phase hashing,
+    so no single reducer ever holds a full event type's rows — the
+    collect_set partials stay bounded. The oracle is the straight
+    join+groupBy: salting must be invisible in the result. Money math in
+    DECIMAL so both engines sum exactly (order-invariant), then one
+    round+cast at the edge. The reference's analog is its per-chapter
+    success/failure tally (`fixed_hebrew_aligner.py` process_all_chapters
+    summary loop) which never distributes at all."""
+    from ..operators.skew import salted_aggregate, salted_join
+
+    e = T(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(18,6)")
+    )
+    type_dim = (
+        e.select("event_type").distinct().withColumn("type_len", F.length("event_type"))
+    )
+    joined = salted_join(
+        e.select("event_type", "event_id", "user_id", "value_dec"),
+        type_dim,
+        on="event_type",
+        n_salts=8,
+    ).withColumn("wvalue", F.col("value_dec") * F.col("type_len"))
+    prof = salted_aggregate(
+        joined,
+        keys=["event_type"],
+        aggs={
+            "n_events": ("event_id", "count"),
+            "total_value": ("value_dec", "sum"),
+            "weighted_value": ("wvalue", "sum"),
+            "users": ("user_id", "collect_set"),
+        },
+        n_salts=8,
+    )
+    return prof.select(
+        "event_type",
+        "n_events",
+        F.size("users").alias("n_users"),
+        F.round(F.col("total_value"), 2).cast("double").alias("total_value"),
+        F.round(F.col("weighted_value"), 2).cast("double").alias("weighted_value"),
+        F.array_join(
+            F.transform(F.array_sort("users"), lambda x: x.cast("string")), ","
+        ).alias("user_csv"),
+    ).orderBy("event_type")

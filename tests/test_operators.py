@@ -462,3 +462,106 @@ class TestKmeansCodebook:
         }
         recall = len(exact & trained) / len(exact)
         assert recall >= 0.5, recall
+
+
+class TestSkewOperators:
+    """salted_join / salted_aggregate must be result-invisible: identical
+    output to the plain join / groupBy they replace (§2.11 scale posture)."""
+
+    def _events(self, spark):
+        from hebrew_tutor_data_pipeline_spark.sources.readers import load_table
+
+        return load_table(spark, "/root/testdata/sf0.001", "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+
+    def test_salted_join_matches_plain_join(self, spark):
+        from pyspark.sql import functions as F
+
+        from hebrew_tutor_data_pipeline_spark.operators.skew import salted_join
+
+        e = self._events(spark)
+        dim = e.select("event_type").distinct().withColumn(
+            "type_len", F.length("event_type")
+        )
+        plain = e.join(dim, "event_type").orderBy("event_id").collect()
+        salted = (
+            salted_join(e, dim, on="event_type", n_salts=7)
+            .orderBy("event_id")
+            .collect()
+        )
+        assert [sorted(r.asDict().items()) for r in salted] == [
+            sorted(r.asDict().items()) for r in plain
+        ]
+
+    def test_salted_left_join_keeps_unmatched(self, spark):
+        from pyspark.sql import functions as F
+
+        from hebrew_tutor_data_pipeline_spark.operators.skew import salted_join
+
+        e = self._events(spark)
+        dim = (
+            e.select("event_type")
+            .distinct()
+            .filter(F.col("event_type") != "click")  # force unmatched rows
+            .withColumn("type_len", F.length("event_type"))
+        )
+        out = salted_join(e, dim, on="event_type", n_salts=5, how="left")
+        clicks = out.filter(F.col("event_type") == "click")
+        assert clicks.count() == e.filter(F.col("event_type") == "click").count()
+        assert clicks.filter(F.col("type_len").isNotNull()).count() == 0
+
+    def test_salted_aggregate_matches_direct(self, spark):
+        from pyspark.sql import functions as F
+
+        from hebrew_tutor_data_pipeline_spark.operators.skew import salted_aggregate
+
+        e = self._events(spark)
+        direct = (
+            e.groupBy("event_type")
+            .agg(
+                F.count("event_id").alias("n"),
+                F.min("value").alias("vmin"),
+                F.max("value").alias("vmax"),
+                F.avg("user_id").alias("u_avg"),
+                F.sort_array(F.collect_set("user_id")).alias("users"),
+            )
+            .orderBy("event_type")
+            .collect()
+        )
+        salted = (
+            salted_aggregate(
+                e,
+                keys=["event_type"],
+                aggs={
+                    "n": ("event_id", "count"),
+                    "vmin": ("value", "min"),
+                    "vmax": ("value", "max"),
+                    "u_avg": ("user_id", "avg"),
+                    "users": ("user_id", "collect_set"),
+                },
+                n_salts=6,
+            )
+            .withColumn("users", F.sort_array("users"))
+            .orderBy("event_type")
+            .collect()
+        )
+        for d, s in zip(direct, salted):
+            assert d.event_type == s.event_type
+            assert d.n == s.n and d.vmin == s.vmin and d.vmax == s.vmax
+            assert abs(d.u_avg - s.u_avg) < 1e-9
+            assert d.users == s.users
+
+    def test_unsupported_kind_rejected(self, spark):
+        import pytest
+
+        from hebrew_tutor_data_pipeline_spark.operators.skew import (
+            salted_aggregate,
+            salted_join,
+        )
+
+        e = self._events(spark)
+        with pytest.raises(ValueError):
+            salted_aggregate(e, ["event_type"], {"x": ("value", "median")})
+        with pytest.raises(ValueError):
+            salted_join(e, e.limit(1), on="event_type", how="full")

@@ -91,6 +91,13 @@ EXPECTATIONS: dict[str, list[tuple[bool, str, str]]] = {
         (True, "Window", "running count/elapsed/ETA in one window sort"),
         (True, "PushedFilters", "user predicate reaches the events scan"),
     ],
+    "skewed_event_profile": [
+        # hot keys split across 8 sub-keys: the join/agg keys must include
+        # the salt so no reducer sees a whole event_type
+        (True, "_salt", "salt participates in the shuffle keys"),
+        (True, "ObjectHashAggregate", "collect_set partials aggregated per (key, salt)"),
+        (True, "!BatchEvalPython", "salting is pure column arithmetic, no Python"),
+    ],
 }
 
 
