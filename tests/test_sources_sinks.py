@@ -272,3 +272,84 @@ class TestBinarySideEffectSinks:
             ).collect()
         }
         assert got == {"f.mp3": b"LOCAL", "g.mp3": b"ONLY-REMOTE"}
+
+
+class TestBucketedTables:
+    """Bucketing = pay the join shuffle once at write time: a join of two
+    tables bucketed on the same key must plan with ZERO Exchange and
+    return exactly the shuffled join's rows."""
+
+    def test_bucketed_join_is_exchange_free_and_correct(self, spark, tmp_path):
+        import io
+        from contextlib import redirect_stdout
+
+        from hebrew_tutor_data_pipeline_spark.sources.bucketed import (
+            bucket_spec,
+            write_bucketed,
+        )
+        from hebrew_tutor_data_pipeline_spark.sources.readers import load_table
+
+        sf = "/root/testdata/sf0.001"
+        orders = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        customer = load_table(spark, sf, "customer").select("c_custkey", "c_name")
+
+        write_bucketed(
+            orders, "b_orders", "o_custkey", 8, sort_cols="o_custkey",
+            path=str(tmp_path / "b_orders"),
+        )
+        write_bucketed(
+            customer.withColumnRenamed("c_custkey", "o_custkey"),
+            "b_customer", "o_custkey", 8, sort_cols="o_custkey",
+            path=str(tmp_path / "b_customer"),
+        )
+        assert bucket_spec(spark, "b_orders") == (8, ["o_custkey"])
+        assert bucket_spec(spark, "b_customer") == (8, ["o_custkey"])
+
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("b_orders").join(spark.table("b_customer"), "o_custkey")
+            joined.collect()  # finalize AQE so the audited plan is the real one
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                joined.explain("formatted")
+            plan = buf.getvalue()
+            assert "Exchange" not in plan, plan
+            assert "SortMergeJoin" in plan, plan
+
+            expect = (
+                orders.join(
+                    customer.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey"
+                )
+                .orderBy("o_orderkey")
+                .collect()
+            )
+            got = joined.orderBy("o_orderkey").collect()
+            assert [r.asDict() for r in got] == [r.asDict() for r in expect]
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("DROP TABLE IF EXISTS b_orders")
+            spark.sql("DROP TABLE IF EXISTS b_customer")
+
+    def test_bucketed_groupby_is_exchange_free(self, spark, tmp_path):
+        import io
+        from contextlib import redirect_stdout
+
+        from pyspark.sql import functions as F
+
+        from hebrew_tutor_data_pipeline_spark.sources.bucketed import write_bucketed
+        from hebrew_tutor_data_pipeline_spark.sources.readers import load_table
+
+        sf = "/root/testdata/sf0.001"
+        li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+        write_bucketed(li, "b_li", "l_orderkey", 8, path=str(tmp_path / "b_li"))
+        try:
+            agg = spark.table("b_li").groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+            agg.collect()
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                agg.explain("formatted")
+            plan = buf.getvalue()
+            assert "Exchange" not in plan, plan
+        finally:
+            spark.sql("DROP TABLE IF EXISTS b_li")
