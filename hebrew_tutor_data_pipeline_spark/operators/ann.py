@@ -250,7 +250,11 @@ def kmeans_codebook(
         StructType,
     )
 
-    c = _as_double_vec(corpus, id_col, vec_col)
+    # The training loop reads the prepared vectors iters+1 times; cache
+    # them once instead of re-scanning + re-casting per iteration. At
+    # 100 TB codebook training runs on a corpus SAMPLE (pass a sampled
+    # DataFrame in), so the cached set stays executor-memory bounded.
+    c = _as_double_vec(corpus, id_col, vec_col).persist()
     init_rows = c.orderBy("id").limit(k).collect()
     cent = np.stack([np.asarray(r["vec"], dtype="float64") for r in init_rows])
     sc = corpus.sparkSession.sparkContext
@@ -279,16 +283,23 @@ def kmeans_codebook(
                 )
 
         assigned = c.mapInPandas(assign, assign_schema)
-        # per-cell mean: explode dims once, ONE shuffle on (cell, dim)
+
+        # per-cell mean: shuffle the vectors into k pandas groups and
+        # reduce with one numpy mean per cell — k rows out, instead of
+        # exploding every (cell, dim) element through the exchange
+        def cell_mean(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            m = np.stack(pdf["vec"].to_numpy()).mean(axis=0)
+            return pd.DataFrame({"cell": [int(pdf["cell"].iloc[0])], "vec": [list(m)]})
+
         means = (
-            assigned.select("cell", F.posexplode("vec").alias("dim", "x"))
-            .groupBy("cell", "dim")
-            .agg(F.avg("x").alias("m"))
+            assigned.groupBy("cell")
+            .applyInPandas(cell_mean, "cell long, vec array<double>")
             .collect()
         )
         new_cent = cent.copy()  # empty cells keep previous centroid
         for r in means:
-            new_cent[r["cell"], r["dim"]] = r["m"]
+            new_cent[r["cell"], :] = np.asarray(r["vec"], dtype="float64")
         bc.unpersist()
         cent = new_cent
+    c.unpersist()
     return [(i, [float(x) for x in cent[i]]) for i in range(k)]

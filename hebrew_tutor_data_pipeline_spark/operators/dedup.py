@@ -167,11 +167,27 @@ def ngram_jaccard_pairs(
         ),
     )
     if max_shingle_freq is not None:
-        freq = posting.groupBy("shingle").agg(F.count("*").alias("df"))
-        posting = posting.join(
-            freq.filter(F.col("df") <= max_shingle_freq), "shingle"
-        ).select("id", "nsh", "shingle")
-    a, b = posting.alias("a"), posting.alias("b")
+        # Document-frequency prune as a windowed count, NOT a groupBy +
+        # join back: the window keeps the pruned postings in ONE subtree
+        # partitioned by shingle, so (a) the pandas posting stage runs
+        # once — the self-join's two children become identical exchanges
+        # and ReuseExchange fires — and (b) the join below re-uses the
+        # window's hash partitioning instead of adding its own shuffle.
+        from pyspark.sql import Window
+
+        posting = (
+            posting.withColumn(
+                "_df", F.count("*").over(Window.partitionBy("shingle"))
+            )
+            .filter(F.col("_df") <= max_shingle_freq)
+            .select("id", "nsh", "shingle")
+        )
+    # Pin the self-join to sort-merge: a posting table never broadcasts
+    # at scale (it is the corpus itself), and with BOTH children shuffled
+    # on the shingle the subtrees are identical, so the exchange is
+    # computed once and reused — the pandas posting stage runs a single
+    # time instead of once per join side.
+    a, b = posting.alias("a").hint("merge"), posting.alias("b").hint("merge")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(
@@ -404,6 +420,21 @@ def simhash_near_dup_pairs(
     )
     p = fps.select("id", "simhash", F.posexplode(band_vals).alias("band", "bval"))
     a, b = p.alias("a"), p.alias("b")
+
+    def band_val(side: str, k: int) -> Column:
+        return F.shiftright(F.col(f"{side}.simhash"), k * band_bits).bitwiseAND(
+            F.lit(mask)
+        )
+
+    # Emit each pair from its LOWEST agreeing band only: a pure bitwise
+    # filter on the joined row replaces the former `.distinct()`, which
+    # shuffled the full (quadratic-ish) result set a second time just to
+    # drop cross-band duplicates.
+    earlier_band_agrees = F.lit(False)
+    for j in range(bands - 1):
+        earlier_band_agrees = earlier_band_agrees | (
+            (F.col("a.band") > j) & (band_val("a", j) == band_val("b", j))
+        )
     return (
         a.join(
             b,
@@ -411,12 +442,12 @@ def simhash_near_dup_pairs(
             & (F.col("a.bval") == F.col("b.bval"))
             & (F.col("a.id") < F.col("b.id")),
         )
+        .filter(~earlier_band_agrees)
         .withColumn(
             "hamming", hamming_distance(F.col("a.simhash"), F.col("b.simhash"), bits)
         )
         .filter(F.col("hamming") <= max_distance)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming")
-        .distinct()  # pairs agreeing on several bands appear once per band
     )
 
 

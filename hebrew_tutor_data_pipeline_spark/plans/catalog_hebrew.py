@@ -570,11 +570,17 @@ def trimmer_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(samples, (x, i) ->"
             " IF(i < CAST(3 * sample_rate AS INT), x * 0.01d, x))"
         ),
-    ).withColumn("duration", F.size("samples") / F.col("sample_rate"))
-    segs = audio_ops.rms_energy_segments(wf, segment_seconds=1.0)
+    )
+    # Persist the per-second RMS segments (rows = files × seconds —
+    # tiny vs the waveforms): every downstream consumer (threshold,
+    # first-loud, duration, report) reads the cache, so the decode +
+    # tile + explode pipeline executes exactly once. Duration comes from
+    # the last segment's end (== total_samples/sr exactly) instead of a
+    # second decode pass over the samples.
+    segs = audio_ops.rms_energy_segments(wf, segment_seconds=1.0).persist()
     sugg = audio_ops.suggest_intro_trim(
         segs, skip_segments=2, factor=0.3, buffer_seconds=0.25, min_trim=1.0
-    ).join(wf.select("path", "duration"), "path")
+    ).join(segs.groupBy("path").agg(F.max("end_time").alias("duration")), "path")
 
     # proportional byte trim: drop the leading suggested/duration share
     to_trim = (
