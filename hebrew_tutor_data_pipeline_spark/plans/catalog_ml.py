@@ -577,3 +577,78 @@ def cursor_align_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         window=5,
         threshold=0.6,
     )
+
+
+@_register(
+    "corpus_curation_pipeline",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, lang, text, {_TOKENS_SQL} AS toks FROM documents
+), s AS (
+    SELECT doc_id, lang, text,
+           len(toks) AS n_tokens,
+           coalesce(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                    / nullif(len(regexp_replace(text, '\\s', '', 'g')), 0), 0) AS punct_ratio,
+           len(regexp_extract_all(lower(text), '\\b({_EN_MARKERS})\\b')) AS s_en,
+           len(regexp_extract_all(lower(text), '\\b({_DE_MARKERS})\\b')) AS s_de,
+           len(regexp_extract_all(lower(text), '\\b({_FR_MARKERS})\\b')) AS s_fr,
+           len(regexp_extract_all(lower(text), '\\b({_ES_MARKERS})\\b')) AS s_es,
+           len(text) - len(regexp_replace(text, '[\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) AS s_zh
+    FROM t
+), p AS (
+    SELECT *,
+           CASE
+             WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+             WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+             WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+             WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+             WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+             ELSE 'zh'
+           END AS predicted_lang
+    FROM s
+), gated AS (
+    SELECT * FROM p
+    WHERE n_tokens BETWEEN 20 AND 90
+      AND punct_ratio <= 0.2
+      AND predicted_lang = lang
+), kept AS (
+    SELECT doc_id, lang, n_tokens, md5(text) AS digest,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM gated
+)
+SELECT doc_id, lang, n_tokens, digest FROM kept WHERE rn = 1
+""",
+    tags=("text-analysis", "dedup", "curation", "pipeline"),
+    bench=True,
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical training-data curation flow composed as ONE plan:
+    quality gates (token-count band + punctuation ratio) → language
+    confirmation (n-gram heuristic must agree with the labeled lang) →
+    exact dedup keep-first — the cheap tiers every corpus pass runs
+    before MinHash/embedding dedup. All stages are single-pass JVM
+    column expressions feeding one window; the only shuffle is the
+    dedup's hash-partitioned row_number on the md5 digest. On this
+    synthetic corpus the dedup tier keeps everything (no exact dups
+    exist — the oracle proves the semantics, not the hit rate); the
+    gates drop real rows. No reference analog: this is the
+    training-pipeline surface the contract adds beyond the reference."""
+    d = spread(T(spark, sf_dir, "documents"))
+    c = F.col("text")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        text.whitespace_token_count(c).alias("n_tokens"),
+        text.punct_ratio(c).alias("punct_ratio"),
+        text.predict_lang(c).alias("predicted_lang"),
+    )
+    gated = scored.filter(
+        F.col("n_tokens").between(20, 90)
+        & (F.col("punct_ratio") <= 0.2)
+        & (F.col("predicted_lang") == F.col("lang"))
+    )
+    kept = dedup.exact_dedup(gated, ["text"], "doc_id")
+    return kept.select(
+        "doc_id", "lang", "n_tokens", F.md5(F.col("text")).alias("digest")
+    )

@@ -91,6 +91,11 @@ EXPECTATIONS: dict[str, list[tuple[bool, str, str]]] = {
         (True, "Window", "running count/elapsed/ETA in one window sort"),
         (True, "PushedFilters", "user predicate reaches the events scan"),
     ],
+    "corpus_curation_pipeline": [
+        (True, "Window", "dedup keep-first is one row_number window"),
+        (True, "!BatchEvalPython", "gates + lang-ID are JVM regex expressions"),
+        (True, "[codegen id :", "scoring pipeline inside whole-stage codegen"),
+    ],
     "skewed_event_profile": [
         # hot keys split across 8 sub-keys: the join/agg keys must include
         # the salt so no reducer sees a whole event_type
