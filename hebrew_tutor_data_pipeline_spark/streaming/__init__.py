@@ -8,6 +8,7 @@ plan as its batch twin in operators/plans, so batch results verify the
 streaming path.
 """
 
+from .dedup import dedup_within_watermark  # noqa: F401
 from .sources import events_file_stream, rate_stream  # noqa: F401
 from .windows import (  # noqa: F401
     session_window_stats,

@@ -226,3 +226,37 @@ class TestStreamingTranscribe:
         )
         assert streamed == sorted(map(tuple, batch.collect()))
         assert len(streamed) > 0
+
+
+class TestStreamingDedup:
+    def test_redelivered_keys_dropped_vs_batch_distinct(self, spark, events_dir, tmp_path):
+        """An at-least-once source re-delivers every file: streaming dedup
+        must emit each event_id once — exactly the batch distinct set —
+        with state bounded by the watermark, not by stream length."""
+        import glob as globmod
+
+        from hebrew_tutor_data_pipeline_spark.streaming import (
+            dedup_within_watermark,
+            events_file_stream,
+        )
+
+        dup_dir = tmp_path / "dup_in"
+        dup_dir.mkdir()
+        for i, f in enumerate(sorted(globmod.glob(events_dir + "/*.json"))):
+            shutil.copy(f, dup_dir / f"a{i}.json")
+            shutil.copy(f, dup_dir / f"b{i}.json")  # the re-delivery
+
+        stream = events_file_stream(
+            spark, str(dup_dir), fmt="json", max_files_per_trigger=3
+        )
+        out = dedup_within_watermark(stream, ["event_id"], ts_col="ts", delay="10 minutes")
+        name = f"dedup_{uuid.uuid4().hex[:8]}"
+        run_available_now(out, name)
+
+        got = sorted(r["event_id"] for r in spark.table(name).collect())
+        src = spark.read.schema(
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string"
+        ).json(events_dir)
+        want = sorted(r["event_id"] for r in src.select("event_id").distinct().collect())
+        assert got == want and len(got) > 0
