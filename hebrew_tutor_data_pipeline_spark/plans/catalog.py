@@ -920,3 +920,99 @@ def skewed_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.array_sort("users"), lambda x: x.cast("string")), ","
         ).alias("user_csv"),
     ).orderBy("event_type")
+
+
+@_register(
+    "price_quantiles_by_flag",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5) + 0.0000001, 2) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9) + 0.0000001, 2) AS p90,
+       round(quantile_cont(l_extendedprice, 0.99) + 0.0000001, 2) AS p99,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("A12", "quantiles"),
+)
+def price_quantiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group — the distribution-shape
+    aggregate every curation/quality report needs. Spark's `percentile`
+    and DuckDB's `quantile_cont` share the linear-interpolation
+    definition; the epsilon-round absorbs last-ulp differences between
+    their algebraically-equivalent interpolation formulas. At 100 TB
+    swap `percentile` for `approx_percentile` (t-digest sketch, one
+    pass, mergeable partials) — same plan shape, bounded memory."""
+    li = T(spark, sf_dir, "lineitem")
+    eps = F.lit(0.0000001)
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)") + eps, 2).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)") + eps, 2).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)") + eps, 2).alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
+@_register(
+    "cube_status_priority",
+    oracle="""
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders,
+       round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)::DOUBLE AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    tags=("A6", "cube"),
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 extended to the full CUBE lattice: every (status, priority)
+    combination plus all three grand-total planes in one pass — Spark
+    expands the lattice map-side (Expand node) so the shuffle still
+    carries one row per (group, lattice-cell), no second scan. DECIMAL
+    sum so both engines add exactly."""
+    o = T(spark, sf_dir, "orders").withColumn(
+        "price_dec", F.col("o_totalprice").cast("decimal(18,4)")
+    )
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("price_dec"), 2).cast("double").alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total",
+        )
+    )
+
+
+@_register(
+    "pivot_user_event_counts",
+    oracle="""
+SELECT user_id,
+       count(*) FILTER (event_type = 'click')    AS click,
+       count(*) FILTER (event_type = 'error')    AS error,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'signup')   AS signup,
+       count(*) FILTER (event_type = 'view')     AS view
+FROM events
+WHERE user_id < 50
+GROUP BY user_id
+""",
+    tags=("A5", "pivot"),
+)
+def pivot_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot with an EXPLICIT value list: naming the pivot
+    columns up front removes the extra distinct-values job Spark
+    otherwise runs before planning (a full scan at 100 TB just to learn
+    the schema), and pins the output schema against drift in the data."""
+    e = T(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
