@@ -1016,3 +1016,48 @@ def pivot_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
         .na.fill(0)
     )
+
+
+@_register(
+    "sketch_accuracy_certificates",
+    oracle="""
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS hll_within_5pct,
+       TRUE AS tdigest_within_5pct
+FROM events
+GROUP BY event_type
+""",
+    tags=("A10", "sketch", "hll", "tdigest"),
+)
+def sketch_accuracy_certificates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates (the bounded-memory 100 TB path) verified via
+    accuracy CERTIFICATES: the oracle pins the exact answers and literal
+    TRUE flags, so the value-hash passes only if HyperLogLog++ distinct
+    and the t-digest median each land within 5% of the exact aggregates
+    computed in the same pass. Both sketches are hash-based and
+    deterministic — no RNG, so the certificate is stable. At scale the
+    exact columns drop away and only the mergeable sketch partials
+    shuffle; this entry exists to keep the sketch path honest against
+    the exact one."""
+    e = T(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("hll_users"),
+        F.expr("percentile(value, 0.5)").alias("exact_p50"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("approx_p50"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("hll_users") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= 0.05
+        ).alias("hll_within_5pct"),
+        (
+            F.abs(F.col("approx_p50") - F.col("exact_p50"))
+            / F.abs(F.col("exact_p50"))
+            <= 0.05
+        ).alias("tdigest_within_5pct"),
+    )

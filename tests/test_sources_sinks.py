@@ -353,3 +353,54 @@ class TestBucketedTables:
             assert "Exchange" not in plan, plan
         finally:
             spark.sql("DROP TABLE IF EXISTS b_li")
+
+
+class TestDataLayout:
+    def test_partitioned_write_prunes_partitions(self, spark, tmp_path):
+        """A date predicate over a hive-partitioned tree must become a
+        PartitionFilter — untouched dates are never scanned."""
+        import io
+        from contextlib import redirect_stdout
+
+        from pyspark.sql import functions as F
+
+        from hebrew_tutor_data_pipeline_spark.sources.layout import (
+            write_partitioned_sorted,
+        )
+        from hebrew_tutor_data_pipeline_spark.sources.readers import load_table
+
+        e = load_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+            "day", F.to_date("ts")
+        )
+        out = str(tmp_path / "by_day")
+        write_partitioned_sorted(e, out, partition_cols="day", sort_cols="user_id")
+
+        n_days = e.select("day").distinct().count()
+        assert n_days > 1
+        one_day = e.select(F.max(F.to_date("ts"))).first()[0]
+        scan = spark.read.parquet(out).filter(F.col("day") == F.lit(one_day))
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            scan.explain("formatted")
+        plan = buf.getvalue()
+        # the day equality must appear as a PartitionFilter (directory
+        # pruning), NOT a data filter evaluated per row
+        pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+        assert pf_lines and any("day" in l for l in pf_lines), plan
+        assert scan.count() == e.filter(F.col("day") == F.lit(one_day)).count()
+
+    def test_compact_reduces_file_count_preserving_rows(self, spark, tmp_path):
+        from hebrew_tutor_data_pipeline_spark.sources.layout import compact
+        from hebrew_tutor_data_pipeline_spark.sources.readers import load_table
+
+        e = load_table(spark, "/root/testdata/sf0.001", "events")
+        src = str(tmp_path / "tiny")
+        e.repartition(40).write.parquet(src)  # the small-file mess
+        assert len(spark.read.parquet(src).inputFiles()) == 40
+
+        dst = str(tmp_path / "compacted")
+        n_out = compact(spark, src, dst, target_mb=128)
+        assert n_out == 1  # ~200 KB of data fits one 128 MB target file
+        got = spark.read.parquet(dst)
+        assert got.count() == e.count()
+        assert sorted(got.columns) == sorted(e.columns)
