@@ -884,7 +884,12 @@ def skewed_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL so both engines sum exactly (order-invariant), then one
     round+cast at the edge. The reference's analog is its per-chapter
     success/failure tally (`fixed_hebrew_aligner.py` process_all_chapters
-    summary loop) which never distributes at all."""
+    summary loop) which never distributes at all.
+
+    Scale note: ``user_csv`` (the full distinct-user list) is the
+    fixture-scale proof artifact that lets the oracle hash the exact set
+    membership; a 100 TB deployment emits the scalar ``n_users`` only —
+    the two-phase shape is what transfers, not a per-key list column."""
     from ..operators.skew import salted_aggregate, salted_join
 
     e = T(spark, sf_dir, "events").withColumn(

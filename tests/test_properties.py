@@ -196,3 +196,58 @@ class TestTranscribeProperties:
             assert r.chunk_idx >= prev_chunk
             prev_chunk = r.chunk_idx
             assert 0.5 <= r.confidence <= 0.99
+
+
+class TestSkewProperties:
+    @SLOW
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.sampled_from(["k1", "k2", "hot"]),  # skewed key space
+                st.integers(min_value=-100, max_value=100),
+            ),
+            min_size=1,
+            max_size=30,
+        ),
+        n_salts=st.integers(min_value=1, max_value=9),
+    )
+    def test_salted_aggregate_invisible_vs_direct(self, spark, rows, n_salts):
+        """For ANY data and salt count, two-phase salted aggregation must
+        equal the direct groupBy — sums, extremes, averages, and set
+        membership alike."""
+        from hebrew_tutor_data_pipeline_spark.operators.skew import salted_aggregate
+
+        df = spark.createDataFrame(rows, ["k", "v"])
+        direct = {
+            r["k"]: (r["s"], r["mn"], r["mx"], r["avg"], tuple(sorted(r["vs"])))
+            for r in df.groupBy("k")
+            .agg(
+                F.sum("v").alias("s"),
+                F.min("v").alias("mn"),
+                F.max("v").alias("mx"),
+                F.avg("v").alias("avg"),
+                F.collect_set("v").alias("vs"),
+            )
+            .collect()
+        }
+        salted = {
+            r["k"]: (r["s"], r["mn"], r["mx"], r["avg"], tuple(sorted(r["vs"])))
+            for r in salted_aggregate(
+                df,
+                ["k"],
+                {
+                    "s": ("v", "sum"),
+                    "mn": ("v", "min"),
+                    "mx": ("v", "max"),
+                    "avg": ("v", "avg"),
+                    "vs": ("v", "collect_set"),
+                },
+                n_salts=n_salts,
+            ).collect()
+        }
+        assert set(direct) == set(salted)
+        for k in direct:
+            ds, dmn, dmx, davg, dvs = direct[k]
+            ss, smn, smx, savg, svs = salted[k]
+            assert (ds, dmn, dmx, dvs) == (ss, smn, smx, svs)
+            assert math.isclose(davg, savg, rel_tol=1e-12, abs_tol=1e-12)

@@ -91,6 +91,17 @@ EXPECTATIONS: dict[str, list[tuple[bool, str, str]]] = {
         (True, "Window", "running count/elapsed/ETA in one window sort"),
         (True, "PushedFilters", "user predicate reaches the events scan"),
     ],
+    "cube_status_priority": [
+        (True, "Expand", "CUBE lattice expanded map-side, one scan + one shuffle"),
+    ],
+    "price_quantiles_by_flag": [
+        (True, "ObjectHashAggregate|SortAggregate", "typed percentile aggregation"),
+        (True, "!BatchEvalPython", "percentiles are JVM aggregates"),
+    ],
+    "sketch_accuracy_certificates": [
+        (True, "HashAggregate|ObjectHashAggregate|SortAggregate", "sketch partials merge map-side"),
+        (True, "!BatchEvalPython", "HLL++/t-digest are JVM aggregates"),
+    ],
     "corpus_curation_pipeline": [
         (True, "Window", "dedup keep-first is one row_number window"),
         (True, "!BatchEvalPython", "gates + lang-ID are JVM regex expressions"),
