@@ -18,6 +18,13 @@ Two tiers, per the training-pipeline requirement:
 
 All scores are computed on ``array<double>`` and rounded to 6 dp so the
 DuckDB oracle (list_dot_product on DOUBLE[]) hash-matches bit-for-bit.
+
+Public provenance: inverted-file indexing for vector search follows the
+IVF/IVFADC family (Sivic/Zisserman, "Video Google", ICCV 2003; Jégou/
+Douze/Schmid, "Product quantization for nearest neighbor search", TPAMI
+2011 — coarse quantizer only, no PQ compression here); random-hyperplane
+signed projections per Charikar (STOC 2002); Lloyd's algorithm (1957/
+1982) for the codebook.
 """
 
 from __future__ import annotations

@@ -16,6 +16,14 @@ Scale posture (100 TB):
   functions (zero shuffle), and only the band→bucket join shuffles, on
   short band keys;
 - SimHash is per-row arithmetic; grouping by fingerprint is one shuffle.
+
+Public provenance: MinHash resemblance sketching (Broder, "On the
+resemblance and containment of documents", SEQUENCES 1997), banding
+analysis as in Mining of Massive Datasets ch. 3 (Leskovec/Rajaraman/
+Ullman), SimHash (Charikar, "Similarity estimation techniques from
+rounding algorithms", STOC 2002) and its web-dedup application
+(Manku/Jain/Sarma, WWW 2007), random-hyperplane LSH for cosine
+(Charikar 2002; Indyk/Motwani 1998).
 """
 
 from __future__ import annotations

@@ -1044,7 +1044,9 @@ def sketch_accuracy_certificates(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic — no RNG, so the certificate is stable. At scale the
     exact columns drop away and only the mergeable sketch partials
     shuffle; this entry exists to keep the sketch path honest against
-    the exact one."""
+    the exact one. (HyperLogLog++: Heule/Nunkesser/Hall, EDBT 2013;
+    t-digest: Dunning/Ertl, "Computing extremely accurate quantiles
+    using t-digests", 2019.)"""
     e = T(spark, sf_dir, "events")
     agg = e.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("exact_users"),

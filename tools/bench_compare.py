@@ -1,0 +1,53 @@
+"""Compare two bench.py JSON outputs and flag per-query regressions.
+
+Usage: python tools/bench_compare.py OLD.json NEW.json [threshold]
+
+Reads either raw one-line bench output or the driver's BENCH_r{N}.json
+wrapper (with a "parsed" field). Prints per-query deltas sorted worst
+first and exits 1 if any query slowed by more than ``threshold``
+(default 1.5×) AND by more than 0.5 s absolute — both gates, because
+local timings jitter ±30% on sub-second queries (see memory: compare
+only fresh full runs).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def load(path: str) -> dict[str, float]:
+    with open(path) as f:
+        doc = json.load(f)
+    if "parsed" in doc:
+        doc = doc["parsed"]
+    return doc["queries"]
+
+
+def main() -> int:
+    old, new = load(sys.argv[1]), load(sys.argv[2])
+    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    rows = []
+    for name in sorted(set(old) | set(new)):
+        o, n = old.get(name), new.get(name)
+        if o is None or n is None:
+            rows.append((float("inf"), name, o, n, "added" if o is None else "removed"))
+            continue
+        ratio = n / o if o else float("inf")
+        flag = "REGRESSION" if (ratio > threshold and n - o > 0.5) else ""
+        rows.append((ratio, name, o, n, flag))
+    rows.sort(reverse=True)
+    bad = 0
+    for ratio, name, o, n, flag in rows:
+        r = f"{ratio:5.2f}x" if ratio != float("inf") else "    —"
+        print(f"{r}  {name:38s} {o if o is not None else '—':>7} -> "
+              f"{n if n is not None else '—':>7}  {flag}")
+        bad += flag == "REGRESSION"
+    tot_o, tot_n = sum(old.values()), sum(new.values())
+    print(f"\ntotal: {tot_o:.1f}s -> {tot_n:.1f}s  ({tot_n / tot_o:.2f}x), "
+          f"{bad} regression(s) past {threshold}x+0.5s")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
