@@ -9,6 +9,7 @@ streaming path.
 """
 
 from .dedup import dedup_within_watermark  # noqa: F401
+from .joins import clicks_in_purchase_windows_stream  # noqa: F401
 from .sources import events_file_stream, rate_stream  # noqa: F401
 from .windows import (  # noqa: F401
     session_window_stats,

@@ -1,0 +1,66 @@
+"""Stream-stream interval joins (SURVEY.md §2.10 extension — the
+streaming twin of the batch J7 point-in-interval join).
+
+The reference's viewer maps a playback tick into the containing verse
+window over a static alignment (`standalone_hebrew_tester.html:458-492`);
+the unbounded version of that shape is correlating two live streams —
+here, clicks landing inside the hour after a purchase. Structured
+Streaming requires stream-stream joins to carry (a) an EQUALITY
+predicate — supplied by the same fixed-width time-bin key the batch
+operator uses (`operators.intervals.point_in_interval_join`), each
+interval exploded onto the bins it covers, each point owning exactly
+one bin — and (b) watermarks plus event-time bounds in the condition,
+from which the engine derives how long each side's rows live in state:
+purchases are held ~(window + watermark), clicks ~watermark, so state
+is rate-bounded forever regardless of stream length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def clicks_in_purchase_windows_stream(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    window_seconds: int = 3600,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Join each click to every purchase whose [ts, ts + window]
+    interval contains it — on two unbounded streams. Output is
+    (click_id, purchase_id), identical to the batch
+    `clicks_in_purchase_windows` catalog entry over the same data; each
+    pair emerges once because a click owns exactly one bin."""
+    c = (
+        clicks.select(F.col("event_id").alias("click_id"), F.col("ts").alias("cts"))
+        .withWatermark("cts", watermark)
+        .withColumn("bin", F.floor(F.col("cts").cast("double") / window_seconds))
+    )
+    p = (
+        purchases.select(
+            F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+        )
+        .withWatermark("pts", watermark)
+        .withColumn(
+            "bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("pts").cast("double") / window_seconds),
+                    F.floor(
+                        (F.col("pts").cast("double") + window_seconds)
+                        / window_seconds
+                    ),
+                )
+            ),
+        )
+    )
+    return c.join(
+        p,
+        (c["bin"] == p["bin"])
+        & (F.col("cts") >= F.col("pts"))
+        & (
+            F.col("cts")
+            <= F.col("pts") + F.expr(f"INTERVAL {window_seconds} SECONDS")
+        ),
+    ).select("click_id", "purchase_id")

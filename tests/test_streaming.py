@@ -260,3 +260,62 @@ class TestStreamingDedup:
         ).json(events_dir)
         want = sorted(r["event_id"] for r in src.select("event_id").distinct().collect())
         assert got == want and len(got) > 0
+
+
+class TestStreamStreamJoin:
+    def test_interval_join_stream_equals_batch(self, spark, events_dir):
+        """Stream-stream time-bound join must produce exactly the batch
+        interval join's pairs for all rows the watermark has released."""
+        from hebrew_tutor_data_pipeline_spark.streaming import (
+            clicks_in_purchase_windows_stream,
+            events_file_stream,
+        )
+
+        stream = events_file_stream(spark, events_dir, fmt="json")
+        out = clicks_in_purchase_windows_stream(
+            stream.filter(F.col("event_type") == "click"),
+            stream.filter(F.col("event_type") == "purchase"),
+            window_seconds=3600,
+            watermark="10 minutes",
+        )
+        name = f"ssj_{uuid.uuid4().hex[:8]}"
+        run_available_now(out, name)
+        got = {
+            (r["click_id"], r["purchase_id"]) for r in spark.table(name).collect()
+        }
+
+        src = spark.read.schema(
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string"
+        ).json(events_dir)
+        c = src.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+        )
+        p = src.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+        )
+        want = {
+            (r["click_id"], r["purchase_id"])
+            for r in c.join(
+                p,
+                (F.col("cts") >= F.col("pts"))
+                & (F.col("cts") <= F.col("pts") + F.expr("INTERVAL 1 HOUR")),
+            ).collect()
+        }
+        # availableNow + watermark: every pair is released by stream end
+        # except those within the final watermark; the batch set must
+        # contain the streamed set and the streamed set must cover all
+        # pairs whose click cleared the final watermark.
+        assert got <= want
+        cutoff = src.agg(F.max("ts") - F.expr("INTERVAL 10 MINUTES")).first()[0]
+        released = {
+            (r["click_id"], r["purchase_id"])
+            for r in c.join(
+                p,
+                (F.col("cts") >= F.col("pts"))
+                & (F.col("cts") <= F.col("pts") + F.expr("INTERVAL 1 HOUR")),
+            )
+            .filter(F.col("cts") <= F.lit(cutoff))
+            .collect()
+        }
+        assert released <= got and len(got) > 0
