@@ -1068,3 +1068,56 @@ def sketch_accuracy_certificates(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05
         ).alias("tdigest_within_5pct"),
     )
+
+
+@_register(
+    "overlapping_purchase_windows",
+    oracle="""
+WITH p AS (
+    SELECT event_id, user_id, ts AS w_start, ts + INTERVAL 1 HOUR AS w_end
+    FROM events
+    WHERE event_type = 'purchase' AND user_id < 15
+)
+SELECT a.event_id AS id_a, b.event_id AS id_b,
+       a.user_id AS user_a, b.user_id AS user_b
+FROM p a JOIN p b
+  ON a.w_start <= b.w_end AND b.w_start <= a.w_end
+ AND a.event_id < b.event_id
+""",
+    tags=("J7", "interval-overlap"),
+)
+def overlapping_purchase_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7's interval×interval variant through the binned rewrite: pairs
+    of purchase attribution windows [ts, ts+1h] that overlap. The bin
+    equi-key turns the quadratic overlap predicate into a shuffled hash
+    join; each pair survives once, at its first shared bin, so no
+    downstream distinct is needed (same no-dedup-shuffle argument as
+    the simhash band search)."""
+    p = (
+        T(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & (F.col("user_id") < 15))
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("w_end"),
+        )
+    )
+    a = p.select(
+        F.col("event_id").alias("id_a"),
+        F.col("user_id").alias("user_a"),
+        F.col("w_start").alias("a_start"),
+        F.col("w_end").alias("a_end"),
+    )
+    b = p.select(
+        F.col("event_id").alias("id_b"),
+        F.col("user_id").alias("user_b"),
+        F.col("w_start").alias("b_start"),
+        F.col("w_end").alias("b_end"),
+    )
+    joined = intervals.interval_overlap_join(
+        a, b, "a_start", "a_end", "b_start", "b_end", bin_width=3600.0
+    )
+    return joined.filter(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", "user_a", "user_b"
+    )
