@@ -239,11 +239,15 @@ def kmeans_codebook(
     (bounded model state on the driver, all data work distributed).
 
     Init = the k smallest-id corpus vectors (deterministic, no RNG).
-    Each iteration: centroids ship as an ``sc.broadcast`` matrix; cell
-    assignment is the same map-only numpy GEMM as ``ivf_topk``; the new
-    centroid is the per-cell mean computed by ONE shuffle of
-    (cell, dim) partial sums; only the k×dim codebook is ever collected.
-    Empty cells keep their previous centroid. Returns
+    Each iteration: centroids ship as an ``sc.broadcast`` matrix; the
+    assignment stage is the same map-only numpy GEMM as ``ivf_topk``
+    and COMBINES map-side — it emits one (cell, sum_vec, count) partial
+    per cell per partition, so the shuffle carries at most
+    ``partitions × k`` rows and a dominant cell (early Lloyd iterations
+    routinely collapse most points into few cells) never concentrates
+    raw vectors on one reducer. The merge weights the partials into the
+    new centroid; only the k×dim codebook is ever collected. Empty
+    cells keep their previous centroid. Returns
     ``[(cell_id, centroid_vector), ...]`` feedable to
     ``ivf_topk(codebook=...)``.
     """
@@ -266,18 +270,22 @@ def kmeans_codebook(
     cent = np.stack([np.asarray(r["vec"], dtype="float64") for r in init_rows])
     sc = corpus.sparkSession.sparkContext
 
-    assign_schema = StructType(
+    partial_schema = StructType(
         [
             StructField("cell", LongType(), False),
-            StructField("vec", ArrayType(DoubleType()), False),
+            StructField("psum", ArrayType(DoubleType()), False),
+            StructField("n", LongType(), False),
         ]
     )
     for _ in range(iters):
         bc = sc.broadcast(cent)
         cn = np.sqrt((cent * cent).sum(axis=1))
 
-        def assign(batches, _cn=cn):
+        def assign_partials(batches, _cn=cn):
+            # map-side combine: one (cell, sum, count) per cell per
+            # PARTITION (accumulated across its Arrow batches)
             cm = bc.value
+            acc: dict[int, list] = {}
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
@@ -285,25 +293,39 @@ def kmeans_codebook(
                 sim = (mat @ cm.T) / (
                     np.sqrt((mat * mat).sum(axis=1))[:, None] * _cn[None, :]
                 )
+                cells = np.argmax(sim, axis=1)
+                for cell in np.unique(cells):
+                    block = mat[cells == cell]
+                    if cell in acc:
+                        acc[cell][0] += block.sum(axis=0)
+                        acc[cell][1] += len(block)
+                    else:
+                        acc[cell] = [block.sum(axis=0), len(block)]
+            if acc:
                 yield pd.DataFrame(
-                    {"cell": np.argmax(sim, axis=1).astype("int64"), "vec": pdf["vec"]}
+                    {
+                        "cell": [int(c_) for c_ in acc],
+                        "psum": [list(v[0]) for v in acc.values()],
+                        "n": [int(v[1]) for v in acc.values()],
+                    }
                 )
 
-        assigned = c.mapInPandas(assign, assign_schema)
+        partials = c.mapInPandas(assign_partials, partial_schema)
 
-        # per-cell mean: shuffle the vectors into k pandas groups and
-        # reduce with one numpy mean per cell — k rows out, instead of
-        # exploding every (cell, dim) element through the exchange
+        # merge ≤ partitions×k tiny partials into k centroids
         def cell_mean(pdf: "pd.DataFrame") -> "pd.DataFrame":
-            m = np.stack(pdf["vec"].to_numpy()).mean(axis=0)
-            return pd.DataFrame({"cell": [int(pdf["cell"].iloc[0])], "vec": [list(m)]})
+            s = np.stack(pdf["psum"].to_numpy()).sum(axis=0)
+            n = int(pdf["n"].sum())
+            return pd.DataFrame(
+                {"cell": [int(pdf["cell"].iloc[0])], "vec": [list(s / n)]}
+            )
 
         means = (
-            assigned.groupBy("cell")
+            partials.groupBy("cell")
             .applyInPandas(cell_mean, "cell long, vec array<double>")
             .collect()
         )
-        new_cent = cent.copy()  # empty cells keep previous centroid
+        new_cent = cent.copy()  # empty cells keep their previous centroid
         for r in means:
             new_cent[r["cell"], :] = np.asarray(r["vec"], dtype="float64")
         bc.unpersist()

@@ -44,12 +44,20 @@ _KINDS = ("sum", "count", "min", "max", "avg", "collect_set")
 
 
 def with_salt(df: DataFrame, n_salts: int, salt_col: str = "_salt") -> DataFrame:
-    """Deterministic per-row salt in [0, n_salts): a hash over the whole
-    row. Any per-row spreading works (the consumers are salt-invariant);
-    a full-row hash keeps plans replayable, unlike rand(), and free of
-    partition-layout dependence, unlike monotonically_increasing_id()."""
+    """Per-row salt in [0, n_salts): a hash of the row mixed with the
+    row's position (``monotonically_increasing_id`` = partition id ×
+    row-in-partition). The position term matters: a hot key whose rows
+    are byte-identical (heartbeats, retry storms — the common real skew
+    shape) would hash to ONE salt from values alone, silently undoing
+    the mitigation. Position makes even identical rows spread. Salt
+    assignment therefore depends on the scan's partition layout, which
+    is fine — every consumer here is salt-invariant by construction
+    (proved by the oracle/property tests), and within one execution a
+    task retry replays its partition with the same ids."""
+    cols = [F.col(c) for c in df.columns]
     return df.withColumn(
-        salt_col, F.pmod(F.abs(F.hash(*[F.col(c) for c in df.columns])), F.lit(n_salts))
+        salt_col,
+        F.pmod(F.abs(F.hash(*cols, F.monotonically_increasing_id())), F.lit(n_salts)),
     )
 
 

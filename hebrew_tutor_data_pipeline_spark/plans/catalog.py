@@ -1054,15 +1054,22 @@ def sketch_accuracy_certificates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(value, 0.5)").alias("exact_p50"),
         F.expr("approx_percentile(value, 0.5, 10000)").alias("approx_p50"),
     )
+    # zero-guarded relative error: if the exact value is 0 the sketch
+    # must be exactly 0 too — otherwise a 0 denominator would emit NULL
+    # instead of the oracle's pinned TRUE/FALSE and fail the hash
     return agg.select(
         "event_type",
         "exact_users",
-        (
+        F.when(
+            F.col("exact_users") == 0, F.col("hll_users") == 0
+        ).otherwise(
             F.abs(F.col("hll_users") - F.col("exact_users"))
             / F.col("exact_users")
             <= 0.05
         ).alias("hll_within_5pct"),
-        (
+        F.when(
+            F.col("exact_p50") == 0, F.col("approx_p50") == 0
+        ).otherwise(
             F.abs(F.col("approx_p50") - F.col("exact_p50"))
             / F.abs(F.col("exact_p50"))
             <= 0.05

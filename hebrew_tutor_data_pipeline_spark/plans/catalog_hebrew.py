@@ -531,11 +531,21 @@ def trimmer_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     tumbling RMS segments → A8 baseline threshold with intro skip → W1
     first-over-threshold + P5 >1 s gate → proportional byte trim → S10
     overwrite-with-backup → re-scan → restore-from-backup → re-scan.
-    The trimmed inventory is snapshotted to parquet BEFORE restore so
-    the returned plan stays deterministic when re-collected. Output per
-    file: original/trimmed/restored lengths + the suggestion — the
-    restore proving the backup tree holds the originals
-    (`hebrew_audio_trimmer.py:89-103,480-502`)."""
+    Output per file: original/trimmed/restored lengths + the
+    suggestion — the restore proving the backup tree holds the
+    originals (`hebrew_audio_trimmer.py:89-103,480-502`).
+
+    Write-safety choices: the trim payloads are materialized to parquet
+    BEFORE any file is overwritten, and the sink reads that immutable
+    copy — a task retry or speculative duplicate re-reads the
+    snapshot, never the half-trimmed files its first attempt wrote
+    (a lineage over the mutation target would double-trim on retry).
+    Every transient frame (trimmed/restored lengths, suggestions) is
+    likewise snapshotted, so the RETURNED plan depends only on the
+    immutable fixture tree + parquet snapshots and the scratch/backup
+    trees can be deleted before returning. Files are keyed by their
+    ``book_dir/filename`` relative path, not the basename, so equal
+    filenames under different book directories cannot cross-join."""
     import shutil
     import tempfile
 
@@ -582,7 +592,13 @@ def trimmer_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         segs, skip_segments=2, factor=0.3, buffer_seconds=0.25, min_trim=1.0
     ).join(segs.groupBy("path").agg(F.max("end_time").alias("duration")), "path")
 
-    # proportional byte trim: drop the leading suggested/duration share
+    # book_dir/filename — collision-proof across trees (basenames alone
+    # could repeat under different book directories)
+    relpath = F.regexp_extract("path", r"([^/]+/[^/]+)$", 1)
+
+    # proportional byte trim: drop the leading suggested/duration share.
+    # Materialize the payloads FIRST: the overwrite sink then reads this
+    # immutable parquet, never the files it is about to mutate.
     to_trim = (
         files.join(sugg.filter(F.col("should_trim")), "path")
         .withColumn(
@@ -592,36 +608,49 @@ def trimmer_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("path", F.expr("substring(content, _off + 1)").alias("content"))
     )
-    overwrite_with_backup(to_trim, str(backup), str(scratch))
+    payloads = snap / "payloads"
+    to_trim.write.mode("overwrite").parquet(str(payloads))
+    overwrite_with_backup(spark.read.parquet(str(payloads)), str(backup), str(scratch))
 
-    # snapshot trimmed lengths to an immutable parquet BEFORE restoring
-    # (no size gate here: a trim may legitimately push a small file
-    # under the 1 KB inventory threshold and it must still be reported)
+    # snapshot trimmed lengths BEFORE restoring (no size gate here: a
+    # trim may legitimately push a small file under the 1 KB inventory
+    # threshold and it must still be reported)
     read_binary_files(spark, str(scratch), glob="*.mp3").select(
+        relpath.alias("relpath"),
         F.regexp_extract("path", r"([^/]+)$", 1).alias("filename"),
         F.col("length").alias("trimmed_length"),
-    ).write.mode("overwrite").parquet(str(snap))
+    ).write.mode("overwrite").parquet(str(snap / "trimmed"))
 
     n_restored = restore_from_backup(spark, str(backup), str(scratch))
-    assert n_restored > 0
+    if n_restored == 0:
+        raise RuntimeError(
+            "trimmer pipeline: nothing was restored — either no file "
+            f"passed the trim gate or the backup tree {backup} is missing"
+        )
 
-    orig = read_binary_files(spark, str(FIXTURE_AUDIO_TREE), glob="*.mp3").select(
-        F.regexp_extract("path", r"([^/]+)$", 1).alias("filename"),
-        F.col("length").alias("orig_length"),
-    )
-    restored = scan().select(
-        F.regexp_extract("path", r"([^/]+)$", 1).alias("filename"),
-        F.col("length").alias("restored_length"),
-    )
-    s = sugg.select(
-        F.regexp_extract("path", r"([^/]+)$", 1).alias("filename"),
+    scan().select(
+        relpath.alias("relpath"), F.col("length").alias("restored_length")
+    ).write.mode("overwrite").parquet(str(snap / "restored"))
+    sugg.select(
+        relpath.alias("relpath"),
         F.round("suggested_trim", 2).alias("suggested_trim"),
         "should_trim",
+    ).write.mode("overwrite").parquet(str(snap / "sugg"))
+
+    # the returned plan depends only on the fixture tree + snapshots —
+    # release the cache and the mutable trees before returning
+    segs.unpersist()
+    shutil.rmtree(scratch, ignore_errors=True)
+    shutil.rmtree(backup, ignore_errors=True)
+
+    orig = read_binary_files(spark, str(FIXTURE_AUDIO_TREE), glob="*.mp3").select(
+        relpath.alias("relpath"), F.col("length").alias("orig_length")
     )
     return (
-        orig.join(spark.read.parquet(str(snap)), "filename")
-        .join(restored, "filename")
-        .join(s, "filename")
+        orig.join(spark.read.parquet(str(snap / "trimmed")), "relpath")
+        .join(spark.read.parquet(str(snap / "restored")), "relpath")
+        .join(spark.read.parquet(str(snap / "sugg")), "relpath")
+        .drop("relpath")
     )
 
 

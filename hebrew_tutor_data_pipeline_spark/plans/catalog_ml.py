@@ -587,8 +587,8 @@ WITH t AS (
 ), s AS (
     SELECT doc_id, lang, text,
            len(toks) AS n_tokens,
-           coalesce(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                    / nullif(len(regexp_replace(text, '\\s', '', 'g')), 0), 0) AS punct_ratio,
+           round(coalesce(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                    / nullif(len(regexp_replace(text, '\\s', '', 'g')), 0), 0), 6) AS punct_ratio,
            len(regexp_extract_all(lower(text), '\\b({_EN_MARKERS})\\b')) AS s_en,
            len(regexp_extract_all(lower(text), '\\b({_DE_MARKERS})\\b')) AS s_de,
            len(regexp_extract_all(lower(text), '\\b({_FR_MARKERS})\\b')) AS s_fr,
