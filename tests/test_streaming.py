@@ -319,3 +319,74 @@ class TestStreamStreamJoin:
             .collect()
         }
         assert released <= got and len(got) > 0
+
+
+class TestCheckpointRecovery:
+    def test_dedup_state_survives_restart(self, spark, events_dir, tmp_path):
+        """Exactly-once across restarts: run the dedup stream to a file
+        sink, stop it, deliver duplicates of already-seen events plus
+        genuinely new ones, restart from the SAME checkpoint — only the
+        new events may be appended, because the key state was recovered,
+        not rebuilt. (Memory sinks can't recover; the file sink is the
+        fault-tolerant one, matching a real deployment.)"""
+        import glob as globmod
+        import json
+
+        from hebrew_tutor_data_pipeline_spark.streaming import (
+            dedup_within_watermark,
+            events_file_stream,
+        )
+
+        in_dir = tmp_path / "in"
+        in_dir.mkdir()
+        srcs = sorted(globmod.glob(events_dir + "/*.json"))
+        shutil.copy(srcs[0], in_dir / "batch1.json")
+        ckpt = str(tmp_path / "ckpt")
+        out_dir = str(tmp_path / "out")
+
+        def run():
+            q = (
+                dedup_within_watermark(
+                    events_file_stream(spark, str(in_dir), fmt="json"),
+                    ["event_id"],
+                    ts_col="ts",
+                    delay="3650 days",  # state outlives the whole fixture span
+                )
+                .selectExpr("event_id")
+                .writeStream.format("json")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .option("path", out_dir)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        def read_out():
+            return {
+                r["event_id"]
+                for r in spark.read.schema("event_id long").json(out_dir).collect()
+            }
+
+        run()
+        first = read_out()
+        assert len(first) > 0
+
+        # second delivery: every first-batch event again (re-delivery)
+        # plus brand-new synthetic events
+        with open(srcs[0]) as f:
+            lines = [json.loads(l) for l in f if l.strip()]
+        new_events = [
+            {**lines[0], "event_id": 10_000_000 + i, "ts": lines[0]["ts"]}
+            for i in range(5)
+        ]
+        with open(in_dir / "batch2.json", "w") as f:
+            for rec in lines + new_events:
+                f.write(json.dumps(rec) + "\n")
+
+        run()
+        second = read_out()
+        assert second - first == {10_000_000 + i for i in range(5)}, (
+            "recovered state must drop every re-delivered key"
+        )
+        assert len(second) == len(first) + 5
