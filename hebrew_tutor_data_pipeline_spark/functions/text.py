@@ -164,3 +164,32 @@ def word_ngrams(tokens: Column, n: int = 3) -> Column:
         lambda i: F.array_join(F.slice(tokens, i + 1, n), " "),
     )
     return F.when(F.size(tokens) < n, F.array(joined)).otherwise(grams)
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking (U-surface: Python UDTF)
+
+def make_chunker_udtf(chunk_tokens: int = 10):
+    """Build the document-chunker UDTF: each (doc_id, text) row expands
+    into fixed ``chunk_tokens``-token training-window chunks — the
+    standard context-window preparation step for LLM corpora, and the
+    engine's demonstration of Spark's Python UDTF surface (SURVEY.md
+    §2.9). Arrow-optimized; one output row per chunk with its index and
+    actual length (the tail chunk may be short). Whitespace-only or
+    empty docs yield no rows. Not for hot paths where a built-in HOF can
+    express the same (see word_ngrams) — this exists for the cases that
+    genuinely need imperative row-to-rows logic."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="doc_id bigint, chunk_idx int, chunk string, n_tokens int",
+        useArrow=True,
+    )
+    class ChunkDocuments:
+        def eval(self, doc_id: int, text: str):  # noqa: D102
+            toks = (text or "").split()
+            for i in range(0, len(toks), chunk_tokens):
+                part = toks[i : i + chunk_tokens]
+                yield doc_id, i // chunk_tokens, " ".join(part), len(part)
+
+    return ChunkDocuments

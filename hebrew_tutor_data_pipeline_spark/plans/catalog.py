@@ -1128,3 +1128,33 @@ def overlapping_purchase_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.filter(F.col("id_a") < F.col("id_b")).select(
         "id_a", "id_b", "user_a", "user_b"
     )
+
+
+@_register(
+    "sql_segment_revenue",
+    oracle="""
+SELECT c_mktsegment,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+    tags=("A5", "J1", "sql-api"),
+)
+def sql_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL front-end surface: the same Catalyst plan the
+    DataFrame entries produce, declared via ``spark.sql`` over
+    registered temp views — proving a reference user can bring plain
+    ANSI SQL instead of the Python API and get identical results (the
+    oracle here IS the query, modulo view names)."""
+    T(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    T(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               round(sum(o_totalprice), 2) AS revenue,
+               count(*) AS n_orders
+        FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        """
+    )

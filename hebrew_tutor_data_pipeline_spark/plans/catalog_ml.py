@@ -652,3 +652,42 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select(
         "doc_id", "lang", "n_tokens", F.md5(F.col("text")).alias("digest")
     )
+
+
+@_register(
+    "doc_chunks_udtf",
+    oracle="""
+WITH t AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+    FROM documents WHERE doc_id < 100 AND len(trim(text)) > 0
+), c AS (
+    SELECT doc_id, toks,
+           unnest(range(CAST(ceil(len(toks) / 10.0) AS INT))) AS chunk_idx
+    FROM t
+)
+SELECT doc_id,
+       CAST(chunk_idx AS INT) AS chunk_idx,
+       array_to_string(toks[chunk_idx * 10 + 1 : chunk_idx * 10 + 10], ' ') AS chunk,
+       CAST(least(10, len(toks) - chunk_idx * 10) AS INT) AS n_tokens
+FROM c
+""",
+    tags=("U-udtf", "chunking", "text-analysis"),
+)
+def doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking through Spark's Python UDTF surface
+    (§2.9): each document expands to fixed 10-token training windows via
+    a LATERAL table-function join. The oracle recomputes the chunks with
+    pure SQL list slicing — proving the imperative row-to-rows UDTF
+    agrees with the declarative form. Capped to doc_id<100: the UDTF is
+    deliberately the slow-path demonstration, not the hot-path tool
+    (word_ngrams is the codegen HOF equivalent)."""
+    d = T(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 100) & (F.length(F.trim(F.col("text"))) > 0)
+    )
+    chunker = text.make_chunker_udtf(chunk_tokens=10)
+    spark.udtf.register("chunk_documents", chunker)
+    d.select("doc_id", "text").createOrReplaceTempView("v_docs_to_chunk")
+    return spark.sql(
+        "SELECT c.* FROM v_docs_to_chunk, "
+        "LATERAL chunk_documents(doc_id, text) c"
+    )

@@ -175,3 +175,37 @@ def expected_grid(df: DataFrame, key_col: str, n_col: str, out_col: str = "chapt
         F.col(key_col),
         F.explode(F.sequence(F.lit(1), F.col(n_col))).alias(out_col),
     )
+
+
+def read_json_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: "StructType | str",
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSON scan that QUARANTINES malformed rows instead of failing the
+    job or silently dropping them: PERMISSIVE mode routes any unparsable
+    line's raw text into ``corrupt_col`` (good rows have it NULL), so a
+    100 TB ingest keeps running and the bad rows stay queryable for
+    audit — the distributed version of the reference's per-chapter
+    try/except-and-log ingest (`fixed_hebrew_aligner.py` corpus load; it
+    skips bad chapters but keeps no record of what it skipped).
+
+    Spark requires the corrupt column to be part of the declared schema;
+    this helper appends it. Callers split with
+    ``df.filter(col(corrupt_col).isNull())`` / ``.isNotNull()``. Caveat
+    (enforced by Spark): a query whose pruned columns are ONLY the
+    corrupt column is rejected — select at least one data column with
+    it, or cache the parsed frame first.
+    """
+    from pyspark.sql.types import StringType, StructType
+
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    schema = schema.add(corrupt_col, StringType())
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
