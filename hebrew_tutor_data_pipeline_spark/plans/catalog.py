@@ -948,13 +948,23 @@ def price_quantiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     their algebraically-equivalent interpolation formulas. At 100 TB
     swap `percentile` for `approx_percentile` (t-digest sketch, one
     pass, mergeable partials) — same plan shape, bounded memory."""
-    li = T(spark, sf_dir, "lineitem")
+    from ..sources.readers import spread
+
+    li = spread(T(spark, sf_dir, "lineitem"))
     eps = F.lit(0.0000001)
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)") + eps, 2).alias("p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.9)") + eps, 2).alias("p90"),
-        F.round(F.expr("percentile(l_extendedprice, 0.99)") + eps, 2).alias("p99"),
+    # one percentile(ARRAY(...)) call: the exact aggregate buffers and
+    # sorts each group's values ONCE for all three quantiles, not once
+    # per requested quantile
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").alias("_p"),
         F.count("*").alias("n"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round(F.element_at("_p", 1) + eps, 2).alias("p50"),
+        F.round(F.element_at("_p", 2) + eps, 2).alias("p90"),
+        F.round(F.element_at("_p", 3) + eps, 2).alias("p99"),
+        "n",
     )
 
 
@@ -1047,7 +1057,12 @@ def sketch_accuracy_certificates(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact one. (HyperLogLog++: Heule/Nunkesser/Hall, EDBT 2013;
     t-digest: Dunning/Ertl, "Computing extremely accurate quantiles
     using t-digests", 2019.)"""
-    e = T(spark, sf_dir, "events")
+    from ..sources.readers import spread
+
+    # spread: the EXACT percentile buffers every group value in its
+    # aggregation state — parallelize the buffering across cores when
+    # the scan arrives as one split (no-op on naturally-split inputs)
+    e = spread(T(spark, sf_dir, "events"))
     agg = e.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("exact_users"),
         F.approx_count_distinct("user_id", rsd=0.02).alias("hll_users"),
