@@ -691,3 +691,56 @@ def doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT c.* FROM v_docs_to_chunk, "
         "LATERAL chunk_documents(doc_id, text) c"
     )
+
+
+@_register(
+    "image_neardup_pipeline",
+    oracle="""
+WITH h AS (
+    SELECT doc_id, md5(text) AS hx FROM documents WHERE doc_id < 300
+), b AS (
+    SELECT doc_id,
+           [ (strpos('0123456789abcdef', substr(hx, 2*i+1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(hx, 2*i+2, 1)) - 1)
+             for i in range(4, 12) ] AS bys
+    FROM h
+), v AS (
+    SELECT doc_id, list_transform(bys, x -> round(x / 255.0, 6)) AS e FROM b
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+             6) AS cosine
+FROM v a JOIN v b ON a.doc_id < b.doc_id
+WHERE round(list_dot_product(a.e, b.e)
+            / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+            6) >= 0.97
+""",
+    tags=("U8", "multimodal", "dedup", "embedding", "pipeline"),
+)
+def image_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-dup composed end-to-end WITH a full oracle:
+    binary image payload → U8 feature extraction (digest-derived fake,
+    `operators.multimodal.image_features`) → blocked-GEMM cosine pairs.
+    The usual blocker — DuckDB's md5 digests VARCHAR, not blobs — is
+    sidestepped by CONSTRUCTING each image's bytes as the document's
+    UTF-8 text, so the oracle recomputes the very same digest bytes from
+    md5 hex pairs and the whole image dedup tier (mapInPandas feature
+    UDF included) lands under the value-hash gate instead of rows-only.
+    doc_id<300 bounds the exact all-pairs tier; the LSH prefilter is the
+    registered scale path for embeddings proper."""
+    from ..operators.multimodal import image_features
+
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    files = d.select(
+        F.col("doc_id").cast("string").alias("path"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    feats = image_features(files, fake=True, feature_dim=8)
+    vecs = feats.select(
+        F.col("path").cast("long").alias("vec_id"),
+        F.col("feature").alias("embedding"),
+    )
+    return dedup.embedding_near_dup_pairs_blocked(
+        vecs, "vec_id", "embedding", threshold=0.97
+    )
