@@ -251,3 +251,49 @@ class TestSkewProperties:
             ss, smn, smx, savg, svs = salted[k]
             assert (ds, dmn, dmx, dvs) == (ss, smn, smx, svs)
             assert math.isclose(davg, savg, rel_tol=1e-12, abs_tol=1e-12)
+
+
+class TestIntervalJoinProperties:
+    @SLOW
+    @given(
+        points=st.lists(
+            st.floats(min_value=0.0, max_value=50.0, allow_nan=False), min_size=1, max_size=15
+        ),
+        intervals=st.lists(
+            st.tuples(
+                st.floats(min_value=0.0, max_value=50.0, allow_nan=False),
+                st.floats(min_value=0.0, max_value=10.0, allow_nan=False),
+            ),
+            min_size=1,
+            max_size=10,
+        ),
+        bin_width=st.sampled_from([0.7, 1.0, 3.0, 25.0]),
+    )
+    def test_binned_equals_naive(self, spark, points, intervals, bin_width):
+        """For ANY points, intervals, and bin width, the binned rewrite
+        must return exactly the pairs of the naive range predicate —
+        each exactly once (a point owns one bin)."""
+        from hebrew_tutor_data_pipeline_spark.operators.intervals import (
+            point_in_interval_join,
+        )
+
+        p = spark.createDataFrame(
+            [(i, float(x)) for i, x in enumerate(points)], ["pid", "x"]
+        )
+        iv = spark.createDataFrame(
+            [(j, float(s), float(s + w)) for j, (s, w) in enumerate(intervals)],
+            ["iid", "s", "e"],
+        )
+        got = sorted(
+            (r["pid"], r["iid"])
+            for r in point_in_interval_join(p, iv, "x", "s", "e", bin_width=bin_width)
+            .select("pid", "iid")
+            .collect()
+        )
+        want = sorted(
+            (i, j)
+            for i, x in enumerate(points)
+            for j, (s, w) in enumerate(intervals)
+            if s <= x <= s + w
+        )
+        assert got == want
