@@ -390,3 +390,55 @@ class TestCheckpointRecovery:
             "recovered state must drop every re-delivered key"
         )
         assert len(second) == len(first) + 5
+
+
+class TestStreamingCuration:
+    def test_curation_gates_stream_equals_batch(self, spark, tmp_path):
+        """The corpus-curation flow on an unbounded ingest: the quality
+        gates and language confirmation are stateless column expressions
+        (they apply to a stream unchanged) and the dedup tier is the
+        watermark-bounded streaming dedup — output doc set must equal
+        the batch curation entry's on the same data."""
+        from pyspark.sql import functions as F
+
+        from hebrew_tutor_data_pipeline_spark.functions import text as text_fn
+        from hebrew_tutor_data_pipeline_spark.sources.readers import load_table
+        from hebrew_tutor_data_pipeline_spark.streaming import dedup_within_watermark
+
+        sf = "/root/testdata/sf0.001"
+        docs = load_table(spark, sf, "documents").withColumn(
+            # synthetic ingest time so the stream has an event-time axis
+            "ingest_ts",
+            F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+            + F.make_interval(secs=F.col("doc_id").cast("double")),
+        )
+        in_dir = tmp_path / "docs_in"
+        docs.coalesce(2).write.json(str(in_dir))
+
+        schema = "doc_id long, lang string, text string, ingest_ts timestamp"
+        stream = spark.readStream.schema(schema).json(str(in_dir))
+        c = F.col("text")
+        gated = stream.select(
+            "doc_id", "lang", "ingest_ts",
+            text_fn.whitespace_token_count(c).alias("n_tokens"),
+            text_fn.punct_ratio(c).alias("punct_ratio"),
+            text_fn.predict_lang(c).alias("predicted_lang"),
+        ).filter(
+            F.col("n_tokens").between(20, 90)
+            & (F.col("punct_ratio") <= 0.2)
+            & (F.col("predicted_lang") == F.col("lang"))
+        )
+        out = dedup_within_watermark(
+            gated, ["doc_id"], ts_col="ingest_ts", delay="3650 days"
+        ).select("doc_id", "n_tokens")
+        name = f"cur_{uuid.uuid4().hex[:8]}"
+        run_available_now(out, name)
+        got = {(r["doc_id"], r["n_tokens"]) for r in spark.table(name).collect()}
+
+        from hebrew_tutor_data_pipeline_spark.plans import CATALOG
+
+        want = {
+            (r["doc_id"], r["n_tokens"])
+            for r in CATALOG["corpus_curation_pipeline"].spark(spark, sf).collect()
+        }
+        assert got == want and len(got) > 0
