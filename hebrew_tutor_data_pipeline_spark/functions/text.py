@@ -187,7 +187,15 @@ def make_chunker_udtf(chunk_tokens: int = 10):
     )
     class ChunkDocuments:
         def eval(self, doc_id: int, text: str):  # noqa: D102
-            toks = (text or "").split()
+            import re
+
+            # ASCII-whitespace tokenization, NOT str.split(): the SQL
+            # twin (and every other tokenizer in this engine) splits on
+            # regex \s+, which is ASCII-only — str.split() would also
+            # eat   etc. and silently diverge from the oracle on
+            # text containing Unicode whitespace
+            stripped = re.sub(r"^[ \t\n\r\f\v]+|[ \t\n\r\f\v]+$", "", text or "")
+            toks = re.split(r"[ \t\n\r\f\v]+", stripped) if stripped else []
             for i in range(0, len(toks), chunk_tokens):
                 part = toks[i : i + chunk_tokens]
                 yield doc_id, i // chunk_tokens, " ".join(part), len(part)

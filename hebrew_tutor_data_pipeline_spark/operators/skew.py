@@ -43,21 +43,36 @@ from pyspark.sql import functions as F
 _KINDS = ("sum", "count", "min", "max", "avg", "collect_set")
 
 
-def with_salt(df: DataFrame, n_salts: int, salt_col: str = "_salt") -> DataFrame:
-    """Per-row salt in [0, n_salts): a hash of the row mixed with the
-    row's position (``monotonically_increasing_id`` = partition id ×
-    row-in-partition). The position term matters: a hot key whose rows
-    are byte-identical (heartbeats, retry storms — the common real skew
-    shape) would hash to ONE salt from values alone, silently undoing
-    the mitigation. Position makes even identical rows spread. Salt
-    assignment therefore depends on the scan's partition layout, which
-    is fine — every consumer here is salt-invariant by construction
-    (proved by the oracle/property tests), and within one execution a
-    task retry replays its partition with the same ids."""
+def with_salt(
+    df: DataFrame,
+    n_salts: int,
+    salt_col: str = "_salt",
+    spread_identical_rows: bool = False,
+) -> DataFrame:
+    """Per-row salt in [0, n_salts).
+
+    Default: a hash over the row's values — fully deterministic, so a
+    shuffle-map retry reproduces the same salt for the same row
+    regardless of upstream row order (the SPARK-23207 class of
+    lost/duplicated rows under fetch-failure recompute cannot occur).
+    Limitation: byte-identical duplicate rows of a hot key (heartbeats,
+    retry storms) all hash to ONE salt, and the mitigation degrades to
+    a no-op for them.
+
+    ``spread_identical_rows=True`` additionally mixes in the row's
+    position (``monotonically_increasing_id``) so even identical rows
+    spread. Use it ONLY when the input's lineage is deterministic up to
+    this operator (e.g. a file scan, where a task retry replays its
+    partition with the same ids); on a nondeterministically-ordered
+    upstream (output of another shuffle), a stage retry could re-salt
+    rows differently mid-shuffle. Consumers are salt-invariant either
+    way — this choice affects retry-time partition stability, not
+    results."""
     cols = [F.col(c) for c in df.columns]
+    if spread_identical_rows:
+        cols.append(F.monotonically_increasing_id())
     return df.withColumn(
-        salt_col,
-        F.pmod(F.abs(F.hash(*cols, F.monotonically_increasing_id())), F.lit(n_salts)),
+        salt_col, F.pmod(F.abs(F.hash(*cols)), F.lit(n_salts))
     )
 
 
@@ -67,6 +82,7 @@ def salted_join(
     on: list[str] | str,
     n_salts: int = 16,
     how: str = "inner",
+    spread_identical_rows: bool = False,
 ) -> DataFrame:
     """Equi-join a skew-keyed big side against a small (but not
     broadcastable) side: the big side gets a per-row salt, the small side
@@ -83,7 +99,7 @@ def salted_join(
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     keys = [on] if isinstance(on, str) else list(on)
-    salted_big = with_salt(big, n_salts)
+    salted_big = with_salt(big, n_salts, spread_identical_rows=spread_identical_rows)
     replicated = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
@@ -95,6 +111,7 @@ def salted_aggregate(
     keys: Iterable[str],
     aggs: dict[str, tuple[str, str]],
     n_salts: int = 16,
+    spread_identical_rows: bool = False,
 ) -> DataFrame:
     """Two-phase aggregation over skewed group keys.
 
@@ -126,7 +143,9 @@ def salted_aggregate(
             partial_exprs.append(F.count(col).alias(f"_pc_{alias}"))
         elif kind == "collect_set":
             partial_exprs.append(F.collect_set(col).alias(f"_p_{alias}"))
-    partial = with_salt(df, n_salts).groupBy(*keys, "_salt").agg(*partial_exprs)
+    partial = with_salt(
+        df, n_salts, spread_identical_rows=spread_identical_rows
+    ).groupBy(*keys, "_salt").agg(*partial_exprs)
 
     merge_exprs = []
     for alias, (_, kind) in aggs.items():

@@ -903,6 +903,10 @@ def skewed_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         type_dim,
         on="event_type",
         n_salts=8,
+        # safe here: the big side is a deterministic parquet-scan
+        # projection, so identical heartbeat-style rows spread without
+        # the shuffle-retry hazard (see with_salt docstring)
+        spread_identical_rows=True,
     ).withColumn("wvalue", F.col("value_dec") * F.col("type_len"))
     prof = salted_aggregate(
         joined,
@@ -1075,7 +1079,11 @@ def sketch_accuracy_certificates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(value, 0.5)").alias("exact_p50"),
         F.expr("approx_percentile(value, 0.5, 10000)").alias("approx_p50"),
     )
-    agg = users.join(p50s, "event_type")
+    # null-safe equality so a NULL event_type group (kept by both
+    # groupBys AND by the oracle's GROUP BY) survives the join
+    agg = users.join(
+        p50s, users["event_type"].eqNullSafe(p50s["event_type"])
+    ).drop(p50s["event_type"])
     # zero-guarded relative error: if the exact value is 0 the sketch
     # must be exactly 0 too — otherwise a 0 denominator would emit NULL
     # instead of the oracle's pinned TRUE/FALSE and fail the hash

@@ -658,7 +658,10 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_chunks_udtf",
     oracle="""
 WITH t AS (
-    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+    -- split then drop empties == Python strip+split: identical token
+    -- lists for text with leading/trailing tabs/newlines too
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks
     FROM documents WHERE doc_id < 100 AND len(trim(text)) > 0
 ), c AS (
     SELECT doc_id, toks,
@@ -731,7 +734,11 @@ def image_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     registered scale path for embeddings proper."""
     from ..operators.multimodal import image_features
 
-    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    # text IS NOT NULL mirrors the oracle, where md5(NULL) = NULL drops
+    # the row; without it Spark would hash NULL as b"" and diverge
+    d = T(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 300) & F.col("text").isNotNull()
+    )
     files = d.select(
         F.col("doc_id").cast("string").alias("path"),
         F.encode("text", "UTF-8").alias("content"),

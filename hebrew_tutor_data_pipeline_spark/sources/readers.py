@@ -202,7 +202,10 @@ def read_json_with_quarantine(
 
     if isinstance(schema, str):
         schema = StructType.fromDDL(schema)
-    schema = schema.add(corrupt_col, StringType())
+    # copy before add(): StructType.add mutates in place, and corrupting
+    # the CALLER's schema object (or double-appending on reuse) is a
+    # silent action-at-a-distance bug
+    schema = StructType(list(schema.fields)).add(corrupt_col, StringType())
     return (
         spark.read.schema(schema)
         .option("mode", "PERMISSIVE")

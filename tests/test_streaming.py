@@ -39,7 +39,7 @@ def events_dir(spark, tmp_path_factory):
     return str(d / "in")
 
 
-def run_available_now(df, out_table: str, mode: str = "append"):
+def run_available_now(df, out_table: str, mode: str = "append", self_terminates: bool = True):
     q = (
         df.writeStream.format("memory")
         .queryName(out_table)
@@ -48,8 +48,34 @@ def run_available_now(df, out_table: str, mode: str = "append"):
         .option("checkpointLocation", f"/tmp/ckpt-{out_table}-{uuid.uuid4().hex}")
         .start()
     )
-    q.awaitTermination(120)
+    if self_terminates:
+        assert q.awaitTermination(120), "stream did not finish within 120s"
+        return q
+    # Stateful operators with processing-time timeouts never
+    # self-terminate even under availableNow (the engine keeps
+    # triggering batches to fire timeouts, so it never reads as idle
+    # either, and processAllAvailable hangs) — a bare awaitTermination
+    # would silently burn its whole timeout and leak a running query
+    # (the old behavior). Wait until the OUTPUT stabilizes: nonzero and
+    # unchanged across two 1 s checks — then stop.
+    deadline = time.time() + 120
+    prev = -1
+    while time.time() < deadline and q.isActive:
+        n = spark_table_count(df.sparkSession, out_table)
+        if n > 0 and n == prev:
+            break
+        prev = n
+        time.sleep(1.0)
+    q.stop()
+    assert q.awaitTermination(60), "stream did not stop within 60s"
     return q
+
+
+def spark_table_count(spark, name: str) -> int:
+    try:
+        return spark.table(name).count()
+    except Exception:  # first trigger hasn't registered the sink table yet
+        return 0
 
 
 class TestTumbling:
@@ -133,7 +159,9 @@ class TestStatefulPolling:
         ).parquet(str(src))
         out = terminal_jobs(stream)
         name = f"jobs_{uuid.uuid4().hex[:8]}"
-        run_available_now(out, name)
+        # the timeout-bearing stateful query stays alive to fire
+        # timeouts — drain to idle and stop instead of awaiting
+        run_available_now(out, name, self_terminates=False)
         got = {
             r["job_id"]: (r["final_status"], r["n_updates"])
             for r in spark.table(name).collect()
@@ -360,7 +388,7 @@ class TestCheckpointRecovery:
                 .option("path", out_dir)
                 .start()
             )
-            q.awaitTermination(120)
+            assert q.awaitTermination(120), "stream did not finish within 120s"
 
         def read_out():
             return {
