@@ -685,8 +685,11 @@ WITH e AS (
     FROM e
 ), numbered AS (
     SELECT user_id, ts,
-           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           -- DuckDB types a windowed sum(int) as HUGEINT, which pandas-based
+           -- canonicalizers (fetchdf) render as float64 — hash-diverging from
+           -- Spark's bigint even when values are equal. CAST pins BIGINT.
+           CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
     FROM s
 )
 SELECT user_id, session_id,
