@@ -51,7 +51,10 @@ def main() -> int:
     # speed. (OS page cache across queries is still warm, as it would be
     # on any long-running cluster; the harness just doesn't pre-read.)
     for f in sorted(Path(sf_dir).glob("*.parquet")):
-        spark.read.parquet(str(f)).limit(1).write.format("noop").mode("overwrite").save()
+        try:
+            spark.read.parquet(str(f)).limit(1).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 — warmup must never kill the run
+            print(f"# warmup skip {f.name}: {exc}", file=sys.stderr)
     warm = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
     w = Window.partitionBy("n_regionkey").orderBy("n_nationkey").rowsBetween(
         Window.unboundedPreceding, -1
@@ -98,28 +101,35 @@ def main() -> int:
         .write.format("noop").mode("overwrite").save()
     )
 
+    # Per-query fault isolation: one broken plan must not zero the whole
+    # round's performance signal — failures record an error entry and the
+    # JSON line is always emitted (exit 0 so the harness records it).
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, spec in CATALOG.items():
         if only and name not in only:
             continue
         t0 = time.perf_counter()
-        df = spec.spark(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
+        try:
+            df = spec.spark(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+            print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001 — isolate, record, continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: ERROR {errors[name].splitlines()[0]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_of(sf_dir),
-            }
-        )
-    )
+    out = {
+        "metric": "catalog_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_of(sf_dir),
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
     return 0
 

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.timeops import epoch_seconds
+
 
 def asof_join(
     left: DataFrame,
@@ -89,7 +91,9 @@ def asof_join(
     )
 
     if tolerance is not None:
-        gap = F.abs(F.col("_ts").cast("double") - F.col(matched_ts).cast("double"))
+        # NTZ-safe: epoch_seconds routes TIMESTAMP_NTZ through ltz
+        # (session tz pinned UTC) before the double cast.
+        gap = F.abs(epoch_seconds(out, "_ts") - epoch_seconds(out, matched_ts))
         out = out.select(
             *keep,
             *[

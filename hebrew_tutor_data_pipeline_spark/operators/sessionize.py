@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.timeops import epoch_micros, epoch_seconds
+
 
 def sessionize(
     df: DataFrame,
@@ -22,10 +24,13 @@ def sessionize(
 ) -> DataFrame:
     """Assign ``session_id`` (1-indexed per key, in time order)."""
     order = Window.partitionBy(*key_cols).orderBy(F.col(ts_col))
-    prev_ts = F.lag(F.col(ts_col)).over(order)
+    # epoch_seconds is NTZ-safe (routes TIMESTAMP_NTZ through ltz under
+    # the pinned-UTC session tz) so the operator accepts any caller's
+    # frame, not just load_table's normalized one.
+    ts_num = epoch_seconds(df, ts_col)
+    prev_num = F.lag(ts_num).over(order)
     is_new = F.when(
-        prev_ts.isNull()
-        | ((F.col(ts_col).cast("double") - prev_ts.cast("double")) > gap_seconds),
+        prev_num.isNull() | ((ts_num - prev_num) > gap_seconds),
         F.lit(1),
     ).otherwise(F.lit(0))
     run = order.rowsBetween(Window.unboundedPreceding, 0)
@@ -49,16 +54,12 @@ def session_stats(
     subtraction + ``div`` is exact on every engine.
     """
     s = sessionize(df, key_cols, ts_col, gap_seconds)
-    return (
-        s.groupBy(*key_cols, "session_id")
-        .agg(
-            F.min(ts_col).alias("session_start"),
-            F.max(ts_col).alias("session_end"),
-            F.count("*").alias("n_events"),
-        )
-        .withColumn(
-            "duration_ms",
-            F.expr("(unix_micros(session_end) - unix_micros(session_start)) div 1000"),
-        )
-        .select(*key_cols, "session_id", "session_start", "session_end", "duration_ms", "n_events")
+    agg = s.groupBy(*key_cols, "session_id").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count("*").alias("n_events"),
     )
+    dur_us = epoch_micros(agg, "session_end") - epoch_micros(agg, "session_start")
+    return agg.withColumn(
+        "duration_ms", F.try_divide(dur_us, F.lit(1000)).cast("bigint")
+    ).select(*key_cols, "session_id", "session_start", "session_end", "duration_ms", "n_events")

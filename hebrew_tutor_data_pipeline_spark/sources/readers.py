@@ -14,6 +14,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
 
 TPCH_TABLES = (
     "region",
@@ -48,6 +49,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col in NANO_TS_COLS.get(name, ()):
         if col in df.columns and dict(df.dtypes)[col] == "bigint":
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    # Parquet written with tz-naive timestamps reads as TIMESTAMP_NTZ,
+    # on which cast("double")/unix_micros() are illegal. The session tz
+    # is pinned UTC (session.py), so NTZ→LTZ is lossless and matches how
+    # the DuckDB oracle interprets the identical bytes. Normalizing at
+    # the source keeps every downstream operator in one time domain; the
+    # cast is a projection, so pushdown/pruning on other columns is
+    # unaffected. (Operators stay NTZ-safe themselves via
+    # functions.timeops for frames that don't come through here.)
+    ntz_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    if ntz_cols:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
     return df
 
 

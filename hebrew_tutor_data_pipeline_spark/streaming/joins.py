@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.timeops import epoch_seconds
+
 
 def clicks_in_purchase_windows_stream(
     clicks: DataFrame,
@@ -32,28 +34,25 @@ def clicks_in_purchase_windows_stream(
     (click_id, purchase_id), identical to the batch
     `clicks_in_purchase_windows` catalog entry over the same data; each
     pair emerges once because a click owns exactly one bin."""
-    c = (
-        clicks.select(F.col("event_id").alias("click_id"), F.col("ts").alias("cts"))
-        .withWatermark("cts", watermark)
-        .withColumn("bin", F.floor(F.col("cts").cast("double") / window_seconds))
-    )
-    p = (
-        purchases.select(
-            F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
-        )
-        .withWatermark("pts", watermark)
-        .withColumn(
-            "bin",
-            F.explode(
-                F.sequence(
-                    F.floor(F.col("pts").cast("double") / window_seconds),
-                    F.floor(
-                        (F.col("pts").cast("double") + window_seconds)
-                        / window_seconds
-                    ),
-                )
-            ),
-        )
+    c = clicks.select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    ).withWatermark("cts", watermark)
+    # epoch_seconds is NTZ-safe (TIMESTAMP_NTZ routes through ltz under
+    # the pinned-UTC session tz) so the stream join accepts sources that
+    # surface naive timestamps.
+    c = c.withColumn("bin", F.floor(epoch_seconds(c, "cts") / window_seconds))
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+    ).withWatermark("pts", watermark)
+    p_num = epoch_seconds(p, "pts")
+    p = p.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.floor(p_num / window_seconds),
+                F.floor((p_num + window_seconds) / window_seconds),
+            )
+        ),
     )
     return c.join(
         p,

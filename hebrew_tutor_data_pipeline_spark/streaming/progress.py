@@ -16,6 +16,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.listener import StreamingQueryListener
 
+from ..functions.timeops import epoch_micros
+
 
 def with_observed_metrics(df: DataFrame, name: str = "progress") -> DataFrame:
     """Attach row/error-free counters to any (batch or streaming) plan.
@@ -87,19 +89,19 @@ def running_eta(
     """
     w = Window.partitionBy(*group_cols).orderBy(*order_cols)
     run = w.rowsBetween(Window.unboundedPreceding, 0)
-    first_ts = F.first(F.col(ts_col)).over(run)
-    elapsed_ms = F.expr(
-        f"(unix_micros({ts_col}) - unix_micros(_first_ts)) div 1000"
-    )
+    # epoch_micros is NTZ-safe (TIMESTAMP_NTZ routes through ltz under
+    # the pinned-UTC session tz); taking first() over the already-
+    # converted micros keeps the whole expression in one integer domain.
+    ts_us = epoch_micros(df, ts_col)
+    first_us = F.first(ts_us).over(run)
+    elapsed_ms = F.try_divide(ts_us - first_us, F.lit(1000)).cast("bigint")
     return (
-        df.withColumn("_first_ts", first_ts)
-        .withColumn("processed", F.row_number().over(w))
+        df.withColumn("processed", F.row_number().over(w))
         .withColumn("elapsed_ms", elapsed_ms)
         .withColumn(
             "eta_ms",
             (F.lit(total) - F.col("processed")) * F.col("elapsed_ms") / F.col("processed"),
         )
-        .drop("_first_ts")
     )
 
 
