@@ -2,4 +2,39 @@ from .catalog import CATALOG, QuerySpec, bench_queries, oracle_map, query_map  #
 from . import catalog_ml  # noqa: F401  (registers the ML/text queries)
 from . import catalog_hebrew  # noqa: F401  (registers the corpus/domain queries)
 
+# The driver's correctness gate checks the FIRST 50 entries of queries().
+# Rotate coverage: demote queries that are hash-green in the latest
+# recorded round AND whose operator family keeps other in-window
+# evidence, so entries that have never received driver validation (the
+# Hebrew e2e pipelines — the reference's entry points 1 and 3 — plus the
+# r01-only-green relational queries) enter the window. Order within each
+# group preserves registration order, so the rotation is deterministic.
+_DEMOTED = (
+    "top10_orders",               # O1–O3: ordering also pinned by top5_recent_events_per_user
+    "except_types_week1_week2",   # E1–E3 r03-green; set-ops stable since r01
+    "intersect_types_week1_week2",
+    "union_click_purchase_daily",
+    "distinct_dimensions",        # A10 r03-green
+    "avg_after_skip2",            # A8 r03-green
+    "event_type_shares",          # F18 r03-green
+    "cube_status_priority",       # A6 keeps rollup_region_nation in-window
+    "pivot_user_event_counts",    # r03-green extra beyond §2
+    "price_quantiles_by_flag",    # sketches keep sketch_accuracy_certificates
+    "overlapping_purchase_windows",  # J7 keeps orders_containing_shipdate + clicks_in_purchase_windows
+    "simhash_fingerprints",       # simhash_hamming_pairs exercises the full path
+    "embedding_near_dup_pairs",   # exact tier; LSH tier stays in-window
+    "lang_id_confusion",          # text family keeps doc_text_stats
+)
+
+
+def _reorder() -> None:
+    demoted = {n: s for n, s in CATALOG.items() if n in _DEMOTED}
+    kept = {n: s for n, s in CATALOG.items() if n not in _DEMOTED}
+    CATALOG.clear()
+    CATALOG.update(kept)
+    CATALOG.update(demoted)
+
+
+_reorder()
+
 __all__ = ["CATALOG", "QuerySpec", "bench_queries", "oracle_map", "query_map"]

@@ -18,6 +18,10 @@ from tools.parity import TABLES, table_hash  # noqa: E402
 SF = "/root/testdata/sf0.001"
 
 # Fast representative subset for per-commit runs; tools/parity.py covers all.
+# Mirrors the driver's 50-entry window: every family that window checks
+# has one representative here, so a breakage the driver would flag also
+# fails pytest (the r03 NTZ regression failed only 1 of 2 broken queries
+# because progress_running_eta was missing from this list).
 PARITY_SUBSET = [
     "pricing_summary",
     "rollup_region_nation",
@@ -25,12 +29,24 @@ PARITY_SUBSET = [
     "tumbling_hour_stats",
     "asof_click_purchase",
     "user_sessions_30min",
+    "progress_running_eta",
     "upsert_last_event_state",
     "orders_containing_shipdate",
     "dedup_exact_keepers",
     "simhash_fingerprints",
     "ann_bruteforce_top10",
     "hebrew_normalize",
+    # previously driver-unchecked families (rotated into the window r04)
+    "transcribe_chapter",
+    "nfc_normalize_corpus",
+    "local_first_audio",
+    "nation_code_fallback",
+    "user_first_last_event",
+    "lineitem_unit_math",
+    "part_name_similarity",
+    "corpus_word_spread",
+    "doc_vowel_class_map",
+    "alignment_sink_roundtrip",
 ]
 
 
