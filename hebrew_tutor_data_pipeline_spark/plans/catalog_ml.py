@@ -454,9 +454,94 @@ def ann_bruteforce_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.brute_force_topk(e, q, "vec_id", "embedding", k=10)
 
 
+def _cos_sql(a: str, b: str, raw: bool = False) -> str:
+    """Cosine in DuckDB list algebra; ``raw`` skips the 6-dp rounding
+    (training-time assignment in kmeans_codebook compares unrounded
+    sims, probe/rank time uses the rounded ones — mirror both)."""
+    expr = (
+        f"(list_dot_product({a}, {b})"
+        f" / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
+    )
+    return expr if raw else f"round({expr}, 6)"
+
+
+def _ivf_probe_sql(cells: str) -> str:
+    """The shared IVF probe pipeline vs a codebook CTE ``cells(cell, ce)``:
+    assign every vector to its best cell (rounded-6dp score, smallest
+    cell on ties — numpy first-max argmax over the cell-sorted axis),
+    probe each query's 4 best cells, exact-cosine rank ≤ 10."""
+    return f"""
+assigned AS (
+    SELECT v.vec_id AS id, v.e, b.cell
+    FROM v
+    JOIN LATERAL (
+        SELECT c.cell, {_cos_sql('v.e', 'c.ce')} AS sim
+        FROM {cells} c ORDER BY sim DESC, c.cell ASC LIMIT 1
+    ) b ON TRUE
+),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
+probes AS (
+    SELECT query_id, qe, cell FROM (
+        SELECT q.query_id, q.qe, c.cell,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_cos_sql('q.qe', 'c.ce')} DESC, c.cell ASC) AS pr
+        FROM q, {cells} c
+    ) WHERE pr <= 4
+),
+s AS (
+    SELECT p.query_id, a.id AS neighbor_id, {_cos_sql('a.e', 'p.qe')} AS cosine
+    FROM assigned a JOIN probes p USING (cell)
+    WHERE a.id <> p.query_id
+),
+r AS (
+    SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM s
+)
+SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 10"""
+
+
+def _lloyd_sql(prev: str, a: str, m: str, out: str) -> str:
+    """One deterministic Lloyd iteration in SQL: raw-cosine assignment
+    (first-max = smallest cell on ties), per-dimension mean, empty cells
+    keep the previous centroid — kmeans_codebook's exact recurrence."""
+    return f"""
+{a} AS (
+    SELECT v.vec_id, v.e, b.cell
+    FROM v
+    JOIN LATERAL (
+        SELECT p.cell, {_cos_sql('v.e', 'p.ce', raw=True)} AS sim
+        FROM {prev} p
+        ORDER BY sim DESC, p.cell ASC LIMIT 1
+    ) b ON TRUE
+),
+{m} AS (
+    SELECT cell, list(sx ORDER BY i) AS ce FROM (
+        SELECT cell, i, sum(x) / count(*) AS sx FROM (
+            SELECT cell, generate_subscripts(e, 1) AS i, unnest(e) AS x FROM {a}
+        ) GROUP BY cell, i
+    ) GROUP BY cell
+),
+{out} AS (
+    SELECT p.cell, coalesce(m.ce, p.ce) AS ce
+    FROM {prev} p LEFT JOIN {m} m USING (cell)
+)"""
+
+
 @_register(
     "ann_ivf_top10",
-    oracle=None,  # probe-pruned search has no compact SQL twin; rows-only
+    # The probe-pruned search IS SQL-expressible because the codebook is
+    # deterministic (the 16 smallest-id corpus vectors): the oracle
+    # replays assignment, probe selection, and exact-cosine ranking with
+    # the same rounded scores and tiebreaks as the numpy path.
+    oracle=f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cells AS (
+    SELECT vec_id AS cell, e AS ce FROM v ORDER BY vec_id LIMIT 16
+),
+{_ivf_probe_sql('cells')}
+""",
     tags=("ann", "ivf"),
 )
 def ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -468,7 +553,21 @@ def ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "ann_ivf_kmeans_top10",
-    oracle=None,  # iterative k-means training has no SQL twin; rows-only
+    # The "iterative algorithms have no SQL twin" assumption was wrong
+    # for a FIXED iteration count: two deterministic Lloyd steps unroll
+    # into two CTE blocks (init = 16 smallest-id vectors as cells 0-15,
+    # raw-cosine assignment, per-dim mean, empty cells carry forward),
+    # then the standard IVF probe runs against the trained codebook.
+    oracle=f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+c0 AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS ce
+    FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 16)
+),
+{_lloyd_sql('c0', 'a1', 'm1', 'c1')},
+{_lloyd_sql('c1', 'a2', 'm2', 'c2')},
+{_ivf_probe_sql('c2')}
+""",
     tags=("ann", "ivf", "kmeans", "iterative"),
 )
 def ann_ivf_kmeans_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -540,7 +639,66 @@ def hebrew_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "cursor_align_tokens",
-    oracle=None,  # order-stateful per-group cursor: not SQL-expressible
+    # The per-group cursor IS SQL-expressible: a recursive CTE carries
+    # the cursor across ref positions (all docs advance in lockstep on
+    # ri), a LATERAL argmax scans the 5-word window, and DuckDB's
+    # levenshtein() reproduces _ratio exactly (1 - dist/max(len) is the
+    # same correctly-rounded double on both engines). The `sim > 0.0`
+    # guard mirrors the Python loop's strict `>` against a 0.0 seed —
+    # an all-zero-similarity window never matches.
+    oracle=r"""
+WITH RECURSIVE tok AS (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(text), '\s+')) AS word,
+           generate_subscripts(string_split_regex(trim(text), '\s+'), 1) - 1 AS pos
+    FROM documents WHERE doc_id < 20
+), ref AS (
+    SELECT doc_id, pos AS ri, word AS rw FROM tok
+), trans AS (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS j,
+           word AS tw,
+           pos * 0.5 AS ts,
+           pos * 0.5 + 0.4 AS te
+    FROM tok WHERE pos % 3 != 0
+), nref AS (
+    SELECT doc_id, max(ri) AS mx FROM ref GROUP BY doc_id
+), step AS (
+    SELECT doc_id, 0 AS ri, 0 AS cur FROM nref
+    UNION ALL
+    SELECT s.doc_id, s.ri + 1,
+           CASE WHEN b.sim >= 0.6 AND b.sim > 0.0 THEN b.j + 1 ELSE s.cur END
+    FROM step s
+    JOIN ref r ON r.doc_id = s.doc_id AND r.ri = s.ri
+    JOIN nref n ON n.doc_id = s.doc_id
+    LEFT JOIN LATERAL (
+        SELECT t.j,
+               1.0 - levenshtein(r.rw, t.tw)::DOUBLE / greatest(len(r.rw), len(t.tw)) AS sim
+        FROM trans t
+        WHERE t.doc_id = s.doc_id AND t.j >= s.cur AND t.j < s.cur + 5
+        ORDER BY sim DESC, t.j ASC LIMIT 1
+    ) b ON TRUE
+    WHERE s.ri < n.mx
+)
+SELECT CAST(s.doc_id AS VARCHAR) AS group_key,
+       CAST(s.ri AS BIGINT) AS ref_idx,
+       r.rw AS ref_word,
+       CASE WHEN b.sim >= 0.6 AND b.sim > 0.0 THEN b.j END AS matched_idx,
+       CASE WHEN b.sim >= 0.6 AND b.sim > 0.0 THEN b.tw END AS matched_word,
+       CASE WHEN b.sim >= 0.6 AND b.sim > 0.0 THEN b.ts END AS start,
+       CASE WHEN b.sim >= 0.6 AND b.sim > 0.0 THEN b.te END AS "end",
+       round(coalesce(CASE WHEN b.sim > 0.0 THEN b.sim END, 0.0), 6) AS similarity,
+       CASE WHEN b.sim >= 0.6 AND b.sim > 0.0 THEN 1 ELSE 0 END AS matched
+FROM step s
+JOIN ref r ON r.doc_id = s.doc_id AND r.ri = s.ri
+LEFT JOIN LATERAL (
+    SELECT t.j, t.tw, t.ts, t.te,
+           1.0 - levenshtein(r.rw, t.tw)::DOUBLE / greatest(len(r.rw), len(t.tw)) AS sim
+    FROM trans t
+    WHERE t.doc_id = s.doc_id AND t.j >= s.cur AND t.j < s.cur + 5
+    ORDER BY sim DESC, t.j ASC LIMIT 1
+) b ON TRUE
+""",
     tags=("J5", "W5", "U6"),
     bench=True,
 )
