@@ -517,21 +517,27 @@ def embedding_near_dup_pairs(
     from .ann import _pseudo_random_plane
 
     id_type = v.schema["id"].dataType
-    dim = len(df.select(vec_col).first()[0])
-    planes = np.stack(
-        [
-            _pseudo_random_plane(dim, t * bucket_bits + b)
-            for t in range(num_tables)
-            for b in range(bucket_bits)
-        ]
-    )  # (num_tables*bits, dim)
     weights = np.array([1 << (bucket_bits - 1 - b) for b in range(bucket_bits)])
 
     def buckets(batches: "pd.DataFrame") -> "pd.DataFrame":
+        # Hyperplanes are derived lazily from the first batch's vector
+        # width INSIDE the task (the LCG recurrence is deterministic, so
+        # every worker builds the identical matrix): no eager driver-side
+        # first() job to probe the dimension, and an empty input yields
+        # zero batches — and zero rows — instead of an IndexError.
+        planes = None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             mat = np.stack(pdf["vec"].to_numpy())
+            if planes is None:
+                planes = np.stack(
+                    [
+                        _pseudo_random_plane(mat.shape[1], t * bucket_bits + b)
+                        for t in range(num_tables)
+                        for b in range(bucket_bits)
+                    ]
+                )  # (num_tables*bits, dim)
             # dim-sequential accumulation == SQL list_dot_product order
             proj = np.zeros((len(pdf), planes.shape[0]))
             for d in range(mat.shape[1]):

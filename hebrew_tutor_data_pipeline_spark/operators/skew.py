@@ -95,6 +95,17 @@ def salted_join(
     If the small side fits in memory, prefer ``F.broadcast`` — zero
     shuffle beats a salted one. Supported joins: inner / left (the
     semantics that survive key replication unchanged).
+
+    NULL join keys follow standard SQL equi-join semantics, identical
+    to the unsalted join: NULL never equals NULL, so NULL-key rows
+    produce no match — dropped under ``inner``, kept (with NULL small
+    side) under ``left``. The salt cannot perturb this: it is derived
+    from the row's values (never NULL itself) and only ever SPLITS an
+    equality group, so a pair that wouldn't join unsalted can't join
+    salted. An oracle that models NULLs as a joinable group (e.g. a
+    GROUP BY over an outer join) must be compared against the
+    ``left`` form, not ``inner`` (tests/test_operators.py pins
+    salted==plain equivalence for both, NULL keys included).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")

@@ -1167,7 +1167,7 @@ def overlapping_purchase_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_segment_revenue",
     oracle="""
 SELECT c_mktsegment,
-       round(sum(o_totalprice), 2) AS revenue,
+       round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)::DOUBLE AS revenue,
        count(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
@@ -1179,13 +1179,15 @@ def sql_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrame entries produce, declared via ``spark.sql`` over
     registered temp views — proving a reference user can bring plain
     ANSI SQL instead of the Python API and get identical results (the
-    oracle here IS the query, modulo view names)."""
+    oracle here IS the query, modulo view names). Money sums in DECIMAL
+    like the sibling aggregates, so both engines add exactly
+    (order-invariant) and one round+cast happens at the edge."""
     T(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
     T(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
     return spark.sql(
         """
         SELECT c_mktsegment,
-               round(sum(o_totalprice), 2) AS revenue,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
                count(*) AS n_orders
         FROM v_orders JOIN v_customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment

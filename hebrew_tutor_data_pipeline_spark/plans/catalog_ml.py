@@ -156,11 +156,17 @@ def dedup_exact_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "jaccard_token_pairs",
     oracle="""
 WITH d AS (
-    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                        ELSE string_split_regex(trim(text), '\\s+') END AS t
+    FROM documents
 ), g AS (
+    -- mirror of ngram_jaccard_pairs' short-doc rule: an empty doc emits
+    -- no shingles, a doc shorter than n emits its single joined shingle
     SELECT doc_id,
-           list_distinct([list_aggr(t[i:i+2], 'string_agg', ' ')
-                          for i in range(1, len(t) - 1)]) AS toks
+           CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+                WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                ELSE list_distinct([list_aggr(t[i:i+2], 'string_agg', ' ')
+                                    for i in range(1, len(t) - 1)]) END AS toks
     FROM d
 ), s AS (
     SELECT doc_id, len(toks) AS nsh FROM g

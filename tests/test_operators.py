@@ -565,3 +565,74 @@ class TestSkewOperators:
             salted_aggregate(e, ["event_type"], {"x": ("value", "median")})
         with pytest.raises(ValueError):
             salted_join(e, e.limit(1), on="event_type", how="full")
+
+    def test_salted_join_null_keys_match_plain_join(self, spark):
+        """NULL join keys must behave exactly as the unsalted join:
+        dropped under inner, kept-with-NULL-payload under left. Pins the
+        docstring's NULL contract (salting only splits equality groups,
+        it can never create a NULL match)."""
+        from pyspark.sql import functions as F
+
+        from hebrew_tutor_data_pipeline_spark.operators.skew import salted_join
+
+        e = self._events(spark).withColumn(
+            "event_type",
+            F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(
+                F.col("event_type")
+            ),
+        )
+        dim = e.select("event_type").distinct().withColumn(
+            "type_len", F.length("event_type")
+        )
+        for how in ("inner", "left"):
+            plain = sorted(
+                tuple(sorted(r.asDict().items()))
+                for r in e.join(dim, "event_type", how).collect()
+            )
+            salted = sorted(
+                tuple(sorted(r.asDict().items()))
+                for r in salted_join(e, dim, on="event_type", n_salts=7, how=how).collect()
+            )
+            assert salted == plain, how
+        n_null = e.filter(F.col("event_type").isNull()).count()
+        assert n_null > 0  # the scenario is actually exercised
+        inner = salted_join(e, dim, on="event_type", n_salts=7, how="inner")
+        assert inner.filter(F.col("event_type").isNull()).count() == 0
+        left = salted_join(e, dim, on="event_type", n_salts=7, how="left")
+        null_rows = left.filter(F.col("event_type").isNull())
+        assert null_rows.count() == n_null
+        assert null_rows.filter(F.col("type_len").isNotNull()).count() == 0
+
+    def test_salted_aggregate_null_group_kept(self, spark):
+        """A NULL group key is a real group in groupBy semantics; the
+        two-phase salted aggregate must preserve it bit-for-bit."""
+        from pyspark.sql import functions as F
+
+        from hebrew_tutor_data_pipeline_spark.operators.skew import salted_aggregate
+
+        e = self._events(spark).withColumn(
+            "event_type",
+            F.when(F.col("event_id") % 3 == 0, F.lit(None)).otherwise(
+                F.col("event_type")
+            ),
+        )
+        direct = {
+            r.event_type: (r.n, r.vsum)
+            for r in e.groupBy("event_type")
+            .agg(F.count("event_id").alias("n"), F.sum("value").alias("vsum"))
+            .collect()
+        }
+        salted = {
+            r.event_type: (r.n, r.vsum)
+            for r in salted_aggregate(
+                e,
+                keys=["event_type"],
+                aggs={"n": ("event_id", "count"), "vsum": ("value", "sum")},
+                n_salts=5,
+            ).collect()
+        }
+        assert None in direct and None in salted
+        assert salted.keys() == direct.keys()
+        for k, (n, _) in direct.items():
+            assert salted[k][0] == n
+            assert abs(salted[k][1] - direct[k][1]) < 1e-6
