@@ -18,6 +18,44 @@ FIXTURE_CORPUS = str(
 )
 
 
+class TestLoadTableTimeDomain:
+    """load_table must present ONE time domain regardless of how the
+    driver regenerates the parquet (TIMESTAMP(NANOS) in rounds 1-2,
+    tz-naive micros → TIMESTAMP_NTZ in round 3, possibly tz-aware
+    later): every time-like column arrives as TIMESTAMP (LTZ), on which
+    cast("double")/unix_micros are legal. The round-3 NTZ regression
+    (sessionize/progress hard-erroring on regenerated testdata) is the
+    failure this pins down."""
+
+    def test_no_ntz_or_raw_long_timestamps(self, spark):
+        from pyspark.sql.types import TimestampNTZType
+
+        from hebrew_tutor_data_pipeline_spark.sources.readers import (
+            TPCH_TABLES,
+            load_table,
+        )
+
+        time_cols = {
+            "events": ["ts"],
+            "orders": ["o_orderdate"],
+            "lineitem": ["l_shipdate"],
+        }
+        for t in TPCH_TABLES:
+            df = load_table(spark, "/root/testdata/sf0.001", t)
+            ntz = [
+                f.name
+                for f in df.schema.fields
+                if isinstance(f.dataType, TimestampNTZType)
+            ]
+            assert not ntz, f"{t}: NTZ columns leaked through load_table: {ntz}"
+            for c in time_cols.get(t, []):
+                assert dict(df.dtypes)[c] == "timestamp", (t, c, dict(df.dtypes)[c])
+                # the operations the round-3 regression broke must be legal
+                df.select(
+                    F.col(c).cast("double"), F.expr(f"unix_micros(`{c}`)")
+                ).limit(1).collect()
+
+
 class TestBinaryScan:
     def make_tree(self, tmp_path):
         """NN_BookName/NN-Abbr_CC.mp3 layout like the reference corpus
