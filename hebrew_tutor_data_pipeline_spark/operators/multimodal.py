@@ -41,6 +41,32 @@ def _fake_waveform(payload: bytes, sr: int) -> list[float]:
     return [math.sin(2 * math.pi * freq * i / sr) for i in range(n)]
 
 
+def _decode_wav_bytes(payload: bytes) -> tuple[int, list[float]]:
+    """REAL decode of a 16-bit PCM RIFF/WAV payload via the stdlib
+    ``wave`` module — no codec library involved. Returns (native sample
+    rate, float samples in [-1, 1]). Multi-channel audio is downmixed by
+    channel mean (the reference loads mono, `hebrew_alignment_tool.py:208-214`).
+    Floats use the /32767 convention so ``encode_wav`` → decode round-
+    trips the int16 samples bit-exactly."""
+    import wave
+    from io import BytesIO
+
+    import numpy as np
+
+    with wave.open(BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise NotImplementedError(
+                f"only 16-bit PCM WAV supported, got {8 * w.getsampwidth()}-bit"
+            )
+        sr = w.getframerate()
+        nch = w.getnchannels()
+        raw = w.readframes(w.getnframes())
+    x = np.frombuffer(raw, dtype="<i2").astype("float64")
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return sr, list(x / 32767.0)
+
+
 def decode_audio(
     files: DataFrame,
     sample_rate: int = FAKE_SR,
@@ -54,6 +80,12 @@ def decode_audio(
     ``mapInPandas`` so each Arrow batch of files is decoded in one
     Python call — the executor-side analog of the reference's explicit
     GPU micro-batching (U2), with partition size as the batch knob.
+
+    ``fake=False`` REALLY decodes RIFF/WAV payloads (stdlib ``wave`` —
+    the tested real-bytes tier; the emitted ``sample_rate`` is the
+    file's native rate, no resampling). Compressed codecs (MP3/OGG)
+    still require librosa/soundfile and raise; the reference's decode
+    chain is `scripts/hebrew_alignment_tool_optimized.py:281-303`.
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -62,19 +94,23 @@ def decode_audio(
             for _, row in pdf.iterrows():
                 payload = bytes(row[content_col]) if row[content_col] is not None else b""
                 if fake:
+                    sr = sample_rate
                     samples = _fake_waveform(payload, sample_rate)
+                elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+                    sr, samples = _decode_wav_bytes(payload)
                 else:
                     raise NotImplementedError(
-                        "real audio decode requires librosa/soundfile; "
-                        "install and replace this branch (S5, "
+                        "real decode of compressed audio requires "
+                        "librosa/soundfile; only RIFF/WAV decodes "
+                        "natively (S5, "
                         "`scripts/hebrew_alignment_tool_optimized.py:281-303`)"
                     )
                 out.append(
                     {
                         "path": row[path_col],
-                        "sample_rate": sample_rate,
+                        "sample_rate": sr,
                         "num_samples": len(samples),
-                        "duration": round(len(samples) / sample_rate, 6),
+                        "duration": round(len(samples) / sr, 6),
                         "samples": samples,
                     }
                 )
@@ -248,7 +284,43 @@ def video_frame_sample(
     audio decode (U1 ``chunk_length_s``, `hebrew_alignment_tool.py:216-251`).
     Fake mode derives duration from payload size (like ``decode_audio``)
     and each frame's bytes from digest(payload ‖ frame_idx) —
-    deterministic across executors and runs; real slot = ffmpeg/cv2."""
+    deterministic across executors and runs. ``fake=False`` shells out
+    to the ``ffmpeg`` binary per payload (stdin→mjpeg→stdout, frames
+    split on JPEG SOI/EOI markers — the reference's subprocess pattern,
+    `scripts/audio_trimmer_interface.py:37-131`); it raises if ffmpeg is
+    not on PATH, and the ``-m realmedia`` test tier exercises it where
+    one is installed."""
+
+    def _ffmpeg_frames(payload: bytes) -> list[bytes]:
+        import shutil
+        import subprocess
+
+        if shutil.which("ffmpeg") is None:
+            raise NotImplementedError(
+                "real frame sampling requires the ffmpeg binary on PATH "
+                "(U9 slot, `scripts/audio_trimmer_interface.py:37-131`)"
+            )
+        proc = subprocess.run(
+            [
+                "ffmpeg", "-hide_banner", "-loglevel", "error",
+                "-i", "pipe:0",
+                "-vf", f"fps=1/{every_s}",
+                "-f", "image2pipe", "-vcodec", "mjpeg", "pipe:1",
+            ],
+            input=payload, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            check=True,
+        )
+        frames, buf, start = [], proc.stdout, 0
+        while True:
+            soi = buf.find(b"\xff\xd8", start)
+            if soi < 0:
+                break
+            eoi = buf.find(b"\xff\xd9", soi + 2)
+            if eoi < 0:
+                break
+            frames.append(buf[soi : eoi + 2])
+            start = eoi + 2
+        return frames
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -256,10 +328,16 @@ def video_frame_sample(
             for _, row in pdf.iterrows():
                 payload = bytes(row[content_col]) if row[content_col] is not None else b""
                 if not fake:
-                    raise NotImplementedError(
-                        "real frame sampling requires ffmpeg/cv2 (U9 slot, "
-                        "`scripts/audio_trimmer_interface.py:37-131`)"
-                    )
+                    for i, fb in enumerate(_ffmpeg_frames(payload)):
+                        out.append(
+                            {
+                                "path": row[path_col],
+                                "frame_idx": i,
+                                "t": round(i * every_s, 6),
+                                "frame": fb,
+                            }
+                        )
+                    continue
                 duration = max(every_s, len(payload) / 1024 * FAKE_SECONDS_PER_KB * 20)
                 n_frames = int(duration / every_s)
                 for i in range(n_frames):
