@@ -196,15 +196,28 @@ class TestMultimodalPlumbing:
                 assert ent["label"] == "WORD" and 0.0 <= ent["score"] <= 1.0
 
     def test_real_mode_slots_raise(self, spark):
+        """Real-mode error contracts on an MP3 payload: image resize is
+        still a cv2/PIL slot (NotImplementedError); video frame sampling
+        requires an ffmpeg binary on PATH (NotImplementedError here —
+        the container ships none; with ffmpeg installed it would fail on
+        the non-video payload instead); PDF extraction rejects the
+        non-PDF payload outright (ValueError)."""
         files = read_binary_files(spark, FIXTURE_AUDIO, glob="*.mp3").limit(1)
+        import shutil
+
         import pytest as _pytest
 
-        for op in (
-            lambda: image_resize(files, fake=False).collect(),
-            lambda: video_frame_sample(files, fake=False).collect(),
-            lambda: pdf_pages(files, fake=False).collect(),
+        for op, pat in (
+            (lambda: image_resize(files, fake=False).collect(), "NotImplementedError|requires"),
+            (
+                lambda: video_frame_sample(files, fake=False).collect(),
+                "requires the ffmpeg|ffmpeg|Error"
+                if shutil.which("ffmpeg") is None
+                else "Error",
+            ),
+            (lambda: pdf_pages(files, fake=False).collect(), "not a PDF"),
         ):
-            with _pytest.raises(Exception, match="NotImplementedError|requires"):
+            with _pytest.raises(Exception, match=pat):
                 op()
 
 
@@ -379,3 +392,114 @@ class TestRealMediaTier:
 import pytest as _pytest_mod
 
 TestRealMediaTier = _pytest_mod.mark.realmedia(TestRealMediaTier)
+
+
+def _build_real_pdf(page_texts, compress=True):
+    """Hand-assemble a minimal but VALID two-object-per-page PDF (catalog,
+    pages tree, page + Flate content stream per page, correct xref) —
+    real bytes any conforming reader opens."""
+    import zlib
+
+    objs = []  # (obj_num, body_bytes)
+    n_pages = len(page_texts)
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objs.append((1, f"<< /Type /Catalog /Pages 2 0 R >>".encode()))
+    objs.append(
+        (2, f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode())
+    )
+    for i, text in enumerate(page_texts):
+        page_num, stream_num = 3 + 2 * i, 4 + 2 * i
+        objs.append(
+            (
+                page_num,
+                (
+                    f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                    f"/Contents {stream_num} 0 R >>"
+                ).encode(),
+            )
+        )
+        esc = text.encode("latin-1").replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+        content = b"BT /F1 12 Tf 72 720 Td (" + esc + b") Tj ET"
+        if compress:
+            data = zlib.compress(content)
+            body = (
+                f"<< /Length {len(data)} /Filter /FlateDecode >>\nstream\n".encode()
+                + data
+                + b"\nendstream"
+            )
+        else:
+            body = (
+                f"<< /Length {len(content)} >>\nstream\n".encode()
+                + content
+                + b"\nendstream"
+            )
+        objs.append((stream_num, body))
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for num, body in objs:
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n0000000000 65535 f \n".encode()
+    for num, _ in objs:
+        out += f"{offsets[num]:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+class TestRealPdfTier:
+    """S11 real extraction path (stdlib zlib + content-stream parsing):
+    page count, per-page text, and the true nikud char-class map come
+    from actual PDF bytes, not the digest fake."""
+
+    def test_real_pdf_text_extraction(self, spark, tmp_path):
+        texts = ["Hello (escaped) world", "Second page text"]
+        pdf_bytes = _build_real_pdf(texts, compress=True)
+        d = tmp_path / "pdfs"
+        d.mkdir()
+        (d / "doc.pdf").write_bytes(pdf_bytes)
+
+        files = read_binary_files(spark, str(d), glob="*.pdf")
+        rows = sorted(
+            pdf_pages(files, fake=False).collect(), key=lambda r: r["page_number"]
+        )
+        assert [r["page_number"] for r in rows] == [1, 2]
+        assert rows[0]["text"] == "Hello (escaped) world"
+        assert rows[1]["text"] == "Second page text"
+        # page_image carries the REAL decoded content stream
+        assert b"Hello \\(escaped\\) world" in bytes(rows[0]["page_image"])
+        assert rows[0]["entities"] == []  # OCR/NER slot stays external
+        assert all(v == 0 for v in rows[0]["nikud_map"])  # no Hebrew marks
+
+    def test_real_pdf_uncompressed_and_tj_arrays(self, spark, tmp_path):
+        pdf_bytes = _build_real_pdf(["plain stream"], compress=False)
+        # splice in a TJ-array operator to cover the kerned-text form
+        pdf_bytes = pdf_bytes.replace(
+            b"(plain stream) Tj", b"[(pla) -20 (in)] TJ (stream) Tj"
+        )
+        d = tmp_path / "pdfs2"
+        d.mkdir()
+        (d / "u.pdf").write_bytes(pdf_bytes)
+        rows = pdf_pages(
+            read_binary_files(spark, str(d), glob="*.pdf"), fake=False
+        ).collect()
+        assert len(rows) == 1
+        assert rows[0]["text"] == "stream plain"  # Tj parts first, then TJ run
+
+    def test_non_pdf_payload_raises(self, spark, tmp_path):
+        import pytest as _pytest
+
+        d = tmp_path / "bad"
+        d.mkdir()
+        (d / "x.pdf").write_bytes(b"not a pdf at all")
+        with _pytest.raises(Exception, match="not a PDF|ValueError"):
+            pdf_pages(
+                read_binary_files(spark, str(d), glob="*.pdf"), fake=False
+            ).collect()
+
+
+TestRealPdfTier = _pytest_mod.mark.realmedia(TestRealPdfTier)
