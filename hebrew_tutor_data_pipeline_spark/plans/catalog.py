@@ -669,6 +669,59 @@ def asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "asof_click_purchase_tol",
+    # Same as-of semantics PLUS the tolerance gate: matches farther than
+    # 1 h are nulled, exercising asof_join's tolerance branch (which was
+    # otherwise driver-invisible — the plain entry passes tolerance=None).
+    # Gap compared in integer epoch-micros on the oracle side; Spark's
+    # double-seconds comparison is exact for micro timestamps (< 2^53).
+    oracle="""
+WITH ev AS (SELECT * FROM events WHERE user_id < 20),
+u AS (
+    SELECT user_id, event_id, ts, event_type, value,
+           last_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts ASC, (event_type = 'purchase') DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS purchase_ts,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts ASC, (event_type = 'purchase') DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS purchase_value
+    FROM ev
+)
+SELECT event_id, user_id, ts,
+       CASE WHEN epoch_us(ts) - epoch_us(purchase_ts) <= 3600000000
+            THEN purchase_ts END AS purchase_ts,
+       CASE WHEN epoch_us(ts) - epoch_us(purchase_ts) <= 3600000000
+            THEN purchase_value END AS purchase_value
+FROM u WHERE event_type = 'click'
+""",
+    tags=("J5-generic", "W5", "tolerance"),
+)
+def asof_click_purchase_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a 1-hour tolerance: purchases farther back than
+    3600 s are nulled out (asof.asof_join's tolerance post-filter)."""
+    e = T(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    out = asof.asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["value"],
+        direction="backward",
+        tolerance=3600.0,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_right").alias("purchase_ts"),
+        F.col("value_right").alias("purchase_value"),
+    )
+
+
+@_register(
     "user_sessions_30min",
     oracle="""
 WITH e AS (

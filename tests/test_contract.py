@@ -27,7 +27,7 @@ PARITY_SUBSET = [
     "rollup_region_nation",
     "alloc_order_value",
     "tumbling_hour_stats",
-    "asof_click_purchase",
+    "asof_click_purchase_tol",  # supersedes the tolerance-free entry in-window
     "user_sessions_30min",
     "progress_running_eta",
     "upsert_last_event_state",
