@@ -51,6 +51,49 @@ vs AS (
 """
 
 
+def _corpus_translit_map() -> tuple[str, str]:
+    """Injective map of every code point in the committed corpus fixture
+    to a single-byte ASCII char. DuckDB's ``levenshtein`` is BYTE-based
+    (multi-byte Hebrew inflates distances ~2× vs Python's code-point
+    DP), but ``translate`` + this map preserves equality/inequality
+    exactly, so edit distance over the transliterated strings equals the
+    code-point distance the engine's ``_ratio`` computes. Computed at
+    import from the fixture (committed, deterministic — same status as
+    the inlined MinHash/LSH constants)."""
+    import json
+
+    with open(FIXTURE_CORPUS, encoding="utf-8") as f:
+        corpus = json.load(f)
+    chars: set[str] = set()
+    for book, chapters in corpus.items():
+        if book == "Aramaic":
+            continue
+        for ch in chapters:
+            for verse in ch:
+                for w in verse:
+                    chars.update(w)
+    src = "".join(sorted(chars))
+    if len(src) > 90:  # ASCII pool bound; corpus fixture uses ~27
+        raise ValueError(f"corpus alphabet too large to transliterate: {len(src)}")
+    dst = "".join(chr(ord("!") + i) for i in range(len(src))).replace("'", "~").replace("\\", "|")
+    return src, dst
+
+
+_TR_SRC, _TR_DST = _corpus_translit_map()
+
+
+def _lev_sim_sql(a: str, b: str) -> str:
+    """The engine's ``_ratio`` in DuckDB: 1 - lev/max(len), with both
+    words transliterated to single-byte chars first (see
+    ``_corpus_translit_map``); ``len`` is code-point on both engines."""
+    tr_a = f"translate({a}, '{_TR_SRC}', '{_TR_DST}')"
+    tr_b = f"translate({b}, '{_TR_SRC}', '{_TR_DST}')"
+    return (
+        f"1.0 - levenshtein({tr_a}, {tr_b})::DOUBLE"
+        f" / greatest(len({a}), len({b}))"
+    )
+
+
 def corpus_verses_df(spark: SparkSession) -> DataFrame:
     """S1+P1+P2: nested corpus scan → one row per verse, 1-indexed
     (`hebrew_alignment_tool.py:137-206`). Keeps the words array for
@@ -397,9 +440,114 @@ def aligned_verse_rollup(spark: SparkSession, ch: DataFrame) -> DataFrame:
     )
 
 
+# Shared oracle machinery for the chapter pipelines: corpus tokens +
+# audio-duration dim + mock-ASR transcript + the J5 cursor as a
+# recursive CTE (chapters advance in lockstep on ref index; LATERAL
+# argmax over the 5-word window; `sim > 0.0` mirrors the Python loop's
+# strict `>` against its 0.0 seed). The same technique as the
+# cursor_align_tokens oracle, composed with the transcribe_chapter and
+# audio_inventory oracle pieces — so the reference's entry point 1
+# (`hebrew_alignment_tool.py:417-464`) runs under the full value-hash
+# gate end-to-end.
+_ALIGN_PIPE_SQL = f"""
+tok AS (
+  SELECT book, chapter, verse_num, unnest(words) AS word,
+         generate_subscripts(words, 1) AS wpos
+  FROM vs),
+dur AS (
+  SELECT regexp_extract(filename, '(\\d+)-([A-Za-z]+)_(\\d+)\\.mp3$', 2) AS book,
+         CAST(regexp_extract(filename, '(\\d+)-([A-Za-z]+)_(\\d+)\\.mp3$', 3) AS INTEGER) AS chapter,
+         size * 10 AS duration_ms
+  FROM read_blob('{FIXTURE_AUDIO_TREE}/*/*.mp3') WHERE size >= 1024),
+chd AS (
+  SELECT r.book, r.chapter, d.duration_ms
+  FROM (SELECT DISTINCT book, chapter FROM tok) r
+  JOIN dur d ON d.book = r.book AND d.chapter = r.chapter),
+refs AS (
+  SELECT t.book, t.chapter, t.verse_num, t.word,
+         row_number() OVER (PARTITION BY t.book, t.chapter
+                            ORDER BY t.verse_num, t.wpos) - 1 AS ri
+  FROM tok t JOIN chd c ON c.book = t.book AND c.chapter = t.chapter),
+seq AS (
+  SELECT t.book, t.chapter, t.word,
+         row_number() OVER (PARTITION BY t.book, t.chapter
+                            ORDER BY t.verse_num, t.wpos) - 1 AS word_idx,
+         count(*) OVER (PARTITION BY t.book, t.chapter) AS n,
+         c.duration_ms AS d
+  FROM tok t JOIN chd c ON c.book = t.book AND c.chapter = t.chapter),
+kept AS (
+  SELECT *, ((word_idx * d) // n) // 20000 AS chunk_idx
+  FROM seq WHERE word_idx % 7 <> 6),
+trans AS (
+  SELECT book, chapter,
+         row_number() OVER (PARTITION BY book, chapter ORDER BY word_idx) - 1 AS j,
+         word AS tw,
+         CAST(chunk_idx * 20000 AS DOUBLE) AS ts,
+         CAST(least((chunk_idx + 1) * 20000, d) AS DOUBLE) AS te
+  FROM kept),
+nref AS (SELECT book, chapter, max(ri) AS mx FROM refs GROUP BY book, chapter),
+step AS (
+  SELECT book, chapter, 0 AS ri, 0 AS cur FROM nref
+  UNION ALL
+  SELECT s.book, s.chapter, s.ri + 1,
+         CASE WHEN b.sim >= 0.6 AND b.sim > 0.0 THEN b.j + 1 ELSE s.cur END
+  FROM step s
+  JOIN refs r ON r.book = s.book AND r.chapter = s.chapter AND r.ri = s.ri
+  JOIN nref n ON n.book = s.book AND n.chapter = s.chapter
+  LEFT JOIN LATERAL (
+    SELECT t.j, {_lev_sim_sql('r.word', 't.tw')} AS sim
+    FROM trans t
+    WHERE t.book = s.book AND t.chapter = s.chapter
+      AND t.j >= s.cur AND t.j < s.cur + 5
+    ORDER BY sim DESC, t.j ASC LIMIT 1
+  ) b ON TRUE
+  WHERE s.ri < n.mx),
+al AS (
+  SELECT s.book, s.chapter, r.verse_num,
+         CASE WHEN b.sim >= 0.6 AND b.sim > 0.0 THEN 1 ELSE 0 END AS matched,
+         CASE WHEN b.sim >= 0.6 AND b.sim > 0.0 THEN b.ts END AS start,
+         CASE WHEN b.sim >= 0.6 AND b.sim > 0.0 THEN b.te END AS "end",
+         round(coalesce(CASE WHEN b.sim > 0.0 THEN b.sim END, 0.0), 6) AS similarity
+  FROM step s
+  JOIN refs r ON r.book = s.book AND r.chapter = s.chapter AND r.ri = s.ri
+  LEFT JOIN LATERAL (
+    SELECT t.j, t.ts, t.te, {_lev_sim_sql('r.word', 't.tw')} AS sim
+    FROM trans t
+    WHERE t.book = s.book AND t.chapter = s.chapter
+      AND t.j >= s.cur AND t.j < s.cur + 5
+    ORDER BY sim DESC, t.j ASC LIMIT 1
+  ) b ON TRUE)
+"""
+
+
 @_register(
     "chapter_pipeline_fallback",
-    oracle=None,  # the aligned branch contains the stateful J5 cursor
+    oracle=f"""
+WITH RECURSIVE {_CORPUS_SQL},
+{_ALIGN_PIPE_SQL},
+aligned AS (
+  SELECT book, chapter, verse_num,
+         count(*) AS word_count,
+         CAST(min(start) AS BIGINT) AS start_ms,
+         CAST(max("end") AS BIGINT) AS end_ms,
+         round(avg(CASE WHEN matched = 1 THEN similarity END), 6) AS confidence,
+         'aligned' AS source
+  FROM al GROUP BY book, chapter, verse_num),
+est AS (
+  SELECT v.book, v.chapter, v.verse_num,
+         len(v.words) AS word_count,
+         CAST(coalesce(sum(len(v.words)) OVER (PARTITION BY v.book, v.chapter
+              ORDER BY v.verse_num
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 400 AS BIGINT) AS start_ms,
+         CAST((coalesce(sum(len(v.words)) OVER (PARTITION BY v.book, v.chapter
+              ORDER BY v.verse_num
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + len(v.words)) * 400
+              AS BIGINT) AS end_ms,
+         0.1 AS confidence,
+         'estimated' AS source
+  FROM vs v ANTI JOIN dur d ON d.book = v.book AND d.chapter = v.chapter)
+SELECT * FROM aligned UNION ALL SELECT * FROM est
+""",
     tags=("J2", "W2", "W3", "P5", "U1"),
 )
 def chapter_pipeline_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -464,7 +612,30 @@ def chapter_pipeline_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "chapter_pipeline_e2e",
-    oracle=None,  # contains the order-stateful J5 cursor: not SQL-expressible
+    # The "order-stateful J5 cursor is not SQL-expressible" assumption
+    # fell once the recursive-CTE formulation landed (cursor_align_tokens);
+    # the whole entry-point-1 pipeline now has a value-hash twin. The
+    # S7/S8 sink round-trip inside the Spark side is value-preserving,
+    # so the oracle models the dataflow, not the filesystem.
+    oracle=f"""
+WITH RECURSIVE {_CORPUS_SQL},
+{_ALIGN_PIPE_SQL},
+pv AS (
+  SELECT book, chapter, verse_num,
+         count(*) AS word_count,
+         CAST(sum(matched) AS BIGINT) AS n_matched,
+         CAST(min(start) AS BIGINT) AS verse_start_ms,
+         CAST(max("end") AS BIGINT) AS verse_end_ms
+  FROM al GROUP BY book, chapter, verse_num),
+fl AS (
+  SELECT pv.*, c.duration_ms,
+         max(verse_end_ms) OVER (PARTITION BY pv.book, pv.chapter) AS total_duration
+  FROM pv JOIN chd c ON c.book = pv.book AND c.chapter = pv.chapter)
+SELECT book, chapter, verse_num, word_count, n_matched,
+       verse_start_ms, verse_end_ms, duration_ms, total_duration,
+       total_duration <= duration_ms * 1.1 AS valid
+FROM fl
+""",
     tags=("S3", "J5", "W5", "W6", "U1", "S7", "S8"),
     bench=True,
 )
