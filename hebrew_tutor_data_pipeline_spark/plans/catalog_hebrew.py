@@ -1040,9 +1040,38 @@ def doc_vowel_class_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fixture_digest_values() -> str:
+    """(filename, first-md5-byte) VALUES rows for the committed audio
+    fixtures — DuckDB's md5() only accepts VARCHAR (no raw-blob hash),
+    so the digest byte the fake PDF pager derives its page count from is
+    precomputed here at import, from the same committed bytes. Same
+    inlined-deterministic-constant status as the MinHash params and LSH
+    hyperplanes."""
+    import hashlib
+
+    rows = []
+    for p in sorted(Path(FIXTURE_AUDIO_TREE).rglob("*.mp3")):
+        rows.append(f"('{p.name}', {hashlib.md5(p.read_bytes()).digest()[0]})")
+    return ", ".join(rows)
+
+
 @_register(
     "pdf_page_scan",
-    oracle=None,  # digest-derived fake OCR has no SQL twin; rows-only check
+    # The fake pager is digest-DERIVED but digest-DETERMINISTIC:
+    # n_pages = 1 + md5(payload)[0] % 4, and the synthesized page text /
+    # nikud map have fixed shape (6 'wXX' tokens -> 23 chars; 8 map
+    # entries). With the first digest byte inlined per fixture file the
+    # page fan-out and lengths are fully SQL-checkable.
+    oracle=f"""
+WITH f(filename, d0) AS (VALUES {_fixture_digest_values()}),
+pages AS (
+  SELECT filename, unnest(range(1, 1 + d0 % 4 + 1)) AS page_number FROM f)
+SELECT filename,
+       CAST(page_number AS INTEGER) AS page_number,
+       CAST(23 AS INTEGER) AS text_len,
+       CAST(8 AS INTEGER) AS map_len
+FROM pages
+""",
     tags=("S11", "S12", "U7"),
 )
 def pdf_page_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1067,7 +1096,22 @@ def pdf_page_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "video_frame_index",
-    oracle=None,  # digest-derived fake frames have no SQL twin; rows-only
+    # The fake sampler's frame INDEX is purely size-derived (duration =
+    # max(every_s, size/1024 * 0.05 * 20), frames every 0.5 s), so the
+    # index rows — though not the digest-derived frame bytes, which this
+    # query doesn't select — have an exact SQL twin over read_blob sizes.
+    oracle=f"""
+WITH f AS (
+  SELECT regexp_extract(filename, '([^/]+)$', 1) AS filename,
+         greatest(0.5, size / 1024.0 * 0.05 * 20) AS duration
+  FROM read_blob('{FIXTURE_AUDIO_TREE}/*/*.mp3')),
+fr AS (
+  SELECT filename, unnest(range(CAST(floor(duration / 0.5) AS BIGINT))) AS i FROM f)
+SELECT filename,
+       CAST(i AS INTEGER) AS frame_idx,
+       round(i * 0.5, 6) AS t
+FROM fr
+""",
     tags=("U9", "multimodal"),
 )
 def video_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
