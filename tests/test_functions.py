@@ -137,3 +137,53 @@ class TestText:
         assert got == ["a b", "b c"]
         got_short = one(spark, T.word_ngrams(toks, 5), s="a b")
         assert got_short == ["a b"]
+
+
+class TestTimeops:
+    """NTZ-safe time helpers (functions/timeops.py) — the policy layer
+    the round-3 TIMESTAMP_NTZ regression showed was missing. Each helper
+    must produce identical epochs for the SAME instant expressed as LTZ,
+    NTZ (session tz pinned UTC), DATE, and raw numeric."""
+
+    def _frames(self, spark):
+        sql = """
+        SELECT TIMESTAMP '2024-03-01 12:30:45.123456' AS ltz,
+               TIMESTAMP_NTZ '2024-03-01 12:30:45.123456' AS ntz,
+               DATE '2024-03-01' AS d,
+               CAST(1709296245.123456 AS DOUBLE) AS num
+        """
+        return spark.sql(sql)
+
+    def test_epoch_seconds_all_domains(self, spark):
+        from hebrew_tutor_data_pipeline_spark.functions.timeops import epoch_seconds
+
+        df = self._frames(spark)
+        row = df.select(
+            epoch_seconds(df, "ltz").alias("a"),
+            epoch_seconds(df, "ntz").alias("b"),
+            epoch_seconds(df, "d").alias("c"),
+            epoch_seconds(df, "num").alias("e"),
+        ).first()
+        assert row["a"] == row["b"] == row["e"]  # same instant, all domains
+        assert abs(row["a"] - 1709296245.123456) < 1e-6
+        assert row["c"] == 1709251200.0  # midnight UTC of that date
+
+    def test_epoch_micros_exact_and_ntz_legal(self, spark):
+        from hebrew_tutor_data_pipeline_spark.functions.timeops import epoch_micros
+
+        df = self._frames(spark)
+        row = df.select(
+            epoch_micros(df, "ltz").alias("a"),
+            epoch_micros(df, "ntz").alias("b"),
+        ).first()
+        assert row["a"] == row["b"] == 1709296245123456  # exact integer µs
+
+    def test_ensure_ltz_normalizes_and_noops(self, spark):
+        from hebrew_tutor_data_pipeline_spark.functions.timeops import ensure_ltz
+
+        df = self._frames(spark)
+        out = ensure_ltz(ensure_ltz(df, "ntz"), "ltz")  # ntz fixed, ltz no-op
+        assert dict(out.dtypes)["ntz"] == "timestamp"
+        assert dict(out.dtypes)["ltz"] == "timestamp"
+        r = out.select("ltz", "ntz").first()
+        assert r["ltz"] == r["ntz"]
