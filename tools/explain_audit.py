@@ -114,6 +114,30 @@ EXPECTATIONS: dict[str, list[tuple[bool, str, str]]] = {
         (True, "ObjectHashAggregate", "collect_set partials aggregated per (key, salt)"),
         (True, "!BatchEvalPython", "salting is pure column arithmetic, no Python"),
     ],
+    "asof_click_purchase_tol": [
+        (True, "Window", "tolerance variant keeps the union+window plan"),
+        (True, "Union", "both sides union once — no join, no per-key loop"),
+        (True, "!BatchEvalPython", "tolerance gate is column arithmetic"),
+    ],
+    # chapter_pipeline_e2e's RETURNED frame is the S7/S8 sink read-back
+    # (the align/rollup plan executes inside the write); audit the
+    # pre-sink plan via chapter_pipeline_fallback's aligned branch below.
+    "chapter_pipeline_e2e": [
+        (True, "Scan json", "returned plan IS the sink read-back — S8 proof"),
+    ],
+    "chapter_pipeline_fallback": [
+        (True, "FlatMapGroupsInPandas", "cursor alignment runs per chapter group"),
+        (True, "MapInPandas", "mock-ASR stage is Arrow-batched"),
+        (True, "BroadcastHashJoin|BroadcastExchange", "duration dim broadcast onto chapters"),
+    ],
+    "cursor_align_tokens": [
+        (True, "FlatMapGroupsInPandas", "one grouped-map stage; state lives inside the group"),
+        (True, "!CartesianProduct", "no all-pairs plan"),
+    ],
+    "ann_ivf_kmeans_top10": [
+        (True, "MapInPandas", "assignment/probe are map-only numpy stages"),
+        (True, "!CartesianProduct", "probe join is equi on the cell"),
+    ],
 }
 
 
