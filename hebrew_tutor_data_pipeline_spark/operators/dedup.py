@@ -368,13 +368,23 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
 
     Single-pass formulation (same reason as minhash_signatures): one
     ``aggregate`` carries the per-bit ±1 counters, hashing each token
-    exactly once instead of once per bit.
+    exactly once instead of once per bit. Bit tests ride a literal
+    power-of-two MASK array and ``h & mask`` (integer ops the whole
+    way) rather than the float pow/floor-division ``bit_at`` form —
+    identical values (hashes are < 2^31 non-negative), cheaper per
+    token×bit in the interpreted HOF.
     """
-    positions = F.sequence(F.lit(bits - 1), F.lit(0), F.lit(-1))  # MSB first
+    masks = F.array(
+        *[F.lit(1 << i).cast("long") for i in range(bits - 1, -1, -1)]  # MSB first
+    )
     counts = F.aggregate(
         F.transform(whitespace_tokens(F.col(text_col)), token_hash),
         F.array_repeat(F.lit(0).cast("long"), bits),
-        lambda acc, h: F.zip_with(acc, positions, lambda c, i: c + bit_at(h, i) * 2 - 1),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda c, m: c + F.when(h.bitwiseAND(m) != 0, F.lit(2)).otherwise(F.lit(0)) - 1,
+        ),
     )
     packed = F.aggregate(
         counts,
