@@ -350,13 +350,6 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 # SimHash
 
-def bit_at(h: Column, i: Column) -> Column:
-    """Bit i of a non-negative long, with i as a *column* (shiftright's
-    numBits must be a Python int, so use exact floor-division: values are
-    < 2^31, well inside double's 2^53 exact-integer range)."""
-    return F.floor(h / F.pow(F.lit(2.0), i.cast("double"))).cast("long") % 2
-
-
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
     """(id, simhash) fingerprints over whitespace tokens.
 
