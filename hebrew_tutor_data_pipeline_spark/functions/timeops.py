@@ -43,8 +43,11 @@ def epoch_seconds(df: DataFrame, col: str) -> Column:
 def epoch_micros(df: DataFrame, col: str) -> Column:
     """Epoch microseconds as BIGINT — exact integer arithmetic for
     duration math (doubles round differently across engines at .0005
-    boundaries, flipping value hashes)."""
+    boundaries, flipping value hashes). Numeric columns are treated as
+    epoch SECONDS (the same convention epoch_seconds returns)."""
     dt = df.schema[col].dataType
+    if isinstance(dt, NumericType):
+        return (F.col(col).cast("double") * 1_000_000).cast("long")
     return F.unix_micros(_ltz(F.col(col), dt))
 
 

@@ -59,6 +59,8 @@ def _decode_wav_bytes(payload: bytes) -> tuple[int, list[float]]:
                 f"only 16-bit PCM WAV supported, got {8 * w.getsampwidth()}-bit"
             )
         sr = w.getframerate()
+        if sr <= 0:
+            raise ValueError(f"WAV header declares non-positive sample rate {sr}")
         nch = w.getnchannels()
         raw = w.readframes(w.getnframes())
     x = np.frombuffer(raw, dtype="<i2").astype("float64")
@@ -96,6 +98,8 @@ def decode_audio(
                 if fake:
                     sr = sample_rate
                     samples = _fake_waveform(payload, sample_rate)
+                elif not payload:
+                    raise ValueError(f"empty audio payload for {row[path_col]!r}")
                 elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
                     sr, samples = _decode_wav_bytes(payload)
                 else:
@@ -308,8 +312,12 @@ def video_frame_sample(
                 "-f", "image2pipe", "-vcodec", "mjpeg", "pipe:1",
             ],
             input=payload, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-            check=True,
         )
+        if proc.returncode != 0:
+            # surface ffmpeg's own diagnostic — a bare CalledProcessError
+            # hides WHY the payload was undecodable
+            tail = proc.stderr.decode("utf-8", "replace").strip()[-500:]
+            raise ValueError(f"ffmpeg failed (rc {proc.returncode}): {tail}")
         frames, buf, start = [], proc.stdout, 0
         while True:
             soi = buf.find(b"\xff\xd8", start)
@@ -392,7 +400,9 @@ def _pdf_extract_pages(payload: bytes) -> list[tuple[bytes, str]]:
         return data
 
     def texts_of(stream: bytes) -> str:
-        # (…) Tj and [(…) kern (…)] TJ — unescape the PDF string escapes
+        # (…) Tj and [(…) kern (…)] TJ, extracted in STREAM ORDER (real
+        # PDFs freely interleave the two operators; collecting per-kind
+        # would scramble the page text and the nikud map derived from it)
         def unescape(s: bytes) -> str:
             s = re.sub(rb"\\([0-7]{1,3})", lambda m: bytes([int(m.group(1), 8)]), s)
             for a, b in ((b"\\n", b"\n"), (b"\\r", b"\r"), (b"\\t", b"\t"),
@@ -401,15 +411,19 @@ def _pdf_extract_pages(payload: bytes) -> list[tuple[bytes, str]]:
             return s.decode("latin-1")
 
         parts: list[str] = []
-        for m in re.finditer(rb"\(((?:\\.|[^\\()])*)\)\s*Tj", stream):
-            parts.append(unescape(m.group(1)))
-        for arr in re.finditer(rb"\[((?:\\.|[^\]])*)\]\s*TJ", stream):
-            run = "".join(
-                unescape(m.group(1))
-                for m in re.finditer(rb"\(((?:\\.|[^\\()])*)\)", arr.group(1))
-            )
-            if run:
-                parts.append(run)
+        show_op = re.compile(
+            rb"\(((?:\\.|[^\\()])*)\)\s*Tj|\[((?:\\.|[^\]])*)\]\s*TJ"
+        )
+        for m in show_op.finditer(stream):
+            if m.group(1) is not None:
+                parts.append(unescape(m.group(1)))
+            else:
+                run = "".join(
+                    unescape(s.group(1))
+                    for s in re.finditer(rb"\(((?:\\.|[^\\()])*)\)", m.group(2))
+                )
+                if run:
+                    parts.append(run)
         return " ".join(p.strip() for p in parts if p.strip())
 
     pages: list[tuple[bytes, str]] = []
@@ -417,8 +431,19 @@ def _pdf_extract_pages(payload: bytes) -> list[tuple[bytes, str]]:
         body = objs[num]
         if not re.search(rb"/Type\s*/Page\b(?!s)", body):
             continue
+        # /Contents may be a single reference or an ARRAY of references
+        # (both standard); array streams concatenate in order
         cm = re.search(rb"/Contents\s+(\d+)\s+\d+\s+R", body)
-        stream = stream_of(objs.get(int(cm.group(1)), b"")) if cm else stream_of(body)
+        ca = re.search(rb"/Contents\s*\[([^\]]*)\]", body)
+        if ca:
+            stream = b"\n".join(
+                stream_of(objs.get(int(r.group(1)), b""))
+                for r in re.finditer(rb"(\d+)\s+\d+\s+R", ca.group(1))
+            )
+        elif cm:
+            stream = stream_of(objs.get(int(cm.group(1)), b""))
+        else:
+            stream = stream_of(body)
         pages.append((stream, texts_of(stream)))
     if not pages:
         raise ValueError("no /Type /Page objects found")

@@ -25,6 +25,8 @@ _DEMOTED = (
     "simhash_fingerprints",       # simhash_hamming_pairs exercises the full path
     "embedding_near_dup_pairs",   # exact tier; LSH tier stays in-window
     "lang_id_confusion",          # text family keeps doc_text_stats
+    "corpus_verses",              # corpus scan exercised by 5 in-window corpus/chapter queries
+    "dedup_exact_keepers",        # corpus_curation_pipeline runs the same keep-first dedup
 )
 
 

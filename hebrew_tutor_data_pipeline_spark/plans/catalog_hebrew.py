@@ -79,15 +79,28 @@ def _corpus_translit_map() -> tuple[str, str]:
     return src, dst
 
 
-_TR_SRC, _TR_DST = _corpus_translit_map()
+# Import must survive a missing fixture tree (installed wheel, sparse
+# checkout): the relational catalog has nothing to do with fixtures, so
+# a FileNotFoundError here must degrade the fixture-derived oracles to
+# rows-only (oracle=None) rather than break `import plans` wholesale.
+try:
+    _TR_SRC, _TR_DST = _corpus_translit_map()
+    _FIXTURES_OK = True
+except OSError:
+    _TR_SRC = _TR_DST = ""
+    _FIXTURES_OK = False
 
 
 def _lev_sim_sql(a: str, b: str) -> str:
     """The engine's ``_ratio`` in DuckDB: 1 - lev/max(len), with both
     words transliterated to single-byte chars first (see
-    ``_corpus_translit_map``); ``len`` is code-point on both engines."""
-    tr_a = f"translate({a}, '{_TR_SRC}', '{_TR_DST}')"
-    tr_b = f"translate({b}, '{_TR_SRC}', '{_TR_DST}')"
+    ``_corpus_translit_map``); ``len`` is code-point on both engines.
+    The src alphabet is SQL-escaped — a regenerated fixture containing
+    an ASCII apostrophe/backslash (geresh is often transcribed ``'``)
+    must not break the quoted literal."""
+    src_sql = _TR_SRC.replace("'", "''")
+    tr_a = f"translate({a}, '{src_sql}', '{_TR_DST}')"
+    tr_b = f"translate({b}, '{src_sql}', '{_TR_DST}')"
     return (
         f"1.0 - levenshtein({tr_a}, {tr_b})::DOUBLE"
         f" / greatest(len({a}), len({b}))"
@@ -522,7 +535,7 @@ al AS (
 
 @_register(
     "chapter_pipeline_fallback",
-    oracle=f"""
+    oracle=None if not _FIXTURES_OK else f"""
 WITH RECURSIVE {_CORPUS_SQL},
 {_ALIGN_PIPE_SQL},
 aligned AS (
@@ -617,7 +630,7 @@ def chapter_pipeline_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the whole entry-point-1 pipeline now has a value-hash twin. The
     # S7/S8 sink round-trip inside the Spark side is value-preserving,
     # so the oracle models the dataflow, not the filesystem.
-    oracle=f"""
+    oracle=None if not _FIXTURES_OK else f"""
 WITH RECURSIVE {_CORPUS_SQL},
 {_ALIGN_PIPE_SQL},
 pv AS (
@@ -1055,6 +1068,12 @@ def _fixture_digest_values() -> str:
     return ", ".join(rows)
 
 
+try:
+    _DIGEST_VALUES = _fixture_digest_values()
+except OSError:
+    _DIGEST_VALUES = ""
+
+
 @_register(
     "pdf_page_scan",
     # The fake pager is digest-DERIVED but digest-DETERMINISTIC:
@@ -1062,8 +1081,8 @@ def _fixture_digest_values() -> str:
     # nikud map have fixed shape (6 'wXX' tokens -> 23 chars; 8 map
     # entries). With the first digest byte inlined per fixture file the
     # page fan-out and lengths are fully SQL-checkable.
-    oracle=f"""
-WITH f(filename, d0) AS (VALUES {_fixture_digest_values()}),
+    oracle=None if not _DIGEST_VALUES else f"""
+WITH f(filename, d0) AS (VALUES {_DIGEST_VALUES}),
 pages AS (
   SELECT filename, unnest(range(1, 1 + d0 % 4 + 1)) AS page_number FROM f)
 SELECT filename,

@@ -203,18 +203,15 @@ class TestMultimodalPlumbing:
         the non-video payload instead); PDF extraction rejects the
         non-PDF payload outright (ValueError)."""
         files = read_binary_files(spark, FIXTURE_AUDIO, glob="*.mp3").limit(1)
-        import shutil
-
         import pytest as _pytest
 
         for op, pat in (
             (lambda: image_resize(files, fake=False).collect(), "NotImplementedError|requires"),
-            (
-                lambda: video_frame_sample(files, fake=False).collect(),
-                "requires the ffmpeg|ffmpeg|Error"
-                if shutil.which("ffmpeg") is None
-                else "Error",
-            ),
+            # without the binary: the NotImplementedError names ffmpeg;
+            # with it: the mp3 payload has no video stream, so the
+            # operator raises ValueError carrying ffmpeg's own stderr —
+            # both contracts mention ffmpeg explicitly
+            (lambda: video_frame_sample(files, fake=False).collect(), "ffmpeg"),
             (lambda: pdf_pages(files, fake=False).collect(), "not a PDF"),
         ):
             with _pytest.raises(Exception, match=pat):
@@ -488,7 +485,25 @@ class TestRealPdfTier:
             read_binary_files(spark, str(d), glob="*.pdf"), fake=False
         ).collect()
         assert len(rows) == 1
-        assert rows[0]["text"] == "stream plain"  # Tj parts first, then TJ run
+        assert rows[0]["text"] == "plain stream"  # stream order: TJ run, then Tj
+
+    def test_contents_array_form(self, spark, tmp_path):
+        """The /Contents value may be an ARRAY of stream references —
+        both forms are standard; array streams concatenate in order."""
+        pdf_bytes = _build_real_pdf(["part one"], compress=True)
+        # rewrite the page's /Contents to array form referencing the
+        # same stream object twice (concatenation in order)
+        pdf_bytes = pdf_bytes.replace(
+            b"/Contents 4 0 R", b"/Contents [4 0 R 4 0 R]"
+        )
+        d = tmp_path / "pdfs3"
+        d.mkdir()
+        (d / "arr.pdf").write_bytes(pdf_bytes)
+        rows = pdf_pages(
+            read_binary_files(spark, str(d), glob="*.pdf"), fake=False
+        ).collect()
+        assert len(rows) == 1
+        assert rows[0]["text"] == "part one part one"
 
     def test_non_pdf_payload_raises(self, spark, tmp_path):
         import pytest as _pytest

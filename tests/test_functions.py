@@ -175,8 +175,11 @@ class TestTimeops:
         row = df.select(
             epoch_micros(df, "ltz").alias("a"),
             epoch_micros(df, "ntz").alias("b"),
+            epoch_micros(df, "num").alias("c"),
         ).first()
         assert row["a"] == row["b"] == 1709296245123456  # exact integer µs
+        # numeric columns are epoch seconds → micros within double precision
+        assert abs(row["c"] - 1709296245123456) <= 1
 
     def test_ensure_ltz_normalizes_and_noops(self, spark):
         from hebrew_tutor_data_pipeline_spark.functions.timeops import ensure_ltz

@@ -42,10 +42,21 @@ def main() -> int:
         r = f"{ratio:5.2f}x" if ratio != float("inf") else "    —"
         print(f"{r}  {name:38s} {o if o is not None else '—':>7} -> "
               f"{n if n is not None else '—':>7}  {flag}")
-        bad += flag == "REGRESSION"
+        # a query that vanished from the NEW run (errored or deleted)
+        # must count as a regression: fault-isolated bench.py excludes
+        # errored queries from the sum, so a lower total with exit 0
+        # would otherwise read as a speedup
+        bad += flag == "REGRESSION" or flag == "removed"
+    for run, label in ((sys.argv[1], "old"), (sys.argv[2], "new")):
+        with open(run) as f:
+            doc = json.load(f)
+        errs = (doc.get("parsed") or doc).get("errors") or {}
+        if errs:
+            print(f"{label} run recorded {len(errs)} query error(s): {sorted(errs)}")
+            bad += label == "new"
     tot_o, tot_n = sum(old.values()), sum(new.values())
     print(f"\ntotal: {tot_o:.1f}s -> {tot_n:.1f}s  ({tot_n / tot_o:.2f}x), "
-          f"{bad} regression(s) past {threshold}x+0.5s")
+          f"{bad} regression(s) past {threshold}x+0.5s (removed/errored count)")
     return 1 if bad else 0
 
 
