@@ -394,6 +394,72 @@ def hamming_distance(a: Column, b: Column, bits: int = 16) -> Column:
     return F.bit_count(a.bitwiseXOR(b)).cast("long")
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every token k-gram, then in
+    each window of ``w`` consecutive k-gram hashes select the minimum,
+    breaking ties by RIGHTMOST position. Guarantees: any shared run of
+    ≥ w+k-1 tokens between two documents yields at least one shared
+    (fingerprint, aligned) selection, while storing ~2/(w+1) of the
+    hashes — the positional near-dup tier between exact dedup and
+    MinHash.
+
+    Plan shape: k-gram hashing is one higher-order ``transform`` per
+    row (map-only, no Python); selection is ONE window (min of a
+    ``(hash, -idx)`` struct over ``w`` following rows — lexicographic
+    struct ordering IS the rightmost-tie-break) over one shuffle on the
+    document id, then a distinct that reuses the same partitioning.
+    Documents shorter than ``k`` tokens contribute nothing; documents
+    with fewer than ``w`` k-grams contribute their single overall
+    minimum (the one shrunken window), so short docs stay
+    fingerprintable.
+
+    Output: (``id``, ``fp_pos`` — the k-gram index of the selected
+    hash, ``fingerprint``).
+    """
+    from pyspark.sql import Window
+
+    th = F.transform(whitespace_tokens(F.col(text_col)), token_hash)
+    n_tokens = F.size(th)
+    # k-gram hash = the same base-31 polynomial rolled over the k token
+    # hashes (mirrors _sql_token_hash composition in the oracle)
+    kgrams = F.transform(
+        F.sequence(F.lit(0), n_tokens - k),
+        lambda i: F.aggregate(
+            F.slice(th, i + 1, k),
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * HASH_BASE + x) % HASH_MOD,
+        ),
+    )
+    rows = (
+        df.filter(n_tokens >= k)
+        .select(F.col(id_col).alias("id"), F.posexplode(kgrams).alias("idx", "kh"))
+        .withColumn("n_kg", F.count("*").over(Window.partitionBy("id")))
+    )
+    sel_w = (
+        Window.partitionBy("id").orderBy("idx").rowsBetween(0, w - 1)
+    )
+    sel = F.min(F.struct(F.col("kh"), (-F.col("idx")).alias("ni"))).over(sel_w)
+    return (
+        rows.withColumn("_sel", sel)
+        # complete windows only (s ≤ n-w); a doc with n < w keeps its
+        # one shrunken window at s=0
+        .filter(F.col("idx") <= F.greatest(F.col("n_kg") - w, F.lit(0)))
+        .select(
+            "id",
+            (-F.col("_sel.ni")).cast("integer").alias("fp_pos"),
+            F.col("_sel.kh").alias("fingerprint"),
+        )
+        .distinct()
+    )
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     id_col: str,

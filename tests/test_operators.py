@@ -636,3 +636,64 @@ class TestSkewOperators:
         for k, (n, _) in direct.items():
             assert salted[k][0] == n
             assert abs(salted[k][1] - direct[k][1]) < 1e-6
+
+
+class TestWinnowing:
+    """Winnowing fingerprints (Schleimer et al. 2003): the guarantee and
+    density properties, plus the short-doc edge cases."""
+
+    def _fps(self, spark, rows, k=3, w=4):
+        from hebrew_tutor_data_pipeline_spark.operators.dedup import (
+            winnow_fingerprints,
+        )
+
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = winnow_fingerprints(df, "doc_id", "text", k=k, w=w).collect()
+        by_doc: dict = {}
+        for r in out:
+            by_doc.setdefault(r["id"], set()).add((r["fp_pos"], r["fingerprint"]))
+        return by_doc
+
+    def test_guarantee_shared_run_shares_fingerprint(self, spark):
+        """Any shared run of >= w+k-1 tokens must produce at least one
+        shared fingerprint VALUE between the two documents."""
+        shared = "alpha beta gamma delta epsilon zeta"  # 6 = w+k-1 tokens
+        fps = self._fps(
+            spark,
+            [(1, f"one two {shared} three"), (2, f"{shared} nine ten eleven")],
+        )
+        h1 = {h for _, h in fps[1]}
+        h2 = {h for _, h in fps[2]}
+        assert h1 & h2, "guarantee violated: no shared fingerprint"
+
+    def test_density_and_determinism(self, spark):
+        text = " ".join(f"tok{i % 17}" for i in range(60))
+        a = self._fps(spark, [(1, text)])
+        b = self._fps(spark, [(1, text)])
+        assert a == b  # deterministic
+        n_kgrams = 60 - 3 + 1
+        # winnowing stores ~2/(w+1) of hashes; allow generous bounds
+        assert n_kgrams // 6 <= len(a[1]) <= n_kgrams
+
+    def test_short_docs(self, spark):
+        fps = self._fps(
+            spark,
+            [
+                (1, "a b"),            # < k tokens -> no fingerprints
+                (2, "a b c"),          # exactly one k-gram -> one fp at pos 0
+                (3, "a b c d"),        # 2 k-grams < w -> single shrunken window
+            ],
+        )
+        assert 1 not in fps
+        assert len(fps[2]) == 1 and next(iter(fps[2]))[0] == 0
+        assert len(fps[3]) == 1
+
+    def test_rightmost_tiebreak(self, spark):
+        """Identical k-gram hashes in one window: the RIGHTMOST position
+        is selected (the standard winnowing tie rule)."""
+        # one repeated token -> every k-gram hash identical -> tie everywhere
+        fps = self._fps(spark, [(1, "x x x x x x x x x")])  # 9 tokens, 7 kgrams
+        sel_positions = {p for p, _ in fps[1]}
+        # window starting at s (s in 0..3 for w=4) selects s+w-1, the
+        # rightmost of the tie -> positions 3..6
+        assert sel_positions == {3, 4, 5, 6}
