@@ -47,7 +47,10 @@ def epoch_micros(df: DataFrame, col: str) -> Column:
     epoch SECONDS (the same convention epoch_seconds returns)."""
     dt = df.schema[col].dataType
     if isinstance(dt, NumericType):
-        return (F.col(col).cast("double") * 1_000_000).cast("long")
+        # round, don't truncate: 2.000005 * 1e6 is 2000004.9999999998 in
+        # binary — a bare cast would floor to 2000004 while the DuckDB
+        # oracle's CAST rounds to 2000005, flipping value hashes
+        return F.round(F.col(col).cast("double") * 1_000_000).cast("long")
     return F.unix_micros(_ltz(F.col(col), dt))
 
 

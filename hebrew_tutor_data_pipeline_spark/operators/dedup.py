@@ -437,6 +437,12 @@ def winnow_fingerprints(
             lambda acc, x: (acc * HASH_BASE + x) % HASH_MOD,
         ),
     )
+    # n_kg deliberately comes from a count window over the exploded rows,
+    # NOT from size(kgrams) next to the posexplode: CollapseProject pulls
+    # a sibling size(kgrams) above the Generate, re-evaluating the whole
+    # k-gram HOF once per OUTPUT row (~n_kg× the hashing work — measured
+    # 9× slower at sf0.01). The window reuses the same id-partitioned
+    # exchange the selection window below needs anyway.
     rows = (
         df.filter(n_tokens >= k)
         .select(F.col(id_col).alias("id"), F.posexplode(kgrams).alias("idx", "kh"))

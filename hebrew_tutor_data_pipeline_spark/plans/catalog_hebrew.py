@@ -1064,7 +1064,8 @@ def _fixture_digest_values() -> str:
 
     rows = []
     for p in sorted(Path(FIXTURE_AUDIO_TREE).rglob("*.mp3")):
-        rows.append(f"('{p.name}', {hashlib.md5(p.read_bytes()).digest()[0]})")
+        name_sql = p.name.replace("'", "''")  # same escaping as _lev_sim_sql
+        rows.append(f"('{name_sql}', {hashlib.md5(p.read_bytes()).digest()[0]})")
     return ", ".join(rows)
 
 
@@ -1123,7 +1124,9 @@ def pdf_page_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH f AS (
   SELECT regexp_extract(filename, '([^/]+)$', 1) AS filename,
          greatest(0.5, size / 1024.0 * 0.05 * 20) AS duration
-  FROM read_blob('{FIXTURE_AUDIO_TREE}/*/*.mp3')),
+  -- recursive glob: the Spark side scans with recursiveFileLookup, so
+  -- the oracle must see fixtures at ANY depth, like _fixture_digest_values
+  FROM read_blob('{FIXTURE_AUDIO_TREE}/**/*.mp3')),
 fr AS (
   SELECT filename, unnest(range(CAST(floor(duration / 0.5) AS BIGINT))) AS i FROM f)
 SELECT filename,

@@ -178,8 +178,9 @@ class TestTimeops:
             epoch_micros(df, "num").alias("c"),
         ).first()
         assert row["a"] == row["b"] == 1709296245123456  # exact integer µs
-        # numeric columns are epoch seconds → micros within double precision
-        assert abs(row["c"] - 1709296245123456) <= 1
+        # numeric columns are epoch seconds → micros, ROUNDED (truncation
+        # would floor 2.000005*1e6 = 2000004.99…98 to 2000004)
+        assert row["c"] == 1709296245123456
 
     def test_ensure_ltz_normalizes_and_noops(self, spark):
         from hebrew_tutor_data_pipeline_spark.functions.timeops import ensure_ltz

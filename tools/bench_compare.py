@@ -53,7 +53,9 @@ def main() -> int:
         errs = (doc.get("parsed") or doc).get("errors") or {}
         if errs:
             print(f"{label} run recorded {len(errs)} query error(s): {sorted(errs)}")
-            bad += label == "new"
+            # errored queries that were in the old run are already flagged
+            # 'removed' above — only count ones the diff rows missed
+            bad += sum(1 for q in errs if q not in old) if label == "new" else 0
     tot_o, tot_n = sum(old.values()), sum(new.values())
     print(f"\ntotal: {tot_o:.1f}s -> {tot_n:.1f}s  ({tot_n / tot_o:.2f}x), "
           f"{bad} regression(s) past {threshold}x+0.5s (removed/errored count)")
