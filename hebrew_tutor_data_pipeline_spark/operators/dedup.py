@@ -425,18 +425,37 @@ def winnow_fingerprints(
     """
     from pyspark.sql import Window
 
-    th = F.transform(whitespace_tokens(F.col(text_col)), token_hash)
+    # Token hashes materialize as a COLUMN first: every downstream
+    # reference to an un-materialized transform(tokens, token_hash)
+    # EXPRESSION re-evaluates the whole per-char hashing pass (the
+    # interpreted HOF path has no common-subexpression reuse across
+    # references inside another HOF's lambda) — measured 15× slower at
+    # sf0.1 when the k-gram lambda sliced the raw expression directly.
+    hashed = df.withColumn(
+        "_th", F.transform(whitespace_tokens(F.col(text_col)), token_hash)
+    )
+    th = F.col("_th")
     n_tokens = F.size(th)
+
     # k-gram hash = the same base-31 polynomial rolled over the k token
-    # hashes (mirrors _sql_token_hash composition in the oracle)
-    kgrams = F.transform(
-        F.sequence(F.lit(0), n_tokens - k),
-        lambda i: F.aggregate(
+    # hashes (mirrors _sql_token_hash composition in the oracle). For
+    # small k the stepwise-mod recurrence equals the single expression
+    # Σ th[i+j]·31^(k-1-j) mod M evaluated in one go — the unreduced sum
+    # stays under 2^63 while 31^(k-1)·k·(M-1) does (k ≤ 6 for M = 2^31) —
+    # pure arithmetic, no per-k-gram slice allocation + nested aggregate.
+    def kgram_hash(i: Column) -> Column:
+        if HASH_BASE ** (k - 1) * k * (HASH_MOD - 1) < 2**62:
+            acc = F.lit(0).cast("long")
+            for j in range(k):
+                acc = acc + F.element_at(th, i + j + 1) * (HASH_BASE ** (k - 1 - j))
+            return acc % HASH_MOD
+        return F.aggregate(
             F.slice(th, i + 1, k),
             F.lit(0).cast("long"),
             lambda acc, x: (acc * HASH_BASE + x) % HASH_MOD,
-        ),
-    )
+        )
+
+    kgrams = F.transform(F.sequence(F.lit(0), n_tokens - k), kgram_hash)
     # n_kg deliberately comes from a count window over the exploded rows,
     # NOT from size(kgrams) next to the posexplode: CollapseProject pulls
     # a sibling size(kgrams) above the Generate, re-evaluating the whole
@@ -444,7 +463,7 @@ def winnow_fingerprints(
     # 9× slower at sf0.01). The window reuses the same id-partitioned
     # exchange the selection window below needs anyway.
     rows = (
-        df.filter(n_tokens >= k)
+        hashed.filter(n_tokens >= k)
         .select(F.col(id_col).alias("id"), F.posexplode(kgrams).alias("idx", "kh"))
         .withColumn("n_kg", F.count("*").over(Window.partitionBy("id")))
     )
