@@ -138,6 +138,11 @@ EXPECTATIONS: dict[str, list[tuple[bool, str, str]]] = {
         (True, "MapInPandas", "assignment/probe are map-only numpy stages"),
         (True, "!CartesianProduct", "probe join is equi on the cell"),
     ],
+    "winnow_fingerprints": [
+        (True, "Window", "selection = one struct-min window over one id shuffle"),
+        (True, "HashAggregate", "distinct reuses the id partitioning"),
+        (True, "!BatchEvalPython", "hashing + selection stay JVM-side"),
+    ],
 }
 
 
