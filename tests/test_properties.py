@@ -297,3 +297,136 @@ class TestIntervalJoinProperties:
             if s <= x <= s + w
         )
         assert got == want
+
+
+def _py_winnow(tokens: list[str], k: int, w: int) -> set[tuple[int, int]]:
+    """Pure-Python reference winnowing (Schleimer et al. 2003) with the
+    engine's base-31 polynomial hashes and rightmost tie-break."""
+    M, B = 2_147_483_647, 31
+
+    def th(tok: str) -> int:
+        h = 0
+        for c in tok:
+            h = (h * B + ord(c)) % M
+        return h
+
+    hashes = [th(t) for t in tokens]
+    kg = []
+    for i in range(len(tokens) - k + 1):
+        h = 0
+        for j in range(k):
+            h = (h * B + hashes[i + j]) % M
+        kg.append(h)
+    if not kg:
+        return set()
+    out = set()
+    for s in range(max(len(kg) - w, 0) + 1):
+        window = kg[s : s + w]
+        m = min(window)
+        # rightmost occurrence of the minimum
+        pos = s + max(j for j, v in enumerate(window) if v == m)
+        out.add((pos, kg[pos]))
+    return out
+
+
+class TestWinnowingProperties:
+    @given(
+        docs=st.lists(
+            st.lists(
+                st.sampled_from(["aa", "ab", "ba", "עשה", "x"]),
+                min_size=0,
+                max_size=20,
+            ),
+            min_size=1,
+            max_size=4,
+        )
+    )
+    @SLOW
+    def test_matches_python_reference(self, spark, docs):
+        """The Spark winnowing operator equals the straightforward
+        Python implementation on arbitrary token lists — positions,
+        hashes, and short-doc edge cases included."""
+        from hebrew_tutor_data_pipeline_spark.operators.dedup import (
+            winnow_fingerprints,
+        )
+
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got: dict = {}
+        for r in winnow_fingerprints(df, "doc_id", "text", k=3, w=4).collect():
+            got.setdefault(r["id"], set()).add((r["fp_pos"], r["fingerprint"]))
+        for i, toks in enumerate(docs):
+            # whitespace_tokens semantics: split on runs, empty -> []
+            toks_eff = " ".join(toks).split()
+            expected = _py_winnow(toks_eff, 3, 4)
+            assert got.get(i, set()) == expected, (i, toks_eff)
+
+
+class TestAsofProperties:
+    @given(
+        left=st.lists(
+            st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=15
+        ),
+        right=st.lists(
+            st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=0, max_size=15
+        ),
+        tol=st.one_of(st.none(), st.integers(1, 20)),
+    )
+    @SLOW
+    def test_matches_pandas_merge_asof(self, spark, left, right, tol):
+        """asof_join(backward) == pandas.merge_asof per key, including
+        the tolerance gate. Right timestamps are deduplicated per key
+        (at equal ts the carried payload is ordering-dependent in BOTH
+        implementations, so ties are excluded from the property)."""
+        import pandas as pd
+
+        from hebrew_tutor_data_pipeline_spark.operators.asof import asof_join
+
+        right_dedup: dict = {}
+        for kk, tt in right:
+            right_dedup[(kk, tt)] = True
+        right = sorted(right_dedup)
+
+        ldf = spark.createDataFrame(
+            [(k, float(t), i) for i, (k, t) in enumerate(left)], ["k", "t", "lid"]
+        )
+        if right:
+            rdf = spark.createDataFrame(
+                [(k, float(t), float(t) * 10) for k, t in right], ["k", "t", "payload"]
+            )
+        else:
+            rdf = spark.createDataFrame([], "k bigint, t double, payload double")
+        got = {
+            r["lid"]: r["payload_right"]
+            for r in asof_join(
+                ldf, rdf, ["k"], "t", "t", tolerance=float(tol) if tol else None
+            ).collect()
+        }
+
+        lp = pd.DataFrame(
+            [(k, float(t), i) for i, (k, t) in enumerate(left)],
+            columns=["k", "t", "lid"],
+        ).sort_values(["t", "lid"])
+        rp = (
+            pd.DataFrame(
+                [(k, float(t), float(t) * 10) for k, t in right],
+                columns=["k", "t", "payload"],
+            )
+            # an empty literal frame defaults to object dtypes, which
+            # merge_asof rejects — pin the schema like the Spark side
+            .astype({"k": "int64", "t": "float64", "payload": "float64"})
+            .sort_values(["t", "k"])
+        )
+        merged = pd.merge_asof(
+            lp,
+            rp,
+            on="t",
+            by="k",
+            direction="backward",
+            tolerance=float(tol) if tol else None,
+        )
+        want = {
+            int(r.lid): (None if pd.isna(r.payload) else float(r.payload))
+            for r in merged.itertuples()
+        }
+        assert got == want
