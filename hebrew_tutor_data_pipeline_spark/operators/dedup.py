@@ -801,3 +801,87 @@ def embedding_near_dup_pairs_blocked(
         return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cos[ii, jj]})
 
     return pairs.groupBy("gi", "gj").applyInPandas(kernel, out_schema)
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round: every node connects its LARGER neighbors to the
+    minimum of its closed neighborhood. One window shuffle + one dedup."""
+    b = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    w = Window.partitionBy("u")
+    return (
+        b.withColumn("m", F.least(F.col("u"), F.min("v").over(w)))
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: orient edges large→small, then connect each
+    node's smaller neighbors (and itself) to the neighborhood minimum."""
+    d = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    w = Window.partitionBy("u")
+    dd = d.withColumn("m", F.min("v").over(w))  # all v < u, so min(N∪{u}) = min(v)
+    return (
+        dd.select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(dd.select("u", F.col("m").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Connected components of an undirected edge list → (node, component),
+    where component is the smallest node id reachable from node. Nodes
+    with no edges don't appear; callers union isolated ids back in.
+
+    Near-dup candidate generators (MinHash/SimHash/embedding LSH) emit
+    PAIRS; turning pairs into duplicate CLUSTERS with one canonical
+    keeper per cluster is a connected-components problem. Reference
+    counterpart: the alignment tool's per-chapter grouping is a toy
+    instance (hebrew_alignment_tool.py:417-464 groups by explicit key);
+    at corpus scale the grouping key must be *derived* from the pair
+    graph, which is exactly this operator.
+
+    Algorithm: alternating large-star / small-star (Kiveris, Lattanzi,
+    Mirrokni, Rastogi, Vassilvitskii — "Connected Components in MapReduce
+    and Beyond", SoCC 2014). Scale posture (100 TB): each round is two
+    windowed min-computations + two dedups, all hash-partitioned on node
+    id — no driver state beyond a (count, checksum) convergence probe per
+    round — and the edge set contracts to rooted stars in O(log n) rounds
+    even on chain graphs, where naive min-label propagation needs
+    O(diameter) rounds. Lineage is truncated each round with
+    localCheckpoint; a cluster deployment with preemptible executors
+    should call ``sparkContext.setCheckpointDir`` and swap in reliable
+    ``checkpoint()``.
+    """
+    e = (
+        edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    prev_sig = None
+    for _ in range(max_iterations):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # 64-bit-hash checksum + count: a fixpoint keeps both identical.
+        sig = tuple(
+            e.agg(
+                F.count(F.lit(1)),
+                F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1_000_000_007))),
+            ).first()
+        )
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iterations} rounds")
+    # At the fixpoint every edge points child→root (root = component min);
+    # roots appear only as v. min() guards the (never-observed) case of a
+    # child carrying two edges mid-collision.
+    return e.groupBy(F.col("u").alias("node")).agg(F.min("v").alias("component"))

@@ -14,7 +14,7 @@ size. Oracle-portability notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import hebrew, text
@@ -328,6 +328,60 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(T(spark, sf_dir, "documents"))
     return dedup.simhash_near_dup_pairs(
         d, "doc_id", "text", bits=16, bands=4, max_distance=2
+    )
+
+
+@_register(
+    "dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_SIMHASH_FP_SQL},
+e AS (
+    SELECT a.doc_id AS s, b.doc_id AS t
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+), sym AS (
+    SELECT s, t FROM e UNION SELECT t, s FROM e
+), reach(node, comp) AS (
+    SELECT doc_id, doc_id FROM fp
+    UNION
+    SELECT sym.t, reach.comp FROM reach JOIN sym ON sym.s = reach.node
+), lab AS (
+    SELECT node AS doc_id, min(comp) AS component_id FROM reach GROUP BY node
+)
+SELECT doc_id, component_id,
+       count(*) OVER (PARTITION BY component_id) AS component_size,
+       doc_id = component_id AS is_canonical
+FROM lab
+""",
+    tags=("dedup", "clustering", "connected-components"),
+    bench=True,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS → duplicate CLUSTERS with one canonical keeper.
+
+    Composes the banded SimHash pair generator (exact for d ≤ 1 by
+    pigeonhole) with alternating large-star/small-star connected
+    components, then labels every document with its cluster's smallest
+    doc_id, the cluster size, and whether it is the keeper. The oracle
+    replays the same graph with a recursive min-reachable CTE, so the
+    O(log n)-round distributed algorithm is value-checked against a
+    transitive-closure ground truth."""
+    d = spread(T(spark, sf_dir, "documents"))
+    pairs = dedup.simhash_near_dup_pairs(
+        d, "doc_id", "text", bits=16, bands=4, max_distance=1
+    )
+    cc = dedup.connected_components(pairs, "id_a", "id_b")
+    lab = (
+        d.select("doc_id")
+        .join(cc, F.col("doc_id") == cc["node"], "left")
+        .select("doc_id", F.coalesce("component", "doc_id").alias("component_id"))
+    )
+    w = Window.partitionBy("component_id")
+    return lab.select(
+        "doc_id",
+        "component_id",
+        F.count(F.lit(1)).over(w).alias("component_size"),
+        (F.col("doc_id") == F.col("component_id")).alias("is_canonical"),
     )
 
 

@@ -697,3 +697,73 @@ class TestWinnowing:
         # window starting at s (s in 0..3 for w=4) selects s+w-1, the
         # rightmost of the tie -> positions 3..6
         assert sel_positions == {3, 4, 5, 6}
+
+
+class TestConnectedComponents:
+    """Alternating large-star/small-star CC (Kiveris et al. 2014) vs a
+    driver-side union-find ground truth."""
+
+    @staticmethod
+    def _uf(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in nodes}
+
+    def _cc(self, spark, edges):
+        from hebrew_tutor_data_pipeline_spark.operators.dedup import (
+            connected_components,
+        )
+
+        if edges:
+            df = spark.createDataFrame(edges, ["src", "dst"])
+        else:
+            df = spark.createDataFrame([], "src long, dst long")
+        labels = {
+            r["node"]: r["component"] for r in connected_components(df).collect()
+        }
+        # roots/isolated nodes are absent from the edge output: label = self
+        full = dict(labels)
+        for a, b in edges:
+            full.setdefault(a, a)
+            full.setdefault(b, b)
+        return full
+
+    def test_random_graphs_match_union_find(self, spark):
+        import random
+
+        rng = random.Random(11)
+        for n, m in [(12, 6), (80, 50), (300, 200)]:
+            edges = [
+                (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+            ]
+            edges = [e for e in edges if e[0] != e[1]]
+            nodes = sorted({x for e in edges for x in e})
+            assert self._cc(spark, edges) == self._uf(edges, nodes)
+
+    def test_chain_collapses_in_log_rounds(self, spark):
+        """A 200-node chain is the diameter worst case for naive label
+        propagation; the star algorithm must still converge (max 30
+        rounds = the operator's cap, far below diameter 199)."""
+        chain = [(i, i + 1) for i in range(199)]
+        got = self._cc(spark, chain)
+        assert set(got.values()) == {0} and len(got) == 200
+
+    def test_duplicate_selfloop_and_orientation_invariance(self, spark):
+        base = [(5, 3), (3, 9), (20, 21)]
+        noisy = base + [(3, 5), (9, 3), (7, 7), (5, 3)]
+        assert self._cc(spark, noisy) == {
+            3: 3, 5: 3, 9: 3, 20: 20, 21: 20, 7: 7,
+        }
+
+    def test_empty_edges(self, spark):
+        assert self._cc(spark, []) == {}
