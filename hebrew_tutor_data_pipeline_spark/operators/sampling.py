@@ -1,0 +1,98 @@
+"""Deterministic sampling and split assignment for training-data curation.
+
+A 100 TB corpus cannot use RNG-state sampling (``df.sample`` /
+``sampleBy``): results change across retries, partition counts, and
+engine versions, and a task retry silently double- or under-samples its
+partition. The industry-standard fix is content-addressed sampling —
+bucket every row by a salted hash of its stable id and keep a fixed
+bucket range. That makes train/valid/test assignment and per-stratum
+downsampling pure map-side column arithmetic: zero shuffle, zero driver
+state, reproducible row-for-row on any engine (the DuckDB oracles replay
+the same polynomial hash).
+
+Reference counterpart: the reference processes fixed chapter lists
+(hebrew_alignment_tool.py:417-464) and never samples; at corpus scale,
+split assignment and data mixing are where a training pipeline starts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import token_hash
+
+#: bucket space for all rate arithmetic — rates are exact per-mille.
+N_BUCKETS = 1000
+
+
+def hash_bucket(id_col: Column, salt: str) -> Column:
+    """Salted deterministic bucket in [0, N_BUCKETS) from a stable id.
+
+    Different salts give independent bucketings, so split assignment and
+    sampling decisions don't correlate (a doc's split never predicts
+    whether it survives downsampling).
+    """
+    return token_hash(F.concat(F.lit(salt + "|"), id_col.cast("string"))) % N_BUCKETS
+
+
+def assign_split(
+    id_col: Column,
+    ratios: tuple[tuple[str, float], ...] = (
+        ("train", 0.8),
+        ("valid", 0.1),
+        ("test", 0.1),
+    ),
+    salt: str = "split",
+) -> Column:
+    """Map a stable id to a named split with the given ratios.
+
+    Ratios must sum to 1 and resolve to whole buckets; assignment is a
+    per-row CASE over the salted bucket — no shuffle, no RNG.
+    """
+    bounds: list[tuple[str, int]] = []
+    acc = 0.0
+    for name, ratio in ratios:
+        acc += ratio
+        bounds.append((name, round(acc * N_BUCKETS)))
+    if bounds[-1][1] != N_BUCKETS:
+        raise ValueError(f"ratios must sum to 1, got cumulative {bounds[-1][1]}")
+    b = hash_bucket(id_col, salt)
+    expr = F.lit(bounds[-1][0])
+    for name, upper in reversed(bounds[:-1]):
+        expr = F.when(b < upper, F.lit(name)).otherwise(expr)
+    return expr
+
+
+def stratified_sample_flag(
+    id_col: Column,
+    strata_col: Column,
+    rates: dict[str, float],
+    default_rate: float,
+    salt: str = "sample",
+) -> Column:
+    """True iff the row survives per-stratum downsampling at the given
+    keep rates (per-mille precision). Deterministic: the same id keeps
+    the same fate across runs, partitionings, and engines."""
+    thresholds = [(k, round(v * N_BUCKETS)) for k, v in rates.items()]
+    m = F.create_map(
+        *[F.lit(x) for kv in thresholds for x in kv]  # k1, v1, k2, v2, ...
+    )
+    threshold = F.coalesce(
+        m[strata_col.cast("string")], F.lit(round(default_rate * N_BUCKETS))
+    )
+    return hash_bucket(id_col, salt) < threshold
+
+
+def split_and_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float,
+) -> DataFrame:
+    """Convenience: annotate df with split assignment and sample flag."""
+    return df.withColumn("split", assign_split(F.col(id_col))).withColumn(
+        "sampled",
+        stratified_sample_flag(F.col(id_col), F.col(strata_col), rates, default_rate),
+    )

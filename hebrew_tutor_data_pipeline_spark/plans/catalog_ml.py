@@ -969,3 +969,53 @@ def image_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_dup_pairs_blocked(
         vecs, "vec_id", "embedding", threshold=0.97
     )
+
+
+# ===========================================================================
+# Deterministic split / stratified sampling (training-data curation)
+# ===========================================================================
+
+_SAMPLE_RATES = {"en": 0.4, "zh": 1.0, "es": 1.0, "de": 0.8, "fr": 0.8}
+_SAMPLE_DEFAULT = 0.25
+_RATE_CASE_SQL = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {round(v * 1000)}" for k, v in _SAMPLE_RATES.items()
+) + f" ELSE {round(_SAMPLE_DEFAULT * 1000)} END"
+
+
+@_register(
+    "doc_split_sample",
+    oracle=f"""
+WITH b AS (
+    SELECT doc_id, lang,
+           {_sql_token_hash("'split|' || CAST(doc_id AS VARCHAR)")} % 1000 AS split_bucket,
+           {_sql_token_hash("'sample|' || CAST(doc_id AS VARCHAR)")} % 1000 AS sample_bucket
+    FROM documents
+)
+SELECT doc_id, lang, split_bucket,
+       CASE WHEN split_bucket < 800 THEN 'train'
+            WHEN split_bucket < 900 THEN 'valid'
+            ELSE 'test' END AS split,
+       sample_bucket < {_RATE_CASE_SQL} AS sampled
+FROM b
+""",
+    tags=("sampling", "split", "curation"),
+    bench=True,
+)
+def doc_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/valid/test assignment + per-language
+    downsampling as pure map-side hash arithmetic (no RNG, no shuffle —
+    the only way sampling stays stable across task retries at 100 TB).
+    The oracle replays the salted polynomial hash, so both the split
+    boundaries and every per-row keep/drop decision are value-checked."""
+    from ..operators import sampling
+
+    d = spread(T(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        "lang",
+        sampling.hash_bucket(F.col("doc_id"), "split").alias("split_bucket"),
+        sampling.assign_split(F.col("doc_id")).alias("split"),
+        sampling.stratified_sample_flag(
+            F.col("doc_id"), F.col("lang"), _SAMPLE_RATES, _SAMPLE_DEFAULT
+        ).alias("sampled"),
+    )

@@ -767,3 +767,64 @@ class TestConnectedComponents:
 
     def test_empty_edges(self, spark):
         assert self._cc(spark, []) == {}
+
+
+class TestDeterministicSampling:
+    """Hash-bucket split/sampling: engine-independent (matches a pure
+    Python replay of the polynomial hash), partition-invariant, and
+    ratio-honoring."""
+
+    @staticmethod
+    def _py_bucket(salt: str, doc_id: int) -> int:
+        h = 0
+        for ch in f"{salt}|{doc_id}":
+            h = (h * 31 + ord(ch)) % (2**31 - 1)
+        return h % 1000
+
+    def test_matches_python_replay_and_partitioning(self, spark):
+        from hebrew_tutor_data_pipeline_spark.operators.sampling import (
+            split_and_sample,
+        )
+
+        ids = list(range(400))
+        rates = {"a": 0.5, "b": 1.0}
+        for nparts in (1, 7):
+            df = spark.createDataFrame(
+                [(i, "a" if i % 3 == 0 else ("b" if i % 3 == 1 else "zz")) for i in ids],
+                ["doc_id", "lang"],
+            ).repartition(nparts)
+            out = {
+                r["doc_id"]: (r["split"], r["sampled"])
+                for r in split_and_sample(df, "doc_id", "lang", rates, 0.1).collect()
+            }
+            for i in ids:
+                sb = self._py_bucket("split", i)
+                want_split = "train" if sb < 800 else ("valid" if sb < 900 else "test")
+                rate = {0: 500, 1: 1000}.get(i % 3, 100)
+                want_sampled = self._py_bucket("sample", i) < rate
+                assert out[i] == (want_split, want_sampled), i
+
+    def test_split_ratios_approximate(self, spark):
+        from pyspark.sql import functions as F
+
+        from hebrew_tutor_data_pipeline_spark.operators.sampling import assign_split
+
+        df = spark.range(5000).select(F.col("id").alias("doc_id"))
+        counts = dict(
+            df.select(assign_split(F.col("doc_id")).alias("s"))
+            .groupBy("s")
+            .count()
+            .collect()
+        )
+        assert abs(counts["train"] / 5000 - 0.8) < 0.03
+        assert abs(counts["valid"] / 5000 - 0.1) < 0.02
+        assert abs(counts["test"] / 5000 - 0.1) < 0.02
+
+    def test_bad_ratios_rejected(self, spark):
+        import pytest
+        from pyspark.sql import functions as F
+
+        from hebrew_tutor_data_pipeline_spark.operators.sampling import assign_split
+
+        with pytest.raises(ValueError):
+            assign_split(F.lit(1), ratios=(("train", 0.5), ("test", 0.4)))
