@@ -201,3 +201,32 @@ def make_chunker_udtf(chunk_tokens: int = 10):
                 yield doc_id, i // chunk_tokens, " ".join(part), len(part)
 
     return ChunkDocuments
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+
+#: Redaction patterns, applied IN ORDER (URLs before emails so an email
+#: inside a URL path is consumed by the URL rule; phones last). RE2-safe
+#: basics only, so the DuckDB oracle runs the identical expressions.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("url", r"https?://[^\s]+"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\+\d{1,3}-\d{3}-\d{4}"),
+)
+
+
+def pii_count(col: Column, kind: str) -> Column:
+    """Occurrences of one PII pattern (counted BEFORE any redaction)."""
+    pat = dict(PII_PATTERNS)[kind]
+    return F.regexp_count(col, F.lit(pat))
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace each PII match with its <KIND> placeholder, in pattern
+    order. One fused chain of JVM regexp_replace calls — the 100 TB
+    scrub pass stays map-only inside whole-stage codegen."""
+    out = col
+    for kind, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    return out

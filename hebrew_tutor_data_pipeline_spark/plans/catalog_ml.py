@@ -1019,3 +1019,65 @@ def doc_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id"), F.col("lang"), _SAMPLE_RATES, _SAMPLE_DEFAULT
         ).alias("sampled"),
     )
+
+
+# ===========================================================================
+# PII scrubbing (training-data curation)
+# ===========================================================================
+
+@_register(
+    "doc_pii_redact",
+    oracle="""
+WITH aug AS (
+    SELECT doc_id,
+           text || ' Contact ' || source || '-' || CAST(doc_id AS VARCHAR)
+                || '@mail.example.com or +12-555-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                || ' via https://' || source || '.example.org/doc/'
+                || CAST(doc_id AS VARCHAR) AS t
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, 'https?://[^\\s]+')) AS BIGINT) AS n_urls,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '\\+\\d{1,3}-\\d{3}-\\d{4}')) AS BIGINT) AS n_phones,
+       regexp_replace(
+           regexp_replace(
+               regexp_replace(t, 'https?://[^\\s]+', '<URL>', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\\+\\d{1,3}-\\d{3}-\\d{4}', '<PHONE>', 'g') AS redacted
+FROM aug
+""",
+    tags=("pii", "scrub", "curation"),
+    bench=True,
+)
+def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: count and redact URLs, emails, and phone numbers.
+
+    The synthetic corpus carries no PII, so each document is augmented
+    with a deterministic contact line derived from (source, doc_id) —
+    both engines build the identical string, then the oracle re-runs the
+    identical RE2-safe patterns, value-checking counts and redacted
+    bodies. The scrub itself is a fused chain of JVM regexp_replace
+    calls: map-only, no shuffle, whole-stage codegen."""
+    d = spread(T(spark, sf_dir, "documents"))
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" Contact "),
+        F.col("source"),
+        F.lit("-"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +12-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" via https://"),
+        F.col("source"),
+        F.lit(".example.org/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        text.pii_count(aug, "url").cast("long").alias("n_urls"),
+        text.pii_count(aug, "email").cast("long").alias("n_emails"),
+        text.pii_count(aug, "phone").cast("long").alias("n_phones"),
+        text.redact_pii(aug).alias("redacted"),
+    )

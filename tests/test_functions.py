@@ -191,3 +191,52 @@ class TestTimeops:
         assert dict(out.dtypes)["ltz"] == "timestamp"
         r = out.select("ltz", "ntz").first()
         assert r["ltz"] == r["ntz"]
+
+
+class TestPiiScrub:
+    def test_redact_all_kinds(self, spark):
+        from pyspark.sql import functions as F
+
+        from hebrew_tutor_data_pipeline_spark.functions.text import (
+            pii_count,
+            redact_pii,
+        )
+
+        s = (
+            "mail a.user+tag@corp.example.com or b@x.io, "
+            "see https://example.org/a?b=1 and http://t.co/xyz "
+            "call +1-555-0100 or +972-123-4567 done"
+        )
+        df = spark.createDataFrame([(s,)], ["t"])
+        row = df.select(
+            redact_pii(F.col("t")).alias("r"),
+            pii_count(F.col("t"), "url").alias("u"),
+            pii_count(F.col("t"), "email").alias("e"),
+            pii_count(F.col("t"), "phone").alias("p"),
+        ).first()
+        assert row["u"] == 2 and row["e"] == 2 and row["p"] == 2
+        assert row["r"] == (
+            "mail <EMAIL> or <EMAIL>, see <URL> and <URL> "
+            "call <PHONE> or <PHONE> done"
+        )
+
+    def test_url_rule_consumes_embedded_email(self, spark):
+        from pyspark.sql import functions as F
+
+        from hebrew_tutor_data_pipeline_spark.functions.text import redact_pii
+
+        df = spark.createDataFrame(
+            [("go https://u@host.example.com/path now",)], ["t"]
+        )
+        assert df.select(redact_pii(F.col("t")).alias("r")).first()["r"] == (
+            "go <URL> now"
+        )
+
+    def test_clean_text_unchanged(self, spark):
+        from pyspark.sql import functions as F
+
+        from hebrew_tutor_data_pipeline_spark.functions.text import redact_pii
+
+        s = "plain words only, no contact details at 5pm-ish"
+        df = spark.createDataFrame([(s,)], ["t"])
+        assert df.select(redact_pii(F.col("t")).alias("r")).first()["r"] == s
