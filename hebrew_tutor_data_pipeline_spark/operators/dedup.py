@@ -885,3 +885,42 @@ def connected_components(
     # roots appear only as v. min() guards the (never-observed) case of a
     # child carrying two edges mid-collision.
     return e.groupBy(F.col("u").alias("node")).agg(F.min("v").alias("component"))
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination audit: per corpus document, the fraction
+    of its distinct word n-grams that appear anywhere in a benchmark
+    document → (id, n_ngrams, n_contaminated, contamination_ratio).
+
+    Scale posture (100 TB): evaluation benchmarks are tiny next to a
+    training corpus, so the benchmark's distinct n-gram set is
+    BROADCAST — the corpus side is one map-side explode plus a single
+    aggregation shuffle on doc id, never a corpus×corpus join. If a
+    benchmark suite ever outgrows the broadcast budget, drop the hint
+    and the same plan degrades to a shuffled hash join on the n-gram.
+    """
+    cand = shingle_sets(corpus, id_col, text_col, n)
+    bset = (
+        shingle_sets(benchmark, id_col, text_col, n)
+        .select(F.explode("shingles").alias("g"))
+        .distinct()
+    )
+    exp = cand.select("id", F.explode("shingles").alias("g"))
+    hits = exp.join(F.broadcast(bset.withColumn("_hit", F.lit(1))), "g", "left")
+    return (
+        hits.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination_ratio",
+            F.round(F.col("n_contaminated") / F.col("n_ngrams"), 6),
+        )
+    )

@@ -1081,3 +1081,53 @@ def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.pii_count(aug, "phone").cast("long").alias("n_phones"),
         text.redact_pii(aug).alias("redacted"),
     )
+
+
+# ===========================================================================
+# Benchmark-contamination audit (training-data curation)
+# ===========================================================================
+
+@_register(
+    "benchmark_contamination",
+    oracle="""
+WITH d AS (
+    SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                        ELSE string_split_regex(trim(text), '\\s+') END AS t
+    FROM documents
+), g AS (
+    -- same short-doc shingle rule as the jaccard oracle / word_ngrams
+    SELECT doc_id, doc_id % 17 = 3 AS is_bench,
+           CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+                WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                ELSE list_distinct([list_aggr(t[i:i+2], 'string_agg', ' ')
+                                    for i in range(1, len(t) - 1)]) END AS toks
+    FROM d
+), bset AS (
+    SELECT DISTINCT unnest(toks) AS gg FROM g WHERE is_bench
+), cand AS (
+    SELECT doc_id, unnest(toks) AS gg FROM g WHERE NOT is_bench
+)
+SELECT doc_id,
+       count(*) AS n_ngrams,
+       CAST(sum(CASE WHEN b.gg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_contaminated,
+       round(sum(CASE WHEN b.gg IS NOT NULL THEN 1 ELSE 0 END)
+             / count(*), 6) AS contamination_ratio
+FROM cand LEFT JOIN bset b USING (gg)
+GROUP BY doc_id
+""",
+    tags=("contamination", "curation", "broadcast"),
+    bench=True,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination audit: docs whose trigrams leak from the
+    held-out 'benchmark' slice (doc_id % 17 == 3 stands in for MMLU-like
+    suites). Benchmark n-grams broadcast; corpus side is one explode +
+    one agg shuffle — the only shape that survives a 100 TB corpus."""
+    d = spread(T(spark, sf_dir, "documents"))
+    bench_docs = d.filter(F.col("doc_id") % 17 == 3)
+    cand_docs = d.filter(F.col("doc_id") % 17 != 3)
+    return (
+        dedup.ngram_contamination(cand_docs, bench_docs, "doc_id", "text", n=3)
+        .withColumnRenamed("id", "doc_id")
+    )

@@ -828,3 +828,27 @@ class TestDeterministicSampling:
 
         with pytest.raises(ValueError):
             assign_split(F.lit(1), ratios=(("train", 0.5), ("test", 0.4)))
+
+
+class TestNgramContamination:
+    def test_hand_computed_ratios(self, spark):
+        from hebrew_tutor_data_pipeline_spark.operators.dedup import (
+            ngram_contamination,
+        )
+
+        bench = spark.createDataFrame(
+            [(100, "a b c d e")], ["doc_id", "text"]
+        )  # trigrams: {a b c, b c d, c d e}
+        corpus = spark.createDataFrame(
+            [
+                (1, "a b c d e"),      # fully contained -> ratio 1.0
+                (2, "x a b c y z"),    # 4 trigrams, 1 shared (a b c) -> 0.25
+                (3, "p q r s"),        # no overlap -> 0.0
+            ],
+            ["doc_id", "text"],
+        )
+        out = {
+            r["id"]: (r["n_ngrams"], r["n_contaminated"], r["contamination_ratio"])
+            for r in ngram_contamination(corpus, bench, "doc_id", "text").collect()
+        }
+        assert out == {1: (3, 3, 1.0), 2: (4, 1, 0.25), 3: (2, 0, 0.0)}
