@@ -27,6 +27,15 @@ _DEMOTED = (
     "lang_id_confusion",          # text family keeps doc_text_stats
     "corpus_verses",              # corpus scan exercised by 5 in-window corpus/chapter queries
     "dedup_exact_keepers",        # corpus_curation_pipeline runs the same keep-first dedup
+    # r04 additions to the demoted tail: all r03-green, all still gated by
+    # PARITY_SUBSET at every commit; freed slots let winnow_fingerprints
+    # and the four new curation queries (clusters/split/pii/contamination)
+    # receive first-time driver validation.
+    "hebrew_normalize",
+    "upsert_last_event_state",
+    "tumbling_hour_stats",
+    "missing_order_days",
+    "json_extract_defaults",
 )
 
 
