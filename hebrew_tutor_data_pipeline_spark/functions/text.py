@@ -230,3 +230,41 @@ def redact_pii(col: Column) -> Column:
     for kind, pat in PII_PATTERNS:
         out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality filtering)
+
+def top_ngram_fraction(tokens: Column, n: int) -> Column:
+    """Fraction of n-gram instances taken by the single most frequent
+    n-gram (Rae et al. 2021's "fraction of characters in most common
+    n-gram", in instance rather than char units so the SQL twin stays
+    exact integer arithmetic). Per-row O(k²) higher-order functions —
+    no shuffle; k is tokens-per-doc, not corpus size, so the 100 TB
+    pass stays map-only."""
+    grams = word_ngrams(tokens, n)
+    counts = F.transform(
+        F.array_distinct(grams),
+        lambda g: F.size(F.filter(grams, lambda x: x == g)),
+    )
+    return F.when(F.size(grams) <= 0, F.lit(0.0)).otherwise(
+        F.round(F.array_max(counts) / F.size(grams), 6)
+    )
+
+
+def duplicate_ngram_fraction(tokens: Column, n: int) -> Column:
+    """Fraction of n-gram instances whose n-gram occurs more than once
+    in the document (Gopher's duplicate-n-gram fraction family)."""
+    grams = word_ngrams(tokens, n)
+    counts = F.transform(
+        F.array_distinct(grams),
+        lambda g: F.size(F.filter(grams, lambda x: x == g)),
+    )
+    dup_instances = F.aggregate(
+        F.filter(counts, lambda c: c > 1),
+        F.lit(0),
+        lambda acc, c: acc + c,
+    )
+    return F.when(F.size(grams) <= 0, F.lit(0.0)).otherwise(
+        F.round(dup_instances / F.size(grams), 6)
+    )

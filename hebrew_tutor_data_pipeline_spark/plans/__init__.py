@@ -36,6 +36,7 @@ _DEMOTED = (
     "tumbling_hour_stats",
     "missing_order_days",
     "json_extract_defaults",
+    "sql_segment_revenue",        # r03-green; SQL front-end twin of in-window region_revenue
 )
 
 

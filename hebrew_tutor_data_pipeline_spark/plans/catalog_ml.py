@@ -1131,3 +1131,77 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup.ngram_contamination(cand_docs, bench_docs, "doc_id", "text", n=3)
         .withColumnRenamed("id", "doc_id")
     )
+
+
+# ===========================================================================
+# Gopher-style repetition / quality gate (training-data curation)
+# ===========================================================================
+
+@_register(
+    "gopher_quality_flags",
+    oracle="""
+WITH d AS (
+    SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                        ELSE string_split_regex(trim(text), '\\s+') END AS t
+    FROM documents
+), g AS (
+    SELECT doc_id, len(t) AS n_tokens,
+           round(coalesce(list_sum(list_transform(t, x -> len(x)))
+                          / nullif(len(t), 0), 0), 6) AS mean_token_len,
+           CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+                ELSE [list_aggr(t[i:i+1], 'string_agg', ' ')
+                      for i in range(1, len(t))] END AS g2,
+           CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                ELSE [list_aggr(t[i:i+2], 'string_agg', ' ')
+                      for i in range(1, len(t) - 1)] END AS g3
+    FROM d
+), m AS (
+    SELECT doc_id, n_tokens, mean_token_len,
+           round(list_max(list_transform(list_distinct(g2),
+                     x -> len(list_filter(g2, y -> y = x))))
+                 / len(g2), 6) AS top_bigram_frac,
+           round(coalesce(list_sum(list_filter(
+                     list_transform(list_distinct(g3),
+                         x -> len(list_filter(g3, y -> y = x))),
+                     c -> c > 1)), 0) / len(g3), 6) AS dup_trigram_frac
+    FROM g
+)
+SELECT doc_id, n_tokens, mean_token_len, top_bigram_frac, dup_trigram_frac,
+       top_bigram_frac <= 0.1 AND dup_trigram_frac <= 0.1 AS pass_repetition,
+       n_tokens BETWEEN 30 AND 10000 AS pass_length,
+       mean_token_len BETWEEN 3 AND 10 AS pass_word_len,
+       (top_bigram_frac <= 0.1 AND dup_trigram_frac <= 0.1)
+           AND n_tokens BETWEEN 30 AND 10000
+           AND mean_token_len BETWEEN 3 AND 10 AS keep
+FROM m
+""",
+    tags=("quality", "repetition", "curation"),
+    bench=True,
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-aware quality gate in the style of Gopher's rules
+    (Rae et al. 2021, "Scaling Language Models", appendix A1.1): most-
+    common-bigram fraction, duplicate-trigram fraction, token count and
+    mean word length bounds, folded into one keep decision. All per-row
+    higher-order functions — the 100 TB filter pass is map-only with
+    no Python and no shuffle; the oracle reruns identical list
+    arithmetic."""
+    d = spread(T(spark, sf_dir, "documents"))
+    toks = text.whitespace_tokens(F.col("text"))
+    m = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        text.mean_token_len(F.col("text")).alias("mean_token_len"),
+        text.top_ngram_fraction(toks, 2).alias("top_bigram_frac"),
+        text.duplicate_ngram_fraction(toks, 3).alias("dup_trigram_frac"),
+    )
+    pass_rep = (F.col("top_bigram_frac") <= 0.1) & (F.col("dup_trigram_frac") <= 0.1)
+    pass_len = F.col("n_tokens").between(30, 10000)
+    pass_wl = F.col("mean_token_len").between(3, 10)
+    return m.select(
+        "*",
+        pass_rep.alias("pass_repetition"),
+        pass_len.alias("pass_length"),
+        pass_wl.alias("pass_word_len"),
+        (pass_rep & pass_len & pass_wl).alias("keep"),
+    )

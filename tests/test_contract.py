@@ -50,12 +50,14 @@ PARITY_SUBSET = [
     # rotated OUT of the driver window r04 — pytest keeps gating them here
     "missing_order_days",
     "json_extract_defaults",
+    "sql_segment_revenue",
     # new r04 curation entries, rotated INTO the driver window
     "winnow_fingerprints",
     "dedup_clusters",
     "doc_split_sample",
     "doc_pii_redact",
     "benchmark_contamination",
+    "gopher_quality_flags",
 ]
 
 

@@ -240,3 +240,37 @@ class TestPiiScrub:
         s = "plain words only, no contact details at 5pm-ish"
         df = spark.createDataFrame([(s,)], ["t"])
         assert df.select(redact_pii(F.col("t")).alias("r")).first()["r"] == s
+
+
+class TestRepetitionSignals:
+    def test_top_and_duplicate_ngram_fractions(self, spark):
+        from pyspark.sql import functions as F
+
+        from hebrew_tutor_data_pipeline_spark.functions.text import (
+            duplicate_ngram_fraction,
+            top_ngram_fraction,
+            whitespace_tokens,
+        )
+
+        rows = [
+            # "a b a b a": bigrams [a b, b a, a b, b a] -> top2 = 2/4,
+            # trigrams [a b a, b a b, a b a] -> 2 of 3 instances duplicated
+            (1, "a b a b a"),
+            # all-distinct tokens: top bigram appears once, no dup trigrams
+            (2, "q w e r t y"),
+            # single token (shorter than n): one joined gram, top2 = 1.0
+            (3, "solo"),
+        ]
+        df = spark.createDataFrame(rows, ["i", "t"])
+        toks = whitespace_tokens(F.col("t"))
+        out = {
+            r["i"]: (r["t2"], r["d3"])
+            for r in df.select(
+                "i",
+                top_ngram_fraction(toks, 2).alias("t2"),
+                duplicate_ngram_fraction(toks, 3).alias("d3"),
+            ).collect()
+        }
+        assert out[1] == (0.5, round(2 / 3, 6))
+        assert out[2] == (0.2, 0.0)
+        assert out[3] == (1.0, 0.0)
