@@ -367,8 +367,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(log n)-round distributed algorithm is value-checked against a
     transitive-closure ground truth."""
     d = spread(T(spark, sf_dir, "documents"))
+    # bands=2 (8-bit bands): pigeonhole still exact for d <= 1, and the
+    # 256-value band space is 16x more selective than 4-bit bands —
+    # ~30x fewer candidate pairs reach Hamming verification.
     pairs = dedup.simhash_near_dup_pairs(
-        d, "doc_id", "text", bits=16, bands=4, max_distance=1
+        d, "doc_id", "text", bits=16, bands=2, max_distance=1
     )
     cc = dedup.connected_components(pairs, "id_a", "id_b")
     lab = (
