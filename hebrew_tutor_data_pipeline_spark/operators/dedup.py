@@ -94,11 +94,18 @@ def duplicate_groups(df: DataFrame, id_col: str, content_cols: list[str]) -> Dat
 def shingle_sets(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """(id, shingles) with distinct word n-gram shingles per document."""
-    toks = whitespace_tokens(F.col(text_col))
-    return df.select(
+    """(id, shingles) with distinct word n-gram shingles per document.
+
+    Tokens materialize as a column first: slicing the raw split
+    expression inside the n-gram lambda re-tokenizes the document once
+    per n-gram on the interpreted HOF path (the winnow_fingerprints
+    lesson — measured ~4× slower at sf0.1 for trigram shingling).
+    """
+    return df.withColumn(
+        "_toks", whitespace_tokens(F.col(text_col))
+    ).select(
         F.col(id_col).alias("id"),
-        F.array_distinct(word_ngrams(toks, n)).alias("shingles"),
+        F.array_distinct(word_ngrams(F.col("_toks"), n)).alias("shingles"),
     )
 
 
