@@ -17,7 +17,7 @@ split assignment and data mixing are where a training pipeline starts.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import token_hash
@@ -95,4 +95,50 @@ def split_and_sample(
     return df.withColumn("split", assign_split(F.col(id_col))).withColumn(
         "sampled",
         stratified_sample_flag(F.col(id_col), F.col(strata_col), rates, default_rate),
+    )
+
+
+def pack_plan(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    partition_cols: list[str],
+    budget: int,
+) -> DataFrame:
+    """Concat-and-chunk sequence-packing plan: documents inside each
+    partition are laid end-to-end in deterministic (salted-hash, id)
+    order; every ``budget`` tokens starts a new pack. Returns per doc
+    its start offset in the stream, the pack holding that start, and
+    whether the doc straddles a pack boundary.
+
+    This is the GPT-style training-prep step after curation: the output
+    is a PLAN (offsets), so the expensive byte movement can be executed
+    by any writer. One window shuffle on the partition columns; the
+    deterministic order key means re-runs and task retries produce the
+    identical layout (same property as hash_bucket sampling).
+    """
+    order_key = token_hash(
+        F.concat(F.lit("pack|"), F.col(id_col).cast("string"))
+    )
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(order_key.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum(F.col(n_tokens_col)).over(w) - F.col(n_tokens_col)).alias(
+        "start_offset"
+    )
+    out = df.select(
+        *partition_cols,
+        F.col(id_col),
+        F.col(n_tokens_col),
+        start,
+    )
+    return out.select(
+        "*",
+        F.floor(F.col("start_offset") / budget).alias("pack_id"),
+        (
+            F.floor(F.col("start_offset") / budget)
+            != F.floor((F.col("start_offset") + F.col(n_tokens_col) - 1) / budget)
+        ).alias("straddles_boundary"),
     )

@@ -37,6 +37,7 @@ _DEMOTED = (
     "missing_order_days",
     "json_extract_defaults",
     "sql_segment_revenue",        # r03-green; SQL front-end twin of in-window region_revenue
+    "clicks_in_purchase_windows",  # J7 keeps orders_containing_shipdate in-window
 )
 
 

@@ -1208,3 +1208,52 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass_wl.alias("pass_word_len"),
         (pass_rep & pass_len & pass_wl).alias("keep"),
     )
+
+
+# ===========================================================================
+# Sequence packing plan (training-data prep)
+# ===========================================================================
+
+@_register(
+    "token_pack_plan",
+    oracle=f"""
+WITH b AS (
+    SELECT doc_id,
+           CASE WHEN {_sql_token_hash("'split|' || CAST(doc_id AS VARCHAR)")} % 1000 < 800 THEN 'train'
+                WHEN {_sql_token_hash("'split|' || CAST(doc_id AS VARCHAR)")} % 1000 < 900 THEN 'valid'
+                ELSE 'test' END AS split,
+           CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+           {_sql_token_hash("'pack|' || CAST(doc_id AS VARCHAR)")} AS ok
+    FROM documents
+), w AS (
+    SELECT split, doc_id, n_tokens,
+           CAST(sum(n_tokens) OVER (PARTITION BY split ORDER BY ok, doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               - n_tokens AS start_offset
+    FROM b
+)
+SELECT split, doc_id, n_tokens, start_offset,
+       CAST(floor(start_offset / 512) AS BIGINT) AS pack_id,
+       floor(start_offset / 512)
+           != floor((start_offset + n_tokens - 1) / 512) AS straddles_boundary
+FROM w
+""",
+    tags=("packing", "curation", "window"),
+    bench=True,
+)
+def token_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: per split, documents lay
+    end-to-end in deterministic salted-hash order and every 512 tokens
+    starts a new pack. The output is a layout PLAN (start offsets, pack
+    ids, boundary-straddle flags) — one window shuffle per split, and
+    the oracle replays offsets exactly, so the whole layout is
+    value-checked instead of spot-checked."""
+    from ..operators import sampling
+
+    d = spread(T(spark, sf_dir, "documents"))
+    base = d.select(
+        "doc_id",
+        sampling.assign_split(F.col("doc_id")).alias("split"),
+        text.whitespace_token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    return sampling.pack_plan(base, "doc_id", "n_tokens", ["split"], budget=512)

@@ -51,6 +51,7 @@ PARITY_SUBSET = [
     "missing_order_days",
     "json_extract_defaults",
     "sql_segment_revenue",
+    "clicks_in_purchase_windows",
     # new r04 curation entries, rotated INTO the driver window
     "winnow_fingerprints",
     "dedup_clusters",
@@ -58,6 +59,7 @@ PARITY_SUBSET = [
     "doc_pii_redact",
     "benchmark_contamination",
     "gopher_quality_flags",
+    "token_pack_plan",
 ]
 
 

@@ -852,3 +852,32 @@ class TestNgramContamination:
             for r in ngram_contamination(corpus, bench, "doc_id", "text").collect()
         }
         assert out == {1: (3, 3, 1.0), 2: (4, 1, 0.25), 3: (2, 0, 0.0)}
+
+
+class TestPackPlan:
+    def test_offsets_packs_and_straddles(self, spark):
+        from pyspark.sql import functions as F
+
+        from hebrew_tutor_data_pipeline_spark.operators.sampling import pack_plan
+
+        rows = [(i, "g", 100) for i in range(8)]  # 8 docs x 100 tokens
+        df = spark.createDataFrame(rows, ["doc_id", "grp", "n_tokens"])
+        out = pack_plan(df, "doc_id", "n_tokens", ["grp"], budget=256).collect()
+        # offsets are a permutation-ordered exact prefix sum: 0,100,...,700
+        assert sorted(r["start_offset"] for r in out) == [100 * i for i in range(8)]
+        by_off = {r["start_offset"]: r for r in out}
+        # doc starting at 200 occupies [200,300): straddles the 256 line
+        assert by_off[200]["straddles_boundary"] is True
+        assert by_off[200]["pack_id"] == 0
+        assert by_off[300]["pack_id"] == 1
+        assert by_off[0]["straddles_boundary"] is False
+
+    def test_deterministic_across_partitionings(self, spark):
+        from hebrew_tutor_data_pipeline_spark.operators.sampling import pack_plan
+
+        rows = [(i, "g", (i * 37) % 90 + 10) for i in range(200)]
+        a = spark.createDataFrame(rows, ["doc_id", "grp", "n_tokens"])
+        b = a.repartition(13)
+        ra = sorted(map(tuple, pack_plan(a, "doc_id", "n_tokens", ["grp"], 512).collect()))
+        rb = sorted(map(tuple, pack_plan(b, "doc_id", "n_tokens", ["grp"], 512).collect()))
+        assert ra == rb
