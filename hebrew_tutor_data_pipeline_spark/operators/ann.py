@@ -332,3 +332,145 @@ def kmeans_codebook(
         cent = new_cent
     c.unpersist()
     return [(i, [float(x) for x in cent[i]]) for i in range(k)]
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    m: int = 4,
+    ncent: int = 16,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Product-quantization approximate top-k (Jégou/Douze/Schmid,
+    "Product quantization for nearest neighbor search", TPAMI 2011).
+
+    Vectors split into ``m`` subspaces; each subvector is replaced by
+    the index of its nearest codebook centroid (L2, first-argmin =
+    smallest index on ties), so a corpus vector stores as ``m`` small
+    codes instead of ``dim`` floats — the memory tier that lets a
+    100 TB embedding corpus live in RAM. Search is asymmetric distance
+    computation (ADC): each query precomputes an ``m × ncent`` table of
+    exact subspace distances, and a corpus vector's approximate
+    distance is ``m`` table lookups summed.
+
+    Deterministic codebook = the ``ncent`` smallest-id corpus vectors
+    (the ivf_topk convention; swap in per-subspace k-means without
+    touching the plan). Plan shape: one bounded codebook collect +
+    broadcast; encoding and ADC-table building are Arrow-batched
+    map-only passes; ranking joins the tiny broadcast query tables and
+    the only shuffle is the per-query top-k window. All float
+    accumulation runs dimension-sequentially so the DuckDB oracle's
+    ``list_sum`` replays it bit-for-bit.
+    """
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    qid = query_id_col or id_col
+    c = _as_double_vec(corpus, id_col, vec_col)
+    cent_rows = c.orderBy("id").limit(ncent).collect()
+    cent = np.stack([np.asarray(r["vec"], dtype="float64") for r in cent_rows])
+    dim = cent.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} must divide into {m} subspaces")
+    sub = dim // m
+    bc = corpus.sparkSession.sparkContext.broadcast(cent)
+
+    def _sub_d2(X: "np.ndarray", j: int) -> "np.ndarray":
+        """(len(X), ncent) squared L2 in subspace j via the dot identity
+        ``(a·a − 2·a·b) + b·b``, each dot accumulated dim-sequentially —
+        the exact op order of the oracle's list_dot_product expression
+        (DuckDB lambdas can't capture lateral correlations, so the SQL
+        twin can't spell Σ(aᵢ−bᵢ)²; 2·ab is a power-of-two scale, exact
+        in IEEE754, so both formulations stay bit-identical)."""
+        C = bc.value[:, j * sub : (j + 1) * sub]
+        Xj = X[:, j * sub : (j + 1) * sub]
+        ab = np.zeros((len(Xj), C.shape[0]))
+        aa = np.zeros(len(Xj))
+        bb = np.zeros(C.shape[0])
+        for d in range(sub):  # sequential over dims == list_dot_product order
+            ab += Xj[:, d, None] * C[None, :, d]
+            aa += Xj[:, d] * Xj[:, d]
+            bb += C[:, d] * C[:, d]
+        return (aa[:, None] - 2.0 * ab) + bb[None, :]
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["vec"].to_numpy())
+            codes = np.stack(
+                [np.argmin(_sub_d2(X, j), axis=1) for j in range(m)], axis=1
+            )
+            yield pd.DataFrame(
+                {"id": pdf["id"].to_numpy(), "codes": list(codes.astype("int32"))}
+            )
+
+    coded = c.mapInPandas(
+        encode,
+        StructType(
+            [
+                StructField("id", c.schema["id"].dataType, False),
+                StructField("codes", ArrayType(IntegerType()), False),
+            ]
+        ),
+    )
+
+    q = queries.select(
+        F.col(qid).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    )
+
+    def adc_tables(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.stack(pdf["qvec"].to_numpy())
+            # flat [j * ncent + c] layout, row-major over subspaces
+            tab = np.concatenate([_sub_d2(Q, j) for j in range(m)], axis=1)
+            yield pd.DataFrame(
+                {"query_id": pdf["query_id"].to_numpy(), "adc": list(tab)}
+            )
+
+    qtab = q.mapInPandas(
+        adc_tables,
+        StructType(
+            [
+                StructField("query_id", q.schema["query_id"].dataType, False),
+                StructField("adc", ArrayType(DoubleType()), False),
+            ]
+        ),
+    )
+
+    # approx dist = sum_j adc[j*ncent + codes[j]] — fixed j-ascending
+    # order on both engines; per-row O(m) lookups, no extra shuffle.
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.col("adc"), (j * ncent + F.element_at(F.col("codes"), j + 1) + 1).cast("int")
+        ),
+    )
+    scored = (
+        coded.join(F.broadcast(qtab), F.col("id") != F.col("query_id"))
+        .withColumn("adc_dist", F.round(dist, 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("id").alias("neighbor_id"), "adc_dist", "rank")
+    )

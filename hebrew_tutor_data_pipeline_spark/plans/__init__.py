@@ -38,6 +38,7 @@ _DEMOTED = (
     "json_extract_defaults",
     "sql_segment_revenue",        # r03-green; SQL front-end twin of in-window region_revenue
     "clicks_in_purchase_windows",  # J7 keeps orders_containing_shipdate in-window
+    "ann_bruteforce_top10",       # ANN family evidence stays via ivf pair + pq in-window
 )
 
 

@@ -1257,3 +1257,85 @@ def token_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.whitespace_token_count(F.col("text")).cast("long").alias("n_tokens"),
     )
     return sampling.pack_plan(base, "doc_id", "n_tokens", ["split"], budget=512)
+
+
+# ===========================================================================
+# Product quantization ANN (memory-bounded scale tier)
+# ===========================================================================
+
+def _pq_d2_sql(a: str, b: str, j: int, sub: int = 16) -> str:
+    """Squared L2 between subvectors j of a and b via the dot identity
+    ``(a·a − 2·a·b) + b·b`` on list slices — no lambda (DuckDB lambdas
+    can't capture LATERAL correlations), and list_dot_product replays
+    the numpy kernel's dimension-sequential accumulation exactly."""
+    lo, hi = j * sub + 1, (j + 1) * sub
+    sa, sb = f"{a}[{lo}:{hi}]", f"{b}[{lo}:{hi}]"
+    return (
+        f"((list_dot_product({sa}, {sa}) - 2 * list_dot_product({sa}, {sb}))"
+        f" + list_dot_product({sb}, {sb}))"
+    )
+
+
+def _pq_code_lateral(j: int) -> str:
+    return (
+        f"JOIN LATERAL (SELECT cidx FROM cb "
+        f"ORDER BY {_pq_d2_sql('v.e', 'cb.e', j)} ASC, cidx ASC LIMIT 1) b{j} ON TRUE"
+    )
+
+
+@_register(
+    "ann_pq_top10",
+    oracle=f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cb AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, e
+    FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 16)
+),
+codes AS (
+    SELECT v.vec_id AS id,
+           b0.cidx AS c0, b1.cidx AS c1, b2.cidx AS c2, b3.cidx AS c3
+    FROM v
+    {_pq_code_lateral(0)}
+    {_pq_code_lateral(1)}
+    {_pq_code_lateral(2)}
+    {_pq_code_lateral(3)}
+),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
+s AS (
+    SELECT q.query_id, c.id AS neighbor_id,
+           round({_pq_d2_sql('q.qe', 'k0.e', 0)}
+               + {_pq_d2_sql('q.qe', 'k1.e', 1)}
+               + {_pq_d2_sql('q.qe', 'k2.e', 2)}
+               + {_pq_d2_sql('q.qe', 'k3.e', 3)}, 6) AS adc_dist
+    FROM codes c
+    CROSS JOIN q
+    JOIN cb k0 ON k0.cidx = c.c0
+    JOIN cb k1 ON k1.cidx = c.c1
+    JOIN cb k2 ON k2.cidx = c.c2
+    JOIN cb k3 ON k3.cidx = c.c3
+    WHERE c.id <> q.query_id
+),
+r AS (
+    SELECT query_id, neighbor_id, adc_dist,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+    FROM s
+)
+SELECT query_id, neighbor_id, adc_dist, rank FROM r WHERE rank <= 10
+""",
+    tags=("ann", "pq", "embedding"),
+    bench=True,
+)
+def ann_pq_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-10 — the memory tier of ANN: each
+    corpus vector compresses to 4 subspace codes against a
+    deterministic 16-centroid codebook, queries rank candidates by
+    table-lookup sums. The oracle replays encoding (lateral argmin per
+    subspace), the ADC arithmetic, and the tiebreaks exactly, so the
+    entire approximate index — not just its output shape — sits under
+    the value-hash gate."""
+    e = T(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    return ann.pq_topk(
+        e, queries, "vec_id", "embedding", k=10, m=4, ncent=16
+    )

@@ -60,6 +60,7 @@ PARITY_SUBSET = [
     "benchmark_contamination",
     "gopher_quality_flags",
     "token_pack_plan",
+    "ann_pq_top10",
 ]
 
 

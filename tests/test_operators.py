@@ -881,3 +881,64 @@ class TestPackPlan:
         ra = sorted(map(tuple, pack_plan(a, "doc_id", "n_tokens", ["grp"], 512).collect()))
         rb = sorted(map(tuple, pack_plan(b, "doc_id", "n_tokens", ["grp"], 512).collect()))
         assert ra == rb
+
+
+class TestProductQuantization:
+    """PQ ADC top-k (Jégou et al. 2011): lossless when corpus vectors
+    sit on the codebook, deterministic across partitionings."""
+
+    def test_lossless_on_codebook_vectors(self, spark):
+        import itertools
+        import random
+
+        from hebrew_tutor_data_pipeline_spark.operators.ann import pq_topk
+
+        rng = random.Random(3)
+        dim, m, ncent = 8, 4, 16
+        # 16 base vectors with distinct subvectors in every subspace
+        base = [
+            [float(rng.randrange(1, 100)) for _ in range(dim)] for _ in range(ncent)
+        ]
+        # corpus = the 16 codebook rows (ids 0..15, smallest ids = the
+        # codebook) plus 40 repeats under larger ids
+        rows = [(i, base[i]) for i in range(ncent)] + [
+            (100 + i, base[i % ncent]) for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        queries = df.filter(F.col("vec_id").isin(3, 7, 104))
+        got = pq_topk(df, queries, "vec_id", "embedding", k=5, m=m, ncent=ncent)
+
+        def d2(a, b):
+            return sum((x - y) ** 2 for x, y in zip(a, b))
+
+        vecs = dict(rows)
+        for qid in (3, 7, 104):
+            exact = sorted(
+                ((d2(vecs[qid], v), i) for i, v in rows if i != qid),
+            )[:5]
+            mine = [
+                (r["adc_dist"], r["neighbor_id"])
+                for r in sorted(
+                    got.filter(F.col("query_id") == qid).collect(),
+                    key=lambda r: r["rank"],
+                )
+            ]
+            assert [i for _, i in exact] == [i for _, i in mine], qid
+            for (de, _), (dm, _) in zip(exact, mine):
+                assert abs(de - dm) < 1e-6
+
+    def test_partition_invariance(self, spark):
+        import random
+
+        from hebrew_tutor_data_pipeline_spark.operators.ann import pq_topk
+
+        rng = random.Random(9)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(120)
+        ]
+        a = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        qs = a.filter(F.col("vec_id") < 3)
+        ra = sorted(map(tuple, pq_topk(a, qs, "vec_id", "embedding", k=10, m=4, ncent=16).collect()))
+        b = a.repartition(11)
+        rb = sorted(map(tuple, pq_topk(b, b.filter(F.col("vec_id") < 3), "vec_id", "embedding", k=10, m=4, ncent=16).collect()))
+        assert ra == rb
