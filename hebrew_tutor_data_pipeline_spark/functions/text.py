@@ -235,14 +235,19 @@ def redact_pii(col: Column) -> Column:
 # ---------------------------------------------------------------------------
 # Repetition signals (Gopher-style quality filtering)
 
-def top_ngram_fraction(tokens: Column, n: int) -> Column:
+def top_ngram_fraction(grams: Column) -> Column:
     """Fraction of n-gram instances taken by the single most frequent
     n-gram (Rae et al. 2021's "fraction of characters in most common
     n-gram", in instance rather than char units so the SQL twin stays
     exact integer arithmetic). Per-row O(k²) higher-order functions —
     no shuffle; k is tokens-per-doc, not corpus size, so the 100 TB
-    pass stays map-only."""
-    grams = word_ngrams(tokens, n)
+    pass stays map-only.
+
+    ``grams`` MUST be a materialized column (``withColumn`` first, the
+    winnowing lesson): interpreted HOF lambdas re-evaluate referenced
+    EXPRESSIONS per element, so passing ``word_ngrams(...)`` directly
+    re-builds every n-gram once per distinct gram — measured 30× slower
+    over the documents table at sf0.1."""
     counts = F.transform(
         F.array_distinct(grams),
         lambda g: F.size(F.filter(grams, lambda x: x == g)),
@@ -252,10 +257,10 @@ def top_ngram_fraction(tokens: Column, n: int) -> Column:
     )
 
 
-def duplicate_ngram_fraction(tokens: Column, n: int) -> Column:
+def duplicate_ngram_fraction(grams: Column) -> Column:
     """Fraction of n-gram instances whose n-gram occurs more than once
-    in the document (Gopher's duplicate-n-gram fraction family)."""
-    grams = word_ngrams(tokens, n)
+    in the document (Gopher's duplicate-n-gram fraction family). Same
+    materialized-column contract as :func:`top_ngram_fraction`."""
     counts = F.transform(
         F.array_distinct(grams),
         lambda g: F.size(F.filter(grams, lambda x: x == g)),

@@ -1190,13 +1190,19 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     no Python and no shuffle; the oracle reruns identical list
     arithmetic."""
     d = spread(T(spark, sf_dir, "documents"))
-    toks = text.whitespace_tokens(F.col("text"))
-    m = d.select(
+    # tokens and gram arrays materialize as columns before the counting
+    # lambdas touch them (see top_ngram_fraction's contract)
+    staged = (
+        d.withColumn("_toks", text.whitespace_tokens(F.col("text")))
+        .withColumn("_g2", text.word_ngrams(F.col("_toks"), 2))
+        .withColumn("_g3", text.word_ngrams(F.col("_toks"), 3))
+    )
+    m = staged.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
+        F.size("_toks").alias("n_tokens"),
         text.mean_token_len(F.col("text")).alias("mean_token_len"),
-        text.top_ngram_fraction(toks, 2).alias("top_bigram_frac"),
-        text.duplicate_ngram_fraction(toks, 3).alias("dup_trigram_frac"),
+        text.top_ngram_fraction(F.col("_g2")).alias("top_bigram_frac"),
+        text.duplicate_ngram_fraction(F.col("_g3")).alias("dup_trigram_frac"),
     )
     pass_rep = (F.col("top_bigram_frac") <= 0.1) & (F.col("dup_trigram_frac") <= 0.1)
     pass_len = F.col("n_tokens").between(30, 10000)

@@ -261,14 +261,20 @@ class TestRepetitionSignals:
             # single token (shorter than n): one joined gram, top2 = 1.0
             (3, "solo"),
         ]
-        df = spark.createDataFrame(rows, ["i", "t"])
-        toks = whitespace_tokens(F.col("t"))
+        from hebrew_tutor_data_pipeline_spark.functions.text import word_ngrams
+
+        df = spark.createDataFrame(rows, ["i", "t"]).withColumn(
+            "_toks", whitespace_tokens(F.col("t"))
+        )
+        staged = df.withColumn("_g2", word_ngrams(F.col("_toks"), 2)).withColumn(
+            "_g3", word_ngrams(F.col("_toks"), 3)
+        )
         out = {
             r["i"]: (r["t2"], r["d3"])
-            for r in df.select(
+            for r in staged.select(
                 "i",
-                top_ngram_fraction(toks, 2).alias("t2"),
-                duplicate_ngram_fraction(toks, 3).alias("d3"),
+                top_ngram_fraction(F.col("_g2")).alias("t2"),
+                duplicate_ngram_fraction(F.col("_g3")).alias("d3"),
             ).collect()
         }
         assert out[1] == (0.5, round(2 / 3, 6))
