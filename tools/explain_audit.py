@@ -143,6 +143,40 @@ EXPECTATIONS: dict[str, list[tuple[bool, str, str]]] = {
         (True, "HashAggregate", "distinct reuses the id partitioning"),
         (True, "!BatchEvalPython", "hashing + selection stay JVM-side"),
     ],
+    "dedup_clusters": [
+        # CC rounds run eagerly during plan build (localCheckpoint per
+        # round); the inspectable plan is the label join + size window
+        (True, "BroadcastHashJoin", "star-collapsed labels broadcast back onto doc ids"),
+        (True, "Window", "cluster sizes via one window on component_id"),
+        (True, "!BatchEvalPython", "graph rounds are pure DataFrame ops"),
+    ],
+    "benchmark_contamination": [
+        (True, "BroadcastHashJoin", "benchmark n-gram set broadcast; corpus never shuffles for the join"),
+        (True, "HashAggregate", "per-doc contamination via partial+final agg"),
+        (True, "!BatchEvalPython", "shingling stays JVM-side"),
+    ],
+    "doc_split_sample": [
+        (True, "!Exchange hashpartitioning", "split/sample assignment is pure map-side hash arithmetic (round-robin spread allowed, no hash shuffle)"),
+        (True, "!BatchEvalPython", "no Python in the scrub path"),
+    ],
+    "doc_pii_redact": [
+        (True, "!Exchange hashpartitioning", "redaction chain is map-only (round-robin spread allowed, no hash shuffle)"),
+        (True, "!BatchEvalPython", "regex scrub stays JVM-side"),
+    ],
+    "gopher_quality_flags": [
+        (True, "!Exchange hashpartitioning", "quality gate is map-only per-row arithmetic (round-robin spread allowed, no hash shuffle)"),
+        (True, "!BatchEvalPython", "repetition counting stays JVM-side"),
+    ],
+    "token_pack_plan": [
+        (True, "Window", "offsets = one running-sum window per split"),
+        (True, "!BatchEvalPython", "packing plan stays JVM-side"),
+    ],
+    "ann_pq_top10": [
+        (True, "MapInPandas", "encoding/ADC tables are Arrow-batched numpy stages"),
+        (True, "BroadcastExchange", "per-query ADC tables broadcast onto codes"),
+        (True, "!CartesianProduct", "no all-pairs plan"),
+        (True, "!SortMergeJoin", "ranking join never shuffles the corpus"),
+    ],
 }
 
 
