@@ -39,6 +39,7 @@ _DEMOTED = (
     "sql_segment_revenue",        # r03-green; SQL front-end twin of in-window region_revenue
     "clicks_in_purchase_windows",  # J7 keeps orders_containing_shipdate in-window
     "ann_bruteforce_top10",       # ANN family evidence stays via ivf pair + pq in-window
+    "skewed_event_profile",       # r03-green; salting pinned by TestSkewOperators + PARITY_SUBSET
 )
 
 

@@ -1140,10 +1140,11 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Gopher-style repetition / quality gate (training-data curation)
 # ===========================================================================
 
-@_register(
-    "gopher_quality_flags",
-    oracle="""
-WITH d AS (
+# Shared oracle fragment: documents → m(doc_id, n_tokens, mean_token_len,
+# top_bigram_frac, dup_trigram_frac) — the Gopher-rule inputs, reused by
+# the funnel report below.
+_QUALITY_M_SQL = """
+d AS (
     SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
                         ELSE string_split_regex(trim(text), '\\s+') END AS t
     FROM documents
@@ -1168,7 +1169,20 @@ WITH d AS (
                          x -> len(list_filter(g3, y -> y = x))),
                      c -> c > 1)), 0) / len(g3), 6) AS dup_trigram_frac
     FROM g
+)"""
+
+#: the keep decision over m's columns (SQL text shared by both queries)
+_QUALITY_KEEP_SQL = (
+    "(top_bigram_frac <= 0.1 AND dup_trigram_frac <= 0.1"
+    " AND n_tokens BETWEEN 30 AND 10000"
+    " AND mean_token_len BETWEEN 3 AND 10)"
 )
+
+
+@_register(
+    "gopher_quality_flags",
+    oracle=f"""
+WITH {_QUALITY_M_SQL}
 SELECT doc_id, n_tokens, mean_token_len, top_bigram_frac, dup_trigram_frac,
        top_bigram_frac <= 0.1 AND dup_trigram_frac <= 0.1 AS pass_repetition,
        n_tokens BETWEEN 30 AND 10000 AS pass_length,
@@ -1344,4 +1358,97 @@ def ann_pq_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") < 5)
     return ann.pq_topk(
         e, queries, "vec_id", "embedding", k=10, m=4, ncent=16
+    )
+
+
+# ===========================================================================
+# Curation funnel report (quality gate → exact dedup → sampling)
+# ===========================================================================
+
+@_register(
+    "curation_funnel",
+    oracle=f"""
+WITH {_QUALITY_M_SQL},
+k AS (
+    SELECT d0.doc_id, d0.lang, d0.text, m.n_tokens,
+           {_QUALITY_KEEP_SQL} AS keep_q
+    FROM documents d0 JOIN m USING (doc_id)
+),
+dd AS (
+    SELECT *, row_number() OVER (PARTITION BY md5(text), keep_q
+                                 ORDER BY doc_id) AS rn
+    FROM k
+),
+s AS (
+    SELECT lang, n_tokens, keep_q,
+           keep_q AND rn = 1 AS keep_d,
+           keep_q AND rn = 1
+               AND {_sql_token_hash("'sample|' || CAST(doc_id AS VARCHAR)")} % 1000
+                   < {_RATE_CASE_SQL} AS keep_s
+    FROM dd
+)
+SELECT lang,
+       count(*) AS n_total,
+       CAST(sum(CASE WHEN keep_q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       CAST(sum(CASE WHEN keep_d THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+       CAST(sum(CASE WHEN keep_s THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       CAST(sum(CASE WHEN keep_s THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_sampled
+FROM s GROUP BY lang
+""",
+    tags=("curation", "funnel", "report"),
+    bench=True,
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-training-run report: per language, how many documents
+    survive each curation stage — Gopher quality gate, exact dedup
+    (keep-first among quality passers), deterministic per-language
+    sampling — and the token yield of the final cut. One window for the
+    dedup ranks and one aggregation; every stage reuses the exact
+    operators registered individually, so the funnel's numbers are the
+    composition the individual oracles already pin."""
+    from ..operators import sampling
+
+    d = spread(T(spark, sf_dir, "documents"))
+    staged = (
+        d.withColumn("_toks", text.whitespace_tokens(F.col("text")))
+        .withColumn("_g2", text.word_ngrams(F.col("_toks"), 2))
+        .withColumn("_g3", text.word_ngrams(F.col("_toks"), 3))
+    )
+    m = staged.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size("_toks").alias("n_tokens"),
+        text.mean_token_len(F.col("text")).alias("mean_token_len"),
+        text.top_ngram_fraction(F.col("_g2")).alias("top_bigram_frac"),
+        text.duplicate_ngram_fraction(F.col("_g3")).alias("dup_trigram_frac"),
+    )
+    keep_q = (
+        (F.col("top_bigram_frac") <= 0.1)
+        & (F.col("dup_trigram_frac") <= 0.1)
+        & F.col("n_tokens").between(30, 10000)
+        & F.col("mean_token_len").between(3, 10)
+    )
+    k = m.withColumn("keep_q", keep_q)
+    w = Window.partitionBy(F.md5("text"), "keep_q").orderBy("doc_id")
+    s = k.withColumn("rn", F.row_number().over(w)).select(
+        "lang",
+        "n_tokens",
+        "keep_q",
+        (F.col("keep_q") & (F.col("rn") == 1)).alias("keep_d"),
+        (
+            F.col("keep_q")
+            & (F.col("rn") == 1)
+            & sampling.stratified_sample_flag(
+                F.col("doc_id"), F.col("lang"), _SAMPLE_RATES, _SAMPLE_DEFAULT
+            )
+        ).alias("keep_s"),
+    )
+    z = F.lit(0).cast("long")
+    return s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("keep_q"), 1).otherwise(0)).cast("long").alias("n_quality"),
+        F.sum(F.when(F.col("keep_d"), 1).otherwise(0)).cast("long").alias("n_dedup"),
+        F.sum(F.when(F.col("keep_s"), 1).otherwise(0)).cast("long").alias("n_sampled"),
+        F.sum(F.when(F.col("keep_s"), F.col("n_tokens")).otherwise(z)).cast("long").alias("tokens_sampled"),
     )

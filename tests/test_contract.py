@@ -52,6 +52,7 @@ PARITY_SUBSET = [
     "json_extract_defaults",
     "sql_segment_revenue",
     "clicks_in_purchase_windows",
+    "skewed_event_profile",
     # new r04 curation entries, rotated INTO the driver window
     "winnow_fingerprints",
     "dedup_clusters",
@@ -61,6 +62,7 @@ PARITY_SUBSET = [
     "gopher_quality_flags",
     "token_pack_plan",
     "ann_pq_top10",
+    "curation_funnel",
 ]
 
 
