@@ -101,3 +101,15 @@ def test_oracle_parity_sf0001(spark, oracle_con, name):
     assert len(srows) == len(orows), f"{name}: rowcount"
     assert sorted(sdf.columns) == sorted(ocols), f"{name}: columns"
     assert table_hash(srows, sdf.columns) == table_hash(orows, ocols), f"{name}: values"
+
+
+def test_curation_funnel_monotone(spark):
+    """Each curation stage can only shrink the corpus, and token yield
+    only counts surviving docs."""
+    q = entry_mod.queries()
+    rows = q["curation_funnel"](spark, SF).collect()
+    assert rows, "funnel must report at least one language"
+    for r in rows:
+        assert r["n_total"] >= r["n_quality"] >= r["n_dedup"] >= r["n_sampled"] >= 0
+        if r["n_sampled"] == 0:
+            assert r["tokens_sampled"] == 0
