@@ -931,3 +931,65 @@ def ngram_contamination(
             F.round(F.col("n_contaminated") / F.col("n_ngrams"), 6),
         )
     )
+
+
+def simhash_lookup_pairs(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+    bands: int = 2,
+    max_distance: int = 1,
+) -> DataFrame:
+    """Asymmetric banded SimHash lookup: every BATCH document's best
+    match in the INDEX (exact for d ≤ max_distance < bands, pigeonhole
+    as in simhash_near_dup_pairs) → (id, match_id, hamming, is_unique),
+    one row per batch doc; unmatched docs keep NULL match columns.
+
+    This is dedup as it runs in production: signatures of the standing
+    corpus are precomputed once; each incoming batch joins against them
+    instead of re-self-joining the world. Plan shape: both sides band
+    map-only, the join shuffles on (band, value) with the batch side
+    tiny, the argmin is one window over the batch id, and the final
+    left join restores unmatched rows — no step touches index×index.
+    """
+    if bits % bands != 0:
+        raise ValueError("bits must divide evenly into bands")
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+
+    def banded(df: DataFrame, side: str) -> DataFrame:
+        fps = simhash(df, id_col, text_col, bits).withColumnRenamed(
+            "simhash", f"{side}_sh"
+        ).withColumnRenamed("id", f"{side}_id")
+        vals = F.array(
+            *[
+                F.shiftright(F.col(f"{side}_sh"), k * band_bits).bitwiseAND(F.lit(mask))
+                for k in range(bands)
+            ]
+        )
+        return fps.select(
+            f"{side}_id", f"{side}_sh", F.posexplode(vals).alias("band", "bval")
+        )
+
+    b = banded(batch, "b")
+    x = banded(index, "x")
+    cand = (
+        b.join(x, ["band", "bval"])
+        .withColumn("hamming", hamming_distance(F.col("b_sh"), F.col("x_sh"), bits))
+        .filter(F.col("hamming") <= max_distance)
+    )
+    w = Window.partitionBy("b_id").orderBy(F.col("hamming").asc(), F.col("x_id").asc())
+    best = (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("b_id").alias("id"), F.col("x_id").alias("match_id"), "hamming")
+    )
+    ids = batch.select(F.col(id_col).alias("id"))
+    return ids.join(best, "id", "left").select(
+        "id",
+        "match_id",
+        "hamming",
+        F.col("match_id").isNull().alias("is_unique"),
+    )

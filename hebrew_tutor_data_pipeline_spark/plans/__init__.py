@@ -40,6 +40,7 @@ _DEMOTED = (
     "clicks_in_purchase_windows",  # J7 keeps orders_containing_shipdate in-window
     "ann_bruteforce_top10",       # ANN family evidence stays via ivf pair + pq in-window
     "skewed_event_profile",       # r03-green; salting pinned by TestSkewOperators + PARITY_SUBSET
+    "simhash_hamming_pairs",      # r03-green; banded simhash evidence stays via dedup_clusters + incremental lookup in-window
 )
 
 

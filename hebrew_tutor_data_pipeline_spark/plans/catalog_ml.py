@@ -1452,3 +1452,44 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("keep_s"), 1).otherwise(0)).cast("long").alias("n_sampled"),
         F.sum(F.when(F.col("keep_s"), F.col("n_tokens")).otherwise(z)).cast("long").alias("tokens_sampled"),
     )
+
+
+# ===========================================================================
+# Incremental dedup: new batch vs standing index (production pattern)
+# ===========================================================================
+
+@_register(
+    "incremental_simhash_dedup",
+    oracle=f"""
+WITH {_SIMHASH_FP_SQL},
+b AS (SELECT doc_id, simhash FROM fp WHERE doc_id % 10 = 7),
+x AS (SELECT doc_id, simhash FROM fp WHERE doc_id % 10 <> 7),
+cand AS (
+    SELECT b.doc_id AS id, x.doc_id AS match_id,
+           CAST(bit_count(xor(b.simhash, x.simhash)) AS BIGINT) AS hamming,
+           row_number() OVER (PARTITION BY b.doc_id
+                              ORDER BY bit_count(xor(b.simhash, x.simhash)) ASC,
+                                       x.doc_id ASC) AS rn
+    FROM b JOIN x ON bit_count(xor(b.simhash, x.simhash)) <= 1
+)
+SELECT f.doc_id AS id, c.match_id, c.hamming,
+       c.match_id IS NULL AS is_unique
+FROM b f LEFT JOIN (SELECT id, match_id, hamming FROM cand WHERE rn = 1) c
+    ON c.id = f.doc_id
+""",
+    tags=("dedup", "incremental", "simhash"),
+    bench=True,
+)
+def incremental_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup as production runs it: an incoming batch (doc_id % 10 == 7
+    stands in for today's crawl) looks up its best near-match in the
+    standing corpus via the asymmetric banded join — the index is never
+    self-joined, signatures would be precomputed in a real deployment.
+    The oracle is the brute-force batch×index scan; hash equality proves
+    the banded lookup loses nothing (pigeonhole, d ≤ 1 < 2 bands)."""
+    d = spread(T(spark, sf_dir, "documents"))
+    batch = d.filter(F.col("doc_id") % 10 == 7)
+    index = d.filter(F.col("doc_id") % 10 != 7)
+    return dedup.simhash_lookup_pairs(
+        batch, index, "doc_id", "text", bits=16, bands=2, max_distance=1
+    )

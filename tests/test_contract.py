@@ -53,6 +53,7 @@ PARITY_SUBSET = [
     "sql_segment_revenue",
     "clicks_in_purchase_windows",
     "skewed_event_profile",
+    "simhash_hamming_pairs",
     # new r04 curation entries, rotated INTO the driver window
     "winnow_fingerprints",
     "dedup_clusters",
@@ -63,6 +64,7 @@ PARITY_SUBSET = [
     "token_pack_plan",
     "ann_pq_top10",
     "curation_funnel",
+    "incremental_simhash_dedup",
 ]
 
 

@@ -942,3 +942,50 @@ class TestProductQuantization:
         b = a.repartition(11)
         rb = sorted(map(tuple, pq_topk(b, b.filter(F.col("vec_id") < 3), "vec_id", "embedding", k=10, m=4, ncent=16).collect()))
         assert ra == rb
+
+
+class TestSimhashLookup:
+    def test_batch_finds_planted_dup_and_unique(self, spark):
+        from hebrew_tutor_data_pipeline_spark.operators.dedup import (
+            simhash_lookup_pairs,
+        )
+
+        index = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon"),
+                (2, "one two three four five six"),
+                (3, "totally different words entirely here"),
+            ],
+            ["doc_id", "text"],
+        )
+        batch = spark.createDataFrame(
+            [
+                (100, "alpha beta gamma delta epsilon"),  # exact dup of 1
+                (101, "qq ww ee rr tt yy uu ii"),          # nothing similar
+            ],
+            ["doc_id", "text"],
+        )
+        out = {
+            r["id"]: (r["match_id"], r["hamming"], r["is_unique"])
+            for r in simhash_lookup_pairs(
+                batch, index, "doc_id", "text", bits=16, bands=2, max_distance=1
+            ).collect()
+        }
+        assert out[100] == (1, 0, False)
+        assert out[101][0] is None and out[101][2] is True
+        assert set(out) == {100, 101}
+
+    def test_best_match_prefers_lower_hamming_then_id(self, spark):
+        from hebrew_tutor_data_pipeline_spark.operators.dedup import (
+            simhash_lookup_pairs,
+        )
+
+        # two identical index docs -> tie on hamming, smaller id wins
+        index = spark.createDataFrame(
+            [(5, "x y z w v"), (9, "x y z w v")], ["doc_id", "text"]
+        )
+        batch = spark.createDataFrame([(200, "x y z w v")], ["doc_id", "text"])
+        r = simhash_lookup_pairs(
+            batch, index, "doc_id", "text", bits=16, bands=2, max_distance=1
+        ).first()
+        assert (r["match_id"], r["hamming"]) == (5, 0)
