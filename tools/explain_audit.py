@@ -143,6 +143,12 @@ EXPECTATIONS: dict[str, list[tuple[bool, str, str]]] = {
         (True, "HashAggregate", "distinct reuses the id partitioning"),
         (True, "!BatchEvalPython", "hashing + selection stay JVM-side"),
     ],
+    "incremental_simhash_dedup": [
+        (True, "SortMergeJoin|BroadcastHashJoin", "batch looks up the index on (band,value) — never index×index"),
+        (True, "Window", "best match = one argmin window over the batch id"),
+        (True, "!CartesianProduct", "no all-pairs plan"),
+        (True, "!BatchEvalPython", "fingerprints + popcount stay JVM-side"),
+    ],
     "dedup_clusters": [
         # CC rounds run eagerly during plan build (localCheckpoint per
         # round); the inspectable plan is the label join + size window
