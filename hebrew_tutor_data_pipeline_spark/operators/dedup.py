@@ -842,6 +842,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 30,
+    dedupe_edges: bool = True,
 ) -> DataFrame:
     """Connected components of an undirected edge list → (node, component),
     where component is the smallest node id reachable from node. Nodes
@@ -871,8 +872,13 @@ def connected_components(
         edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
         .where(F.col("u").isNotNull() & F.col("v").isNotNull())
         .where(F.col("u") != F.col("v"))
-        .distinct()
     )
+    if dedupe_edges:
+        # The star rounds are duplicate-insensitive (windowed min + final
+        # distinct), so callers whose generator already emits unique
+        # pairs (banded LSH join) can skip this full-edge-set shuffle;
+        # heavily duplicated inputs should keep it to shrink round 1.
+        e = e.distinct()
     prev_sig = None
     for _ in range(max_iterations):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)

@@ -373,7 +373,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.simhash_near_dup_pairs(
         d, "doc_id", "text", bits=16, bands=2, max_distance=1
     )
-    cc = dedup.connected_components(pairs, "id_a", "id_b")
+    # the banded generator emits each pair once (first-agreeing-band
+    # rule), so the operator's entry dedup shuffle is skipped
+    cc = dedup.connected_components(pairs, "id_a", "id_b", dedupe_edges=False)
     lab = (
         d.select("doc_id")
         .join(cc, F.col("doc_id") == cc["node"], "left")
