@@ -1285,12 +1285,16 @@ def token_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Product quantization ANN (memory-bounded scale tier)
 # ===========================================================================
 
-def _pq_d2_sql(a: str, b: str, j: int, sub: int = 16) -> str:
+def _pq_d2_sql(a: str, b: str, j: int, m: int = 4) -> str:
     """Squared L2 between subvectors j of a and b via the dot identity
     ``(a·a − 2·a·b) + b·b`` on list slices — no lambda (DuckDB lambdas
     can't capture LATERAL correlations), and list_dot_product replays
-    the numpy kernel's dimension-sequential accumulation exactly."""
-    lo, hi = j * sub + 1, (j + 1) * sub
+    the numpy kernel's dimension-sequential accumulation exactly.
+    Subspace bounds derive from len(a) so the oracle survives a
+    testdata regeneration with a different embedding dim (the Spark
+    side already adapts)."""
+    lo = f"(len({a}) / {m}) * {j} + 1"
+    hi = f"(len({a}) / {m}) * {j + 1}"
     sa, sb = f"{a}[{lo}:{hi}]", f"{b}[{lo}:{hi}]"
     return (
         f"((list_dot_product({sa}, {sa}) - 2 * list_dot_product({sa}, {sb}))"
