@@ -76,6 +76,62 @@ def brute_force_topk(
     )
 
 
+def cell_assign(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebook: list[tuple[int, list[float]]],
+) -> DataFrame:
+    """Map-only nearest-centroid assignment: the codebook (a bounded
+    model artifact, rows sorted by cell id) ships as an ``sc.broadcast``
+    matrix and each Arrow batch scores with one numpy GEMM — the corpus
+    is never shuffled or joined to find its cell. Scores are rounded
+    half-away to 6 dp and ties break to the smallest cell id (numpy
+    first-max argmax over the cell-sorted axis), matching the DuckDB
+    oracle's ``ORDER BY sim DESC, cell ASC LIMIT 1``. Returns
+    ``(id, vec array<double>, cell)``. Shared by ``ivf_topk`` (inverted
+    file build) and ``dedup.semantic_dedup`` (cluster blocking).
+    """
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    c = _as_double_vec(corpus, id_col, vec_col)
+    cell_ids = np.array([cid for cid, _ in codebook], dtype="int64")
+    cent = np.stack([np.asarray(v, dtype="float64") for _, v in codebook])
+    cent_norm = np.sqrt((cent * cent).sum(axis=1))
+    bc = corpus.sparkSession.sparkContext.broadcast((cell_ids, cent, cent_norm))
+
+    def assign(batches):
+        ids, cm, cn = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["vec"].to_numpy())
+            raw = (mat @ cm.T) / (
+                np.sqrt((mat * mat).sum(axis=1))[:, None] * cn[None, :]
+            )
+            s = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6  # half-away 6dp
+            pdf["cell"] = ids[np.argmax(s, axis=1)]
+            yield pdf
+
+    return c.mapInPandas(
+        assign,
+        StructType(
+            [
+                StructField("id", c.schema["id"].dataType, False),
+                StructField("vec", ArrayType(DoubleType()), False),
+                StructField("cell", LongType(), False),
+            ]
+        ),
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -112,7 +168,6 @@ def ivf_topk(
     argmax IS the cell-asc tiebreak).
     """
     import numpy as np
-    import pandas as pd
     from pyspark.sql.types import (
         ArrayType,
         DoubleType,
@@ -136,26 +191,7 @@ def ivf_topk(
         raw = (mat @ cm.T) / (np.sqrt((mat * mat).sum(axis=1))[:, None] * cn[None, :])
         return np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6  # half-away 6dp
 
-    def assign(batches):
-        ids, _, _ = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            mat = np.stack(pdf["vec"].to_numpy())
-            # first max along sorted-by-cell axis == smallest-cell tiebreak
-            pdf["cell"] = ids[np.argmax(_scores(mat), axis=1)]
-            yield pdf
-
-    assigned = c.mapInPandas(
-        assign,
-        StructType(
-            [
-                StructField("id", c.schema["id"].dataType, False),
-                StructField("vec", ArrayType(DoubleType()), False),
-                StructField("cell", LongType(), False),
-            ]
-        ),
-    )
+    assigned = cell_assign(c, "id", "vec", codebook)
     q = queries.select(
         F.col(qid).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qvec")
     )

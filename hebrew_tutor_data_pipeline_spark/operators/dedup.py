@@ -999,3 +999,65 @@ def simhash_lookup_pairs(
         "hamming",
         F.col("match_id").isNull().alias("is_unique"),
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebook: list[tuple[int, list[float]]],
+    tau: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column:
+    cluster-block with a k-means codebook, then prune near-duplicates
+    WITHIN each cluster by pairwise cosine (Abbas et al., "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication", 2023). A document is a duplicate when some
+    smaller-id member of its cluster has cosine ≥ ``tau`` with it —
+    the same deterministic keep-first rule as ``exact_dedup``, so the
+    kept set is stable across partitionings and engines.
+
+    Returns one row per input vector: ``(id, cell, is_dup)``.
+
+    Plan shape / 100 TB posture: assignment is the shared map-only
+    broadcast-GEMM stage (``ann.cell_assign`` — the corpus is never
+    shuffled to find its cluster); the only shuffle is the self-join on
+    ``cell``; the within-cluster comparison is quadratic in CLUSTER
+    size by design — that is SemDeDup's cost model, and the knob is k
+    (the paper runs k ≈ √n, e.g. 50 000 clusters on LAION-scale
+    corpora, keeping each cluster's pairwise block small). Cluster-size
+    skew therefore bounds the worst reducer; training the codebook on a
+    corpus sample with more iterations evens the cells out. The final
+    flag re-attaches via a distinct on the (already tau-filtered, so
+    small) duplicate-id set and one left join on ``id``.
+
+    Reference parity: the reference has no embedding dedup at all —
+    this is part of the training-data surface the build adds on top
+    (SURVEY.md §2 "LLM-data-pipeline operators").
+    """
+    from ..functions.similarity import cosine_similarity
+    from .ann import cell_assign
+
+    assigned = cell_assign(corpus, id_col, vec_col, codebook)
+    left = assigned.select(
+        F.col("cell"), F.col("id").alias("keep_id"), F.col("vec").alias("kvec")
+    )
+    right = assigned.select(
+        F.col("cell"), F.col("id").alias("dup_id"), F.col("vec").alias("dvec")
+    )
+    dup_flags = (
+        left.join(right, "cell")
+        .filter(F.col("keep_id") < F.col("dup_id"))
+        .withColumn(
+            "cosine", F.round(cosine_similarity(F.col("kvec"), F.col("dvec")), 6)
+        )
+        .filter(F.col("cosine") >= tau)
+        .select(F.col("dup_id").alias("id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return assigned.join(dup_flags, "id", "left").select(
+        "id",
+        "cell",
+        F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"),
+    )

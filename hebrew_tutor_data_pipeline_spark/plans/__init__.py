@@ -41,6 +41,10 @@ _DEMOTED = (
     "ann_bruteforce_top10",       # ANN family evidence stays via ivf pair + pq in-window
     "skewed_event_profile",       # r03-green; salting pinned by TestSkewOperators + PARITY_SUBSET
     "simhash_hamming_pairs",      # r03-green; banded simhash evidence stays via dedup_clusters + incremental lookup in-window
+    # freed slots for the two new curation queries (semantic_dedup_flags,
+    # doc_lm_perplexity), both first-time entries needing validation:
+    "sketch_accuracy_certificates",  # r03-green; sketch plan pinned by explain_audit + unit tests
+    "doc_chunks_udtf",            # r03-green; documented slow-path demo, covered by test suite
 )
 
 

@@ -91,6 +91,87 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "doc_lm_perplexity",
+    # Two-pass corpus-trained bigram LM, replayed exactly: identical
+    # tokenization (_TOKENS_SQL), identical add-one smoothing, per-term
+    # nll rounded 8 dp before the 6-dp per-doc average so cross-engine
+    # float-summation order can't flip the hash.
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+),
+uc AS (
+    SELECT w, count(*) AS c1 FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w
+),
+vv AS (SELECT count(*) AS v FROM uc),
+bi AS (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i + 1])) AS bg
+    FROM t WHERE len(toks) >= 2
+),
+bc AS (SELECT bg, count(*) AS c2 FROM bi GROUP BY bg),
+model AS (
+    SELECT bg, round(-ln((c2 + 1.0) / (c1 + v)), 8) AS nll
+    FROM bc JOIN uc ON split_part(bg, ' ', 1) = w CROSS JOIN vv
+)
+SELECT doc_id, count(*) AS bigram_ct, round(avg(nll), 6) AS avg_nll
+FROM bi JOIN model USING (bg)
+GROUP BY doc_id
+""",
+    tags=("text-analysis", "quality", "lm", "two-pass"),
+    bench=True,
+)
+def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality scoring (Wenzek et al., "CCNet: Extracting
+    high quality monolingual datasets from web crawl data", LREC 2020):
+    train an add-one-smoothed bigram LM on the corpus itself, then
+    score every document's average negative log-likelihood — high
+    ``avg_nll`` ≈ high perplexity ≈ atypical/noisy text, the standard
+    pre-training quality filter (a real CCNet swaps in a wiki-trained
+    KenLM; the two-pass train/score plan is identical).
+
+    Plan shape / 100 TB posture: pass 1 aggregates unigram + bigram
+    counts (two shuffles on token keys, map-side combined); the model
+    join (bigram→prefix-unigram) and the scoring join shuffle on the
+    same keys — the vocabulary is corpus-sized, so it is NOT broadcast;
+    AQE handles stop-word-headed key skew. The vocab-size scalar rides
+    a 1-row broadcast crossJoin. Everything stays in JVM codegen — no
+    Python, no UDF, no collect."""
+    d = spread(T(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", text.whitespace_tokens(F.col("text")).alias("toks"))
+    uni_ct = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    vocab = uni_ct.agg(F.count("*").alias("v"))
+    bi = toks.filter(F.size("toks") >= 2).select(
+        "doc_id", F.explode(text.word_ngrams(F.col("toks"), 2)).alias("bg")
+    )
+    big_ct = bi.groupBy("bg").agg(F.count("*").alias("c2"))
+    model = (
+        big_ct.withColumn("w1", F.element_at(F.split(F.col("bg"), " "), 1))
+        .join(uni_ct, F.col("w1") == F.col("w"))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bg",
+            F.round(
+                -F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("v"))), 8
+            ).alias("nll"),
+        )
+    )
+    return (
+        bi.join(model, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("bigram_ct"),
+            F.round(F.avg("nll"), 6).alias("avg_nll"),
+        )
+    )
+
+
+@_register(
     "lang_id_confusion",
     oracle=f"""
 WITH scored AS (
@@ -646,6 +727,52 @@ def ann_ivf_kmeans_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 5)
     cb = ann.kmeans_codebook(e, "vec_id", "embedding", k=16, iters=2)
     return ann.ivf_topk(e, q, "vec_id", "embedding", k=10, nprobe=4, codebook=cb)
+
+
+@_register(
+    "semantic_dedup_flags",
+    # The full SemDeDup pipeline replays in SQL: the same two unrolled
+    # Lloyd iterations as ann_ivf_kmeans_top10 (deterministic init =
+    # the 16 smallest-id vectors), rounded-cosine best-cell assignment,
+    # then the within-cluster smaller-id-wins pruning rule as a
+    # DISTINCT + LEFT JOIN.
+    oracle=f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+c0 AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS ce
+    FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 16)
+),
+{_lloyd_sql('c0', 'sa1', 'sm1', 'sc1')},
+{_lloyd_sql('sc1', 'sa2', 'sm2', 'sc2')},
+assigned AS (
+    SELECT v.vec_id AS id, v.e, b.cell
+    FROM v
+    JOIN LATERAL (
+        SELECT c.cell, {_cos_sql('v.e', 'c.ce')} AS sim
+        FROM sc2 c ORDER BY sim DESC, c.cell ASC LIMIT 1
+    ) b ON TRUE
+),
+dups AS (
+    SELECT DISTINCT b.id
+    FROM assigned a JOIN assigned b USING (cell)
+    WHERE a.id < b.id AND {_cos_sql('a.e', 'b.e')} >= 0.35
+)
+SELECT a.id AS vec_id, a.cell, (d.id IS NOT NULL) AS is_dup
+FROM assigned a LEFT JOIN dups d ON a.id = d.id
+""",
+    tags=("dedup", "semantic", "embedding", "kmeans"),
+    bench=True,
+)
+def semantic_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023): k-means
+    cluster blocking (trained codebook, 2 deterministic Lloyd steps)
+    then within-cluster pairwise-cosine pruning with the keep-first
+    rule. One flag row per vector — the curation-pipeline face of
+    embedding dedup, complementing the pair-producing LSH tier."""
+    e = spread(T(spark, sf_dir, "embeddings"))
+    cb = ann.kmeans_codebook(e, "vec_id", "embedding", k=16, iters=2)
+    out = dedup.semantic_dedup(e, "vec_id", "embedding", codebook=cb, tau=0.35)
+    return out.withColumnRenamed("id", "vec_id")
 
 
 # ===========================================================================

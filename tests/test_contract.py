@@ -65,6 +65,9 @@ PARITY_SUBSET = [
     "ann_pq_top10",
     "curation_funnel",
     "incremental_simhash_dedup",
+    # new r04 additions (in-window)
+    "semantic_dedup_flags",
+    "doc_lm_perplexity",
 ]
 
 

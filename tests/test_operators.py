@@ -464,6 +464,55 @@ class TestKmeansCodebook:
         assert recall >= 0.5, recall
 
 
+class TestSemanticDedup:
+    def test_planted_dups_flagged_keep_first(self, spark):
+        """SemDeDup on a corpus with planted near-identical pairs: the
+        larger-id twin of every pair is flagged, the smaller-id twin is
+        kept, and well-separated vectors stay unflagged at a high tau."""
+        import math
+
+        from hebrew_tutor_data_pipeline_spark.operators.ann import kmeans_codebook
+        from hebrew_tutor_data_pipeline_spark.operators.dedup import semantic_dedup
+
+        rows = []
+        for i in range(20):
+            base = [math.sin((i + 1) * (d + 3) * 0.29) for d in range(16)]
+            rows.append((2 * i, base))
+            rows.append(
+                (2 * i + 1, [x + 0.003 * math.sin(d + i) for d, x in enumerate(base)])
+            )
+        df = spark.createDataFrame(rows, ["id", "vec"])
+        cb = kmeans_codebook(df, "id", "vec", k=4, iters=2)
+        out = {
+            r["id"]: (r["cell"], r["is_dup"])
+            for r in semantic_dedup(df, "id", "vec", codebook=cb, tau=0.99).collect()
+        }
+        assert len(out) == 40  # one flag row per input vector
+        for i in range(20):
+            keep_cell, keep_dup = out[2 * i]
+            dup_cell, dup_dup = out[2 * i + 1]
+            # cosine ≈ 0.9999 twins land in the same cluster; keep-first
+            assert keep_cell == dup_cell
+            assert not keep_dup
+            assert dup_dup
+
+    def test_deterministic_across_runs(self, spark):
+        import math
+
+        from hebrew_tutor_data_pipeline_spark.operators.ann import kmeans_codebook
+        from hebrew_tutor_data_pipeline_spark.operators.dedup import semantic_dedup
+
+        rows = [
+            (i, [math.sin((i + 1) * (d + 1) * 0.7) for d in range(8)])
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(rows, ["id", "vec"]).repartition(7)
+        cb = kmeans_codebook(df, "id", "vec", k=6, iters=2)
+        a = sorted(map(tuple, semantic_dedup(df, "id", "vec", cb, tau=0.9).collect()))
+        b = sorted(map(tuple, semantic_dedup(df, "id", "vec", cb, tau=0.9).collect()))
+        assert a == b
+
+
 class TestSkewOperators:
     """salted_join / salted_aggregate must be result-invisible: identical
     output to the plain join / groupBy they replace (§2.11 scale posture)."""

@@ -138,6 +138,18 @@ EXPECTATIONS: dict[str, list[tuple[bool, str, str]]] = {
         (True, "MapInPandas", "assignment/probe are map-only numpy stages"),
         (True, "!CartesianProduct", "probe join is equi on the cell"),
     ],
+    "semantic_dedup_flags": [
+        (True, "MapInPandas", "cluster assignment is the map-only broadcast-GEMM stage"),
+        (True, "SortMergeJoin|BroadcastHashJoin", "within-cluster compare is an equi self-join on cell"),
+        (True, "!CartesianProduct", "no all-pairs plan"),
+        (True, "!BatchEvalPython", "pair cosine stays JVM-side"),
+    ],
+    "doc_lm_perplexity": [
+        (True, "HashAggregate", "count passes are partial+final hash aggregation"),
+        (True, "BroadcastNestedLoopJoin|BroadcastExchange", "vocab-size scalar rides a 1-row broadcast"),
+        (True, "!BatchEvalPython", "train and score are pure JVM expressions"),
+        (True, "!CartesianProduct", "the 1-row scalar crossJoin plans as a broadcast, not a cartesian"),
+    ],
     "winnow_fingerprints": [
         (True, "Window", "selection = one struct-min window over one id shuffle"),
         (True, "HashAggregate", "distinct reuses the id partitioning"),
