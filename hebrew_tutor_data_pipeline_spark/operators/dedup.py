@@ -401,6 +401,32 @@ def hamming_distance(a: Column, b: Column, bits: int = 16) -> Column:
     return F.bit_count(a.bitwiseXOR(b)).cast("long")
 
 
+def _kgram_hash(th: Column, k: int):
+    """k-gram hash factory: the base-31 polynomial rolled over k token
+    hashes starting at 0-based index ``i`` of the materialized
+    token-hash array ``th`` (mirrors _sql_token_hash composition in the
+    oracles). For small k the stepwise-mod recurrence equals the single
+    expression Σ th[i+j]·31^(k-1-j) mod M evaluated in one go — the
+    unreduced sum stays under 2^63 while 31^(k-1)·k·(M-1) does (k ≤ 6
+    for M = 2^31) — pure arithmetic, no per-k-gram slice allocation +
+    nested aggregate; larger k falls back to the mod-each-step
+    aggregate. Shared by winnow_fingerprints and duplicate_spans."""
+
+    def kgram_hash(i: Column) -> Column:
+        if HASH_BASE ** (k - 1) * k * (HASH_MOD - 1) < 2**62:
+            acc = F.lit(0).cast("long")
+            for j in range(k):
+                acc = acc + F.element_at(th, i + j + 1) * (HASH_BASE ** (k - 1 - j))
+            return acc % HASH_MOD
+        return F.aggregate(
+            F.slice(th, i + 1, k),
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * HASH_BASE + x) % HASH_MOD,
+        )
+
+    return kgram_hash
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str,
@@ -444,25 +470,7 @@ def winnow_fingerprints(
     th = F.col("_th")
     n_tokens = F.size(th)
 
-    # k-gram hash = the same base-31 polynomial rolled over the k token
-    # hashes (mirrors _sql_token_hash composition in the oracle). For
-    # small k the stepwise-mod recurrence equals the single expression
-    # Σ th[i+j]·31^(k-1-j) mod M evaluated in one go — the unreduced sum
-    # stays under 2^63 while 31^(k-1)·k·(M-1) does (k ≤ 6 for M = 2^31) —
-    # pure arithmetic, no per-k-gram slice allocation + nested aggregate.
-    def kgram_hash(i: Column) -> Column:
-        if HASH_BASE ** (k - 1) * k * (HASH_MOD - 1) < 2**62:
-            acc = F.lit(0).cast("long")
-            for j in range(k):
-                acc = acc + F.element_at(th, i + j + 1) * (HASH_BASE ** (k - 1 - j))
-            return acc % HASH_MOD
-        return F.aggregate(
-            F.slice(th, i + 1, k),
-            F.lit(0).cast("long"),
-            lambda acc, x: (acc * HASH_BASE + x) % HASH_MOD,
-        )
-
-    kgrams = F.transform(F.sequence(F.lit(0), n_tokens - k), kgram_hash)
+    kgrams = F.transform(F.sequence(F.lit(0), n_tokens - k), _kgram_hash(th, k))
     # n_kg deliberately comes from a count window over the exploded rows,
     # NOT from size(kgrams) next to the posexplode: CollapseProject pulls
     # a sibling size(kgrams) above the Generate, re-evaluating the whole
@@ -998,6 +1006,68 @@ def simhash_lookup_pairs(
         "match_id",
         "hamming",
         F.col("match_id").isNull().alias("is_unique"),
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact duplicate-SPAN detection (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022): find every
+    token n-gram that occurs ≥ ``min_count`` times corpus-wide (their
+    suffix-array criterion, expressed as a hash-group — same-document
+    repeats count, as in the paper), then merge each document's
+    overlapping duplicated n-gram occurrences into MAXIMAL removable
+    spans. Unlike whole-document dedup tiers, this flags the duplicated
+    REGIONS inside otherwise-unique documents — the boilerplate/quote
+    contamination whole-doc hashes can't see.
+
+    Output: one row per maximal span — ``(id, span_start, span_end,
+    span_tokens)`` with token-index start (inclusive, 0-based) and end
+    (exclusive).
+
+    Plan shape / 100 TB posture: n-gram hashing is per-row HOF
+    arithmetic over a materialized token-hash column (map-only); the
+    frequency pass is one map-side-combined groupBy on the 64-bit gram
+    hash; the hit join shuffles on the same hash (corpus-sized — NOT
+    broadcast; AQE splits the stop-gram skew); the interval merge is
+    the classic running-max island trick — two same-spec windows over
+    ONE shuffle on the doc id, then an aggregation that reuses that
+    partitioning. No Python, no collect, no quadratic step anywhere.
+    """
+    hashed = df.withColumn(
+        "_th", F.transform(whitespace_tokens(F.col(text_col)), token_hash)
+    )
+    th = F.col("_th")
+    n_tokens = F.size(th)
+    kgrams = F.transform(F.sequence(F.lit(0), n_tokens - n), _kgram_hash(th, n))
+    grams = hashed.filter(n_tokens >= n).select(
+        F.col(id_col).alias("id"), F.posexplode(kgrams).alias("pos", "kh")
+    )
+    dup = grams.groupBy("kh").agg(F.count("*").alias("_c")).filter(
+        F.col("_c") >= min_count
+    )
+    hits = grams.join(dup.select("kh"), "kh").select(
+        "id", "pos", (F.col("pos") + n).alias("e")
+    )
+    w_ord = Window.partitionBy("id").orderBy("pos")
+    prev_max = F.max("e").over(w_ord.rowsBetween(Window.unboundedPreceding, -1))
+    island = F.sum(
+        F.when(prev_max.isNull() | (F.col("pos") > prev_max), 1).otherwise(0)
+    ).over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        hits.withColumn("_island", island)
+        .groupBy("id", "_island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.max("e").alias("span_end"),
+            (F.max("e") - F.min("pos")).alias("span_tokens"),
+        )
+        .drop("_island")
     )
 
 

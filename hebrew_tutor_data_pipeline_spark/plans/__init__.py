@@ -45,6 +45,7 @@ _DEMOTED = (
     # doc_lm_perplexity), both first-time entries needing validation:
     "sketch_accuracy_certificates",  # r03-green; sketch plan pinned by explain_audit + unit tests
     "doc_chunks_udtf",            # r03-green; documented slow-path demo, covered by test suite
+    "image_neardup_pipeline",     # r03-green; frees a slot for duplicate_token_spans (first-time entry)
 )
 
 

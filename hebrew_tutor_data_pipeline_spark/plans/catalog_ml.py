@@ -172,6 +172,59 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "duplicate_token_spans",
+    # Replays the identical pipeline: token hashes, rolled 10-gram
+    # polynomial, corpus-wide frequency ≥ 2, then the running-max
+    # island merge as two windows + a group.
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, list_transform({_TOKENS_SQL}, t2 -> {_sql_token_hash('t2')}) AS th
+    FROM documents
+),
+gi AS (
+    SELECT doc_id, unnest(generate_series(1, len(th) - 9)) AS i, th
+    FROM t WHERE len(th) >= 10
+),
+g AS (
+    SELECT doc_id, i - 1 AS pos,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+9]),
+                       (acc, x) -> (acc * 31 + x) % 2147483647) AS kh
+    FROM gi
+),
+dup AS (SELECT kh FROM g GROUP BY kh HAVING count(*) >= 2),
+h AS (SELECT doc_id, pos, pos + 10 AS e FROM g JOIN dup USING (kh)),
+m AS (
+    SELECT doc_id, pos, e,
+           max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+    FROM h
+),
+isl AS (
+    SELECT doc_id, pos, e,
+           sum(CASE WHEN pmax IS NULL OR pos > pmax THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS UNBOUNDED PRECEDING) AS island
+    FROM m
+)
+SELECT doc_id, min(pos) AS span_start, max(e) AS span_end,
+       max(e) - min(pos) AS span_tokens
+FROM isl GROUP BY doc_id, island
+""",
+    tags=("dedup", "spans", "substring"),
+    bench=True,
+)
+def duplicate_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-span detection (Lee et al., ACL 2022): maximal
+    per-document spans covered by token 10-grams occurring ≥ 2 times
+    corpus-wide — the span-removal tier of the dedup stack (regions,
+    not whole documents). Hash-group frequency pass + running-max
+    interval merge; see operators.dedup.duplicate_spans."""
+    d = spread(T(spark, sf_dir, "documents"))
+    out = dedup.duplicate_spans(d, "doc_id", "text", n=10, min_count=2)
+    return out.withColumnRenamed("id", "doc_id")
+
+
+@_register(
     "lang_id_confusion",
     oracle=f"""
 WITH scored AS (

@@ -68,6 +68,7 @@ PARITY_SUBSET = [
     # new r04 additions (in-window)
     "semantic_dedup_flags",
     "doc_lm_perplexity",
+    "duplicate_token_spans",
 ]
 
 

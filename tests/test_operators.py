@@ -464,6 +464,58 @@ class TestKmeansCodebook:
         assert recall >= 0.5, recall
 
 
+class TestDuplicateSpans:
+    def test_planted_shared_span_found_and_merged(self, spark):
+        """Two docs share a 12-token run; with n=10 that run yields 3
+        overlapping duplicated 10-grams per doc, which must merge into
+        ONE maximal span [start, start+12) in each. A third unrelated
+        doc contributes nothing."""
+        from hebrew_tutor_data_pipeline_spark.operators.dedup import duplicate_spans
+
+        shared = " ".join(f"dup{i}" for i in range(12))
+        rows = [
+            (1, "alpha beta " + shared + " gamma delta"),
+            (2, shared + " epsilon zeta eta theta iota kappa"),
+            (3, " ".join(f"uniq{i}" for i in range(30))),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {
+            r["id"]: (r["span_start"], r["span_end"], r["span_tokens"])
+            for r in duplicate_spans(df, "doc_id", "text", n=10).collect()
+        }
+        assert out == {1: (2, 14, 12), 2: (0, 12, 12)}
+
+    def test_same_doc_repeat_counts(self, spark):
+        """A 10-gram repeated twice WITHIN one document satisfies the
+        corpus-wide ≥2 criterion (the paper's suffix-array behavior)."""
+        from hebrew_tutor_data_pipeline_spark.operators.dedup import duplicate_spans
+
+        block = " ".join(f"w{i}" for i in range(10))
+        df = spark.createDataFrame(
+            [(7, block + " filler1 filler2 " + block)], ["doc_id", "text"]
+        )
+        spans = sorted(
+            (r["span_start"], r["span_end"])
+            for r in duplicate_spans(df, "doc_id", "text", n=10).collect()
+        )
+        assert spans == [(0, 10), (12, 22)]
+
+    def test_spans_disjoint_and_min_length(self, spark):
+        from hebrew_tutor_data_pipeline_spark.operators.dedup import duplicate_spans
+        from hebrew_tutor_data_pipeline_spark.sources.readers import load_table
+
+        d = load_table(spark, "/root/testdata/sf0.001", "documents")
+        rows = duplicate_spans(d, "doc_id", "text", n=10).collect()
+        by_doc: dict[int, list] = {}
+        for r in rows:
+            assert r["span_tokens"] == r["span_end"] - r["span_start"] >= 10
+            by_doc.setdefault(r["id"], []).append((r["span_start"], r["span_end"]))
+        for spans in by_doc.values():
+            spans.sort()
+            for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+                assert s2 > e1  # maximal ⇒ strictly separated
+
+
 class TestSemanticDedup:
     def test_planted_dups_flagged_keep_first(self, spark):
         """SemDeDup on a corpus with planted near-identical pairs: the

@@ -138,6 +138,13 @@ EXPECTATIONS: dict[str, list[tuple[bool, str, str]]] = {
         (True, "MapInPandas", "assignment/probe are map-only numpy stages"),
         (True, "!CartesianProduct", "probe join is equi on the cell"),
     ],
+    "duplicate_token_spans": [
+        (True, "HashAggregate", "gram frequency is partial+final hash aggregation"),
+        (True, "Window", "interval merge = two same-spec windows over one doc-id shuffle"),
+        (True, "SortMergeJoin|BroadcastHashJoin", "hit join is equi on the gram hash"),
+        (True, "!BatchEvalPython", "hashing + merge stay JVM-side"),
+        (True, "!CartesianProduct", "no all-pairs plan"),
+    ],
     "semantic_dedup_flags": [
         (True, "MapInPandas", "cluster assignment is the map-only broadcast-GEMM stage"),
         (True, "SortMergeJoin|BroadcastHashJoin", "within-cluster compare is an equi self-join on cell"),
