@@ -142,3 +142,71 @@ def pack_plan(
             != F.floor((F.col("start_offset") + F.col(n_tokens_col) - 1) / budget)
         ).alias("straddles_boundary"),
     )
+
+
+def mixture_plan(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+    salt: str = "mix",
+    resolution: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-weighted source-mixture resampling plan: compute the
+    per-source acceptance rates that reshape the corpus toward
+    ``weight_s ∝ n_s^alpha`` (alpha < 1 upweights small sources — the
+    temperature-sampling rule of multilingual/multi-source pre-training:
+    Arivazhagan et al. 2019 §4.2; The Pile and Gopher use the same
+    fixed-weight mixture shape), then apply them with the engine's
+    salted-hash acceptance test — deterministic under retries and
+    repartitioning, unlike RNG sampling.
+
+    Returns one row per source: ``(group, n_docs, weight, rate_ppm,
+    n_accepted)`` where ``rate_ppm = floor(min(1, weight·target_total /
+    n_s)·resolution)`` and ``n_accepted`` counts the docs whose salted
+    hash lands under it — the audit record a training run stores next
+    to the actual filtered corpus.
+
+    Plan shape / 100 TB posture: pass 1 is one map-side-combined
+    groupBy on the source; the normalizer is a 1-row broadcast
+    crossJoin; the rate table (|sources| rows) broadcasts back onto the
+    corpus for the acceptance pass — the corpus itself is never
+    shuffled, only its per-source counts are. No RNG, no collect.
+    """
+    counts = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count("*").alias("n_docs")
+    )
+    tot = counts.agg(
+        F.sum(F.pow(F.col("n_docs"), F.lit(alpha))).alias("z"),
+        F.sum("n_docs").alias("n"),
+    )
+    w = F.pow(F.col("n_docs"), F.lit(alpha)) / F.col("z")
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "group",
+        "n_docs",
+        F.round(w, 6).alias("weight"),
+        F.floor(
+            F.least(F.lit(1.0), w * (F.lit(target_frac) * F.col("n")) / F.col("n_docs"))
+            * resolution
+        )
+        .cast("long")
+        .alias("rate_ppm"),
+    )
+    accept_hash = token_hash(
+        F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))
+    ) % resolution
+    accepted = (
+        df.select(F.col(group_col).alias("group"), accept_hash.alias("_ah"))
+        .join(F.broadcast(rates.select("group", "rate_ppm")), "group")
+        .filter(F.col("_ah") < F.col("rate_ppm"))
+        .groupBy("group")
+        .agg(F.count("*").alias("n_accepted"))
+    )
+    return rates.join(accepted, "group", "left").select(
+        "group",
+        "n_docs",
+        "weight",
+        "rate_ppm",
+        F.coalesce(F.col("n_accepted"), F.lit(0)).alias("n_accepted"),
+    )

@@ -46,6 +46,7 @@ _DEMOTED = (
     "sketch_accuracy_certificates",  # r03-green; sketch plan pinned by explain_audit + unit tests
     "doc_chunks_udtf",            # r03-green; documented slow-path demo, covered by test suite
     "image_neardup_pipeline",     # r03-green; frees a slot for duplicate_token_spans (first-time entry)
+    "jaccard_token_pairs",        # r03-green; moved to PARITY_SUBSET gating; frees a slot for corpus_mixture_plan
 )
 
 

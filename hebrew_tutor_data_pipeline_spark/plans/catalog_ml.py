@@ -1206,6 +1206,47 @@ def doc_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "corpus_mixture_plan",
+    # Replays the two-pass plan exactly: per-source counts, the
+    # temperature normalizer as a scalar CTE, floor-ppm rates, and the
+    # salted-hash acceptance count.
+    oracle=f"""
+WITH sc AS (SELECT source AS "group", count(*) AS n_docs FROM documents GROUP BY source),
+tot AS (SELECT sum(pow(n_docs, 0.5)) AS z, sum(n_docs) AS n FROM sc),
+r AS (
+    SELECT "group", n_docs,
+           round(pow(n_docs, 0.5) / z, 6) AS weight,
+           CAST(floor(least(1.0, (pow(n_docs, 0.5) / z) * (0.5 * n) / n_docs)
+                      * 1000000) AS BIGINT) AS rate_ppm
+    FROM sc CROSS JOIN tot
+),
+acc AS (
+    SELECT d.source AS "group", count(*) AS n_accepted
+    FROM documents d JOIN r ON d.source = r."group"
+    WHERE {_sql_token_hash("'mix|' || CAST(doc_id AS VARCHAR)")} % 1000000 < rate_ppm
+    GROUP BY d.source
+)
+SELECT r."group", r.n_docs, r.weight, r.rate_ppm,
+       coalesce(acc.n_accepted, 0) AS n_accepted
+FROM r LEFT JOIN acc USING ("group")
+""",
+    tags=("sampling", "mixture", "curation", "two-pass"),
+)
+def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source-mixture resampling (Arivazhagan et
+    al. 2019 §4.2; the fixed-weight mixture shape of The Pile/Gopher):
+    per-source acceptance rates toward weight ∝ n^0.5 at a 0.5× target
+    size, applied via the deterministic salted-hash test. The per-source
+    audit record a training run stores next to its filtered corpus."""
+    from ..operators import sampling
+
+    d = spread(T(spark, sf_dir, "documents"))
+    return sampling.mixture_plan(
+        d, "doc_id", "source", alpha=0.5, target_frac=0.5
+    )
+
+
 # ===========================================================================
 # PII scrubbing (training-data curation)
 # ===========================================================================

@@ -69,6 +69,9 @@ PARITY_SUBSET = [
     "semantic_dedup_flags",
     "doc_lm_perplexity",
     "duplicate_token_spans",
+    "corpus_mixture_plan",
+    # rotated OUT of the driver window late r04 — pytest keeps gating it
+    "jaccard_token_pairs",
 ]
 
 

@@ -1090,3 +1090,42 @@ class TestSimhashLookup:
             batch, index, "doc_id", "text", bits=16, bands=2, max_distance=1
         ).first()
         assert (r["match_id"], r["hamming"]) == (5, 0)
+
+
+class TestMixturePlan:
+    def test_invariants_and_temperature_upweighting(self, spark):
+        """Weights sum to 1; acceptance never exceeds the source size;
+        alpha<1 gives SMALLER sources HIGHER acceptance rates (the whole
+        point of temperature smoothing); alpha=1 with target_frac=1 is
+        the identity plan (rate=resolution, everything accepted)."""
+        from hebrew_tutor_data_pipeline_spark.operators.sampling import mixture_plan
+
+        rows = [(i, "big" if i < 900 else ("mid" if i < 990 else "small"))
+                for i in range(1000)]
+        df = spark.createDataFrame(rows, ["id", "src"])
+
+        plan = {r["group"]: r for r in
+                mixture_plan(df, "id", "src", alpha=0.5, target_frac=0.5).collect()}
+        assert abs(sum(r["weight"] for r in plan.values()) - 1.0) < 1e-4
+        for r in plan.values():
+            assert 0 <= r["n_accepted"] <= r["n_docs"]
+            assert 0 <= r["rate_ppm"] <= 1_000_000
+        # smaller sources get rates at least as high (small/mid saturate
+        # at the 1.0 cap here), and the dominant source is truly cut
+        assert plan["small"]["rate_ppm"] >= plan["mid"]["rate_ppm"] > plan["big"]["rate_ppm"]
+        assert plan["big"]["rate_ppm"] < 1_000_000
+
+        ident = {r["group"]: r for r in
+                 mixture_plan(df, "id", "src", alpha=1.0, target_frac=1.0).collect()}
+        for r in ident.values():
+            assert r["rate_ppm"] == 1_000_000 and r["n_accepted"] == r["n_docs"]
+
+    def test_deterministic_under_repartition(self, spark):
+        from hebrew_tutor_data_pipeline_spark.operators.sampling import mixture_plan
+
+        rows = [(i, f"s{i % 7}") for i in range(500)]
+        a = spark.createDataFrame(rows, ["id", "src"])
+        b = a.repartition(13)
+        ra = sorted(map(tuple, mixture_plan(a, "id", "src").collect()))
+        rb = sorted(map(tuple, mixture_plan(b, "id", "src").collect()))
+        assert ra == rb

@@ -430,3 +430,72 @@ class TestAsofProperties:
             for r in merged.itertuples()
         }
         assert got == want
+
+
+def _py_duplicate_spans(
+    docs: list[list[str]], n: int, min_count: int = 2
+) -> set[tuple[int, int, int]]:
+    """Pure-Python reference for duplicate_spans (Lee et al., ACL 2022):
+    count token n-grams corpus-wide (by value — the engine hashes them,
+    base-31 collisions are astronomically unlikely on these alphabets),
+    then merge each doc's duplicated occurrences into maximal spans."""
+    from collections import Counter
+
+    grams: Counter = Counter()
+    per_doc: list[list[int]] = []
+    for toks in docs:
+        positions = []
+        for i in range(len(toks) - n + 1):
+            g = tuple(toks[i : i + n])
+            grams[g] += 1
+            positions.append(i)
+        per_doc.append(positions)
+    out = set()
+    for doc_id, toks in enumerate(docs):
+        hits = [
+            i
+            for i in per_doc[doc_id]
+            if grams[tuple(toks[i : i + n])] >= min_count
+        ]
+        start = end = None
+        for i in hits:
+            if start is None:
+                start, end = i, i + n
+            elif i > end:
+                out.add((doc_id, start, end))
+                start, end = i, i + n
+            else:
+                end = i + n
+        if start is not None:
+            out.add((doc_id, start, end))
+    return out
+
+
+class TestDuplicateSpanProperties:
+    @given(
+        docs=st.lists(
+            st.lists(
+                st.sampled_from(["aa", "ab", "ba", "x"]),
+                min_size=0,
+                max_size=16,
+            ),
+            min_size=1,
+            max_size=4,
+        ),
+        n=st.integers(min_value=2, max_value=4),
+    )
+    @SLOW
+    def test_matches_python_reference(self, spark, docs, n):
+        """Spark duplicate_spans equals the straightforward Python scan
+        on arbitrary token lists — span starts, ends, and doc routing.
+        The tiny alphabet forces frequent cross-doc and same-doc n-gram
+        repeats, exercising the merge path hard."""
+        from hebrew_tutor_data_pipeline_spark.operators.dedup import duplicate_spans
+
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            (r["id"], r["span_start"], r["span_end"])
+            for r in duplicate_spans(df, "doc_id", "text", n=n).collect()
+        }
+        assert got == _py_duplicate_spans(docs, n)

@@ -138,6 +138,12 @@ EXPECTATIONS: dict[str, list[tuple[bool, str, str]]] = {
         (True, "MapInPandas", "assignment/probe are map-only numpy stages"),
         (True, "!CartesianProduct", "probe join is equi on the cell"),
     ],
+    "corpus_mixture_plan": [
+        (True, "HashAggregate", "per-source counts are partial+final hash aggregation"),
+        (True, "BroadcastHashJoin", "rate table broadcasts back onto the corpus"),
+        (True, "!BatchEvalPython", "rates + acceptance stay JVM-side"),
+        (True, "!CartesianProduct", "the 1-row normalizer crossJoin plans as a broadcast"),
+    ],
     "duplicate_token_spans": [
         (True, "HashAggregate", "gram frequency is partial+final hash aggregation"),
         (True, "Window", "interval merge = two same-spec windows over one doc-id shuffle"),
