@@ -47,6 +47,7 @@ _DEMOTED = (
     "doc_chunks_udtf",            # r03-green; documented slow-path demo, covered by test suite
     "image_neardup_pipeline",     # r03-green; frees a slot for duplicate_token_spans (first-time entry)
     "jaccard_token_pairs",        # r03-green; moved to PARITY_SUBSET gating; frees a slot for corpus_mixture_plan
+    "minhash_lsh_candidates",     # r03-green; moved to PARITY_SUBSET gating; frees a slot for bm25_keyword_topk
 )
 
 

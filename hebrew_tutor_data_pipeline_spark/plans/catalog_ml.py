@@ -828,6 +828,102 @@ def semantic_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("id", "vec_id")
 
 
+_BM25_TERMS = ("spark", "join", "window")
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@_register(
+    "bm25_keyword_topk",
+    # Identical decimal literals (2.2, 1.2, 0.25, 0.75) on both engines
+    # parse to the same doubles; per-term contributions round 8 dp
+    # before the 6 dp sum so summation order can't flip the hash.
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+    SELECT doc_id, w, count(*) AS tf
+    FROM (SELECT doc_id, unnest(toks) AS w FROM t)
+    WHERE w IN ({_BM25_TERMS_SQL})
+    GROUP BY doc_id, w
+),
+dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+idf AS (
+    SELECT w, round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 8) AS idf
+    FROM dfq CROSS JOIN st
+),
+sc AS (
+    SELECT tf.doc_id,
+           round(idf.idf * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)), 8) AS contrib
+    FROM tf JOIN idf USING (w) JOIN dl USING (doc_id) CROSS JOIN st
+)
+SELECT doc_id, count(*) AS n_terms, round(sum(contrib), 6) AS bm25
+FROM sc GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+""",
+    tags=("retrieval", "bm25", "text-analysis"),
+    bench=True,
+)
+def bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 keyword retrieval (Robertson/Spärck Jones probabilistic
+    relevance framework; k1=1.2, b=0.75): score every document against a
+    literal term set and return the global top 20 — the lexical-search
+    face of the engine, complementing the ANN vector tiers.
+
+    Plan shape / 100 TB posture: the token explode filters to the query
+    terms BEFORE any aggregation (the corpus scan emits only matching
+    tokens — at scale this is the posting-list read an inverted index
+    would serve); tf is one (doc, term) shuffle; document frequencies
+    and the N/avgdl scalars are tiny aggregates broadcast back; the
+    final ranking is a global top-k (TakeOrderedAndProject — never a
+    full sort). No Python anywhere."""
+    d = spread(T(spark, sf_dir, "documents"))
+    dl = d.select(
+        "doc_id", text.whitespace_token_count(F.col("text")).alias("dl")
+    )
+    st = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tf = (
+        d.select("doc_id", F.explode(text.whitespace_tokens(F.col("text"))).alias("w"))
+        .filter(F.col("w").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    idf = (
+        tf.groupBy("w")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(st))
+        .select(
+            "w",
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+                ),
+                8,
+            ).alias("idf"),
+            "avgdl",
+        )
+    )
+    contrib = F.round(
+        F.col("idf")
+        * (F.col("tf") * F.lit(2.2))
+        / (
+            F.col("tf")
+            + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
+        ),
+        8,
+    )
+    return (
+        tf.join(F.broadcast(idf), "w")
+        .join(dl, "doc_id")
+        .withColumn("contrib", contrib)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_terms"), F.round(F.sum("contrib"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
 # ===========================================================================
 # Hebrew normalization (literal corpus — engine-constructed, sf-independent)
 # ===========================================================================

@@ -72,6 +72,9 @@ PARITY_SUBSET = [
     "corpus_mixture_plan",
     # rotated OUT of the driver window late r04 — pytest keeps gating it
     "jaccard_token_pairs",
+    "minhash_lsh_candidates",
+    # new late-r04 retrieval entry (in-window)
+    "bm25_keyword_topk",
 ]
 
 

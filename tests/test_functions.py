@@ -280,3 +280,28 @@ class TestRepetitionSignals:
         assert out[1] == (0.5, round(2 / 3, 6))
         assert out[2] == (0.2, 0.0)
         assert out[3] == (1.0, 0.0)
+
+
+class TestBm25Query:
+    def test_bm25_ordering_invariants(self, spark):
+        """On controlled docs: a doc with more query-term hits (same
+        length) scores higher; a longer doc with the SAME hits scores
+        lower (length normalization); docs without any term are absent."""
+        from hebrew_tutor_data_pipeline_spark.plans.catalog_ml import (
+            bm25_keyword_topk,
+        )
+        import tempfile, os
+
+        rows = [
+            (0, "spark spark join filler filler filler", "en", "s", 1),
+            (1, "spark filler filler filler filler filler", "en", "s", 1),
+            (2, "spark filler filler filler filler filler filler filler filler filler filler filler", "en", "s", 1),
+            (3, "nothing relevant here at all whatsoever", "en", "s", 1),
+        ]
+        with tempfile.TemporaryDirectory() as td:
+            spark.createDataFrame(
+                rows, ["doc_id", "text", "lang", "source", "n_chars"]
+            ).write.parquet(os.path.join(td, "documents.parquet"))
+            got = {r["doc_id"]: r["bm25"] for r in bm25_keyword_topk(spark, td).collect()}
+        assert 3 not in got
+        assert got[0] > got[1] > got[2]

@@ -138,6 +138,13 @@ EXPECTATIONS: dict[str, list[tuple[bool, str, str]]] = {
         (True, "MapInPandas", "assignment/probe are map-only numpy stages"),
         (True, "!CartesianProduct", "probe join is equi on the cell"),
     ],
+    "bm25_keyword_topk": [
+        (True, "TakeOrderedAndProject", "global top-20 never fully sorts"),
+        (True, "BroadcastHashJoin", "idf table broadcasts onto the tf rows"),
+        (True, "HashAggregate", "tf/df are partial+final hash aggregation"),
+        (True, "!BatchEvalPython", "scoring stays JVM-side"),
+        (True, "!CartesianProduct", "the 1-row stats crossJoin plans as a broadcast"),
+    ],
     "corpus_mixture_plan": [
         (True, "HashAggregate", "per-source counts are partial+final hash aggregation"),
         (True, "BroadcastHashJoin", "rate table broadcasts back onto the corpus"),
