@@ -1129,3 +1129,29 @@ class TestMixturePlan:
         ra = sorted(map(tuple, mixture_plan(a, "id", "src").collect()))
         rb = sorted(map(tuple, mixture_plan(b, "id", "src").collect()))
         assert ra == rb
+
+
+class TestNewOpEdgeCases:
+    def test_duplicate_spans_short_and_empty(self, spark):
+        from hebrew_tutor_data_pipeline_spark.operators.dedup import duplicate_spans
+
+        short = spark.createDataFrame(
+            [(1, "a b c"), (2, "a b c")], ["doc_id", "text"]
+        )
+        # both docs shorter than n -> no n-grams -> no spans, no error
+        assert duplicate_spans(short, "doc_id", "text", n=10).count() == 0
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        assert duplicate_spans(empty, "doc_id", "text", n=5).count() == 0
+
+    def test_mixture_plan_empty_and_single_source(self, spark):
+        from hebrew_tutor_data_pipeline_spark.operators.sampling import mixture_plan
+
+        empty = spark.createDataFrame([], "id long, src string")
+        assert mixture_plan(empty, "id", "src").count() == 0
+        # enough ids that the polynomial hash's low-avalanche clusters
+        # (consecutive short ids land in runs) straddle the threshold
+        one = spark.createDataFrame([(i, "only") for i in range(400)], ["id", "src"])
+        row = mixture_plan(one, "id", "src", alpha=0.5, target_frac=0.5).first()
+        # single source: weight 1, rate = target_frac exactly
+        assert row["weight"] == 1.0 and row["rate_ppm"] == 500_000
+        assert 0 < row["n_accepted"] < 400
