@@ -510,3 +510,61 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("id").alias("neighbor_id"), "adc_dist", "rank")
     )
+
+
+def embedding_outliers(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebook: list[tuple[int, list[float]]],
+    denom: int = 20,
+) -> DataFrame:
+    """Centroid-distance outlier flags over an embedding column: the
+    quality twin of ``dedup.semantic_dedup`` — instead of pruning
+    vectors too CLOSE to a cluster-mate, flag vectors too FAR from
+    every centroid (mislabeled / off-distribution / garbage embeddings,
+    the standard embedding-space curation filter).
+
+    Each vector is assigned to its nearest codebook centroid (the
+    shared ``cell_assign`` broadcast-GEMM map stage), scored by rounded
+    cosine to that centroid, and ranked ascending within its cell; the
+    bottom ``1/denom`` of each cell (``ceil(cell_size/denom)`` rows,
+    integer arithmetic so the cutoff is engine-exact — a float
+    ``0.05*n`` can straddle an integer) is flagged.
+
+    Returns ``(id, cell, centroid_cos, cell_rank, is_outlier)``.
+
+    Plan shape / 100 TB posture: assignment is map-only (corpus never
+    shuffles to find its cell); the centroid re-attach is a broadcast
+    join on the k-row codebook; the ONLY corpus shuffle is the
+    per-cell window (rank + count share one spec). Cluster-size skew
+    bounds the worst reducer exactly as in semantic_dedup — k is the
+    knob.
+    """
+    spark = corpus.sparkSession
+    assigned = cell_assign(corpus, id_col, vec_col, codebook)
+    cb = spark.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in codebook],
+        "cell long, ce array<double>",
+    )
+    scored = assigned.join(F.broadcast(cb), "cell").select(
+        "id",
+        "cell",
+        F.round(cosine_similarity(F.col("vec"), F.col("ce")), 6).alias(
+            "centroid_cos"
+        ),
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.col("centroid_cos").asc(), F.col("id").asc()
+    )
+    wc = Window.partitionBy("cell")
+    return scored.select(
+        "id",
+        "cell",
+        "centroid_cos",
+        F.row_number().over(w).alias("cell_rank"),
+    ).withColumn(
+        "is_outlier",
+        F.col("cell_rank")
+        <= F.floor((F.count("*").over(wc) + (denom - 1)) / F.lit(denom)),
+    )

@@ -210,3 +210,74 @@ def mixture_plan(
         "rate_ppm",
         F.coalesce(F.col("n_accepted"), F.lit(0)).alias("n_accepted"),
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_col: Column,
+    buckets: int = 256,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., "Data Selection for Language
+    Models via Importance Resampling", NeurIPS 2023): score every raw
+    document by how much more likely its hashed-n-gram bag is under the
+    TARGET domain's distribution than under the raw corpus's.
+
+    Features are the paper's hashed n-grams: unigrams + bigrams bucketed
+    by the shared polynomial ``token_hash`` into ``buckets`` cells. Both
+    bag-of-buckets distributions get add-one smoothing; the per-bucket
+    log-ratio ``ln(p_target) - ln(p_raw)`` is rounded 8 dp and a doc's
+    weight is the 6-dp-rounded MEAN log-ratio over its gram instances
+    (the mean, not the paper's sum, so weights are length-neutral and
+    the downstream top-k is not a long-document detector).
+
+    Returns ``(id, gram_ct, avg_logratio)`` — one row per input doc.
+
+    Plan shape / 100 TB posture: one explode over grams feeds (a) the
+    bucket-count aggregation — map-side combined, the shuffle carries at
+    most ``partitions x buckets`` partial rows — and (b) the scoring
+    pass, which joins the ≤``buckets``-row log-ratio table back via
+    BROADCAST and aggregates once on the doc id. The corpus shuffles
+    exactly once (doc-id agg); distributions and totals ride 1-row /
+    ≤buckets-row broadcasts. No RNG, no Python, no collect.
+    """
+    from ..functions.text import whitespace_tokens, word_ngrams
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        target_col.alias("is_t"),
+        whitespace_tokens(F.col(text_col)).alias("toks"),
+    )
+    grams = toks.select(
+        "id",
+        "is_t",
+        F.explode(
+            F.concat(F.col("toks"), word_ngrams(F.col("toks"), 2))
+        ).alias("gram"),
+    ).select(
+        "id", "is_t", (token_hash(F.col("gram")) % buckets).alias("b")
+    )
+    counts = grams.groupBy("b").agg(
+        F.count("*").alias("q_ct"),
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("p_ct"),
+    )
+    tot = counts.agg(
+        F.sum("q_ct").alias("q_tot"), F.sum("p_ct").alias("p_tot")
+    )
+    ratios = counts.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            F.log((F.col("p_ct") + F.lit(1.0)) / (F.col("p_tot") + buckets))
+            - F.log((F.col("q_ct") + F.lit(1.0)) / (F.col("q_tot") + buckets)),
+            8,
+        ).alias("lr"),
+    )
+    return (
+        grams.join(F.broadcast(ratios), "b")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("gram_ct"),
+            F.round(F.avg("lr"), 6).alias("avg_logratio"),
+        )
+    )

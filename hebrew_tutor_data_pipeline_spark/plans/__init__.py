@@ -48,6 +48,10 @@ _DEMOTED = (
     "image_neardup_pipeline",     # r03-green; frees a slot for duplicate_token_spans (first-time entry)
     "jaccard_token_pairs",        # r03-green; moved to PARITY_SUBSET gating; frees a slot for corpus_mixture_plan
     "minhash_lsh_candidates",     # r03-green; moved to PARITY_SUBSET gating; frees a slot for bm25_keyword_topk
+    # fifth wave: dsir_importance_select / corpus_snapshot_diff /
+    # embedding_outlier_scores are first-time entries; two of the three
+    # slots were free, the third comes from demoting
+    "doc_text_stats",             # r03-green; text family evidence stays via doc_lm_perplexity, bm25, gopher in-window
 )
 
 

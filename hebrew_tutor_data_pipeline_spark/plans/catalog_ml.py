@@ -1816,3 +1816,206 @@ def incremental_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_lookup_pairs(
         batch, index, "doc_id", "text", bits=16, bands=2, max_distance=1
     )
+
+
+# ===========================================================================
+# DSIR importance resampling (training-data selection)
+# ===========================================================================
+
+# Hashed-n-gram feature stream shared by the Spark plan and the oracle:
+# unigrams + bigrams (word_ngrams(n=2) semantics incl. the short-doc
+# single-shingle fallback), bucketed by the shared polynomial hash.
+_DSIR_BUCKETS = 256
+_DSIR_TOPK = 20
+_DSIR_GRAMS_SQL = f"""
+    SELECT doc_id, is_t, {_sql_token_hash('gram')} % {_DSIR_BUCKETS} AS b
+    FROM (SELECT doc_id, is_t,
+                 unnest(list_concat(toks,
+                     CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+                          ELSE list_transform(generate_series(1, len(toks) - 1),
+                                              i -> toks[i] || ' ' || toks[i + 1])
+                     END)) AS gram
+          FROM (SELECT doc_id, lang = 'en' AS is_t, {_TOKENS_SQL} AS toks
+                FROM documents))
+"""
+
+
+@_register(
+    "dsir_importance_select",
+    # Replays the full two-distribution pipeline: same hash buckets,
+    # add-one smoothing, 8-dp per-bucket log-ratio, 6-dp per-doc mean,
+    # and the deterministic (weight DESC, doc_id ASC) top-k cutoff.
+    oracle=f"""
+WITH g AS ({_DSIR_GRAMS_SQL}),
+c AS (SELECT b, count(*) AS q_ct,
+             sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS p_ct
+      FROM g GROUP BY b),
+tot AS (SELECT sum(q_ct) AS q_tot, sum(p_ct) AS p_tot FROM c),
+r AS (SELECT b, round(ln((p_ct + 1.0) / (p_tot + {_DSIR_BUCKETS}))
+                    - ln((q_ct + 1.0) / (q_tot + {_DSIR_BUCKETS})), 8) AS lr
+      FROM c CROSS JOIN tot),
+s AS (SELECT doc_id, count(*) AS gram_ct, round(avg(lr), 6) AS avg_logratio
+      FROM g JOIN r USING (b) GROUP BY doc_id),
+k AS (SELECT doc_id FROM s
+      ORDER BY avg_logratio DESC, doc_id ASC LIMIT {_DSIR_TOPK})
+SELECT s.doc_id, s.gram_ct, s.avg_logratio,
+       (k.doc_id IS NOT NULL) AS selected
+FROM s LEFT JOIN k USING (doc_id)
+""",
+    tags=("sampling", "dsir", "curation", "two-pass"),
+    bench=True,
+)
+def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al., NeurIPS 2023): hashed-n-gram
+    importance weights of every document against a target domain (the
+    'en' slice stands in for the high-quality target set), then the
+    deterministic top-k cut — the Gumbel-resampling step of the paper
+    collapses to rank-by-weight when run without noise, which is what a
+    reproducible pipeline wants.
+
+    Plan shape / 100 TB posture: see ``operators.sampling.dsir_weights``
+    (one corpus shuffle; distributions ride broadcasts). The top-k cut
+    is TakeOrderedAndProject (k rows to the driver, never a global
+    sort) and the selected-flag re-attach broadcasts those k ids."""
+    from ..operators import sampling
+
+    d = spread(T(spark, sf_dir, "documents"))
+    scores = sampling.dsir_weights(
+        d, "doc_id", "text", F.col("lang") == "en", buckets=_DSIR_BUCKETS
+    )
+    topk = (
+        scores.orderBy(F.col("avg_logratio").desc(), F.col("id").asc())
+        .limit(_DSIR_TOPK)
+        .select(F.col("id").alias("_sel_id"))
+    )
+    return scores.join(
+        F.broadcast(topk), scores["id"] == F.col("_sel_id"), "left"
+    ).select(
+        F.col("id").alias("doc_id"),
+        "gram_ct",
+        "avg_logratio",
+        F.col("_sel_id").isNotNull().alias("selected"),
+    )
+
+
+# ===========================================================================
+# Snapshot diff (incremental-corpus reconciliation)
+# ===========================================================================
+
+def _sql_fingerprint(txt: str) -> str:
+    """DuckDB twin of functions.text.doc_fingerprint over a text expr."""
+    toks = f"string_split_regex(trim({txt}), '\\s+')"
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform({toks}, t2 -> {_sql_token_hash('t2')})), "
+        f"(acc, x) -> (acc * {HASH_BASE} + x) % {HASH_MOD})"
+    )
+
+
+@_register(
+    "corpus_snapshot_diff",
+    # Replays both snapshot constructions (salted-hash membership, the
+    # deterministic 'rev2' edit) and the full-outer fingerprint diff.
+    oracle=f"""
+WITH a AS (
+    SELECT doc_id, {_sql_fingerprint('text')} AS fp_old
+    FROM documents
+    WHERE {_sql_token_hash("'snapA|' || CAST(doc_id AS VARCHAR)")} % 1000 < 900
+),
+b AS (
+    SELECT doc_id,
+           {_sql_fingerprint(
+               "CASE WHEN " + _sql_token_hash("'edit|' || CAST(doc_id AS VARCHAR)")
+               + " % 1000 < 100 THEN text || ' rev2' ELSE text END")} AS fp_new
+    FROM documents
+    WHERE {_sql_token_hash("'snapB|' || CAST(doc_id AS VARCHAR)")} % 1000 < 900
+)
+SELECT coalesce(a.doc_id, b.doc_id) AS id,
+       CASE WHEN a.doc_id IS NULL THEN 'added'
+            WHEN b.doc_id IS NULL THEN 'removed'
+            WHEN a.fp_old = b.fp_new THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       a.fp_old, b.fp_new
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+""",
+    tags=("diff", "versioning", "incremental"),
+    bench=True,
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (operators.diff.snapshot_diff): two
+    corpus versions — membership and a 10% deterministic edit derived
+    from salted hashes of the doc id, so both engines construct the
+    identical snapshots — full-outer-joined on the id, fingerprints
+    compared, per-doc added/removed/changed/unchanged status. The
+    incremental-processing entry point of a refreshed 100 TB corpus:
+    downstream dedup/embedding stages consume the delta, not the world."""
+    from ..operators import diff as diff_ops
+    from ..operators.sampling import hash_bucket
+
+    d = spread(T(spark, sf_dir, "documents"))
+    snap_a = d.filter(hash_bucket(F.col("doc_id"), "snapA") < 900).select(
+        "doc_id", text.doc_fingerprint(F.col("text")).alias("fp")
+    )
+    edited = F.when(
+        hash_bucket(F.col("doc_id"), "edit") < 100,
+        F.concat(F.col("text"), F.lit(" rev2")),
+    ).otherwise(F.col("text"))
+    snap_b = d.filter(hash_bucket(F.col("doc_id"), "snapB") < 900).select(
+        "doc_id", text.doc_fingerprint(edited).alias("fp")
+    )
+    return diff_ops.snapshot_diff(snap_a, snap_b, "doc_id", "fp")
+
+
+# ===========================================================================
+# Embedding outlier scoring (embedding-space curation)
+# ===========================================================================
+
+@_register(
+    "embedding_outlier_scores",
+    # The same two-Lloyd-step codebook replay as semantic_dedup_flags,
+    # then rounded cosine to the OWN centroid, ascending rank, and the
+    # integer ceil(n/20) per-cell cutoff.
+    oracle=f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+c0 AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS ce
+    FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 16)
+),
+{_lloyd_sql('c0', 'oa1', 'om1', 'oc1')},
+{_lloyd_sql('oc1', 'oa2', 'om2', 'oc2')},
+assigned AS (
+    SELECT v.vec_id AS id, v.e, b.cell
+    FROM v
+    JOIN LATERAL (
+        SELECT c.cell, {_cos_sql('v.e', 'c.ce')} AS sim
+        FROM oc2 c ORDER BY sim DESC, c.cell ASC LIMIT 1
+    ) b ON TRUE
+),
+scored AS (
+    SELECT a.id, a.cell, {_cos_sql('a.e', 'c.ce')} AS centroid_cos
+    FROM assigned a JOIN oc2 c USING (cell)
+),
+ranked AS (
+    SELECT id, cell, centroid_cos,
+           row_number() OVER (PARTITION BY cell
+                              ORDER BY centroid_cos ASC, id ASC) AS cell_rank,
+           count(*) OVER (PARTITION BY cell) AS n
+    FROM scored
+)
+SELECT id, cell, centroid_cos, cell_rank,
+       cell_rank <= floor((n + 19) / 20) AS is_outlier
+FROM ranked
+""",
+    tags=("embedding", "outlier", "quality", "kmeans"),
+    bench=True,
+)
+def embedding_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier curation (operators.ann.embedding_outliers):
+    the quality twin of SemDeDup — vectors FARTHEST from their k-means
+    centroid (bottom 5% of each cell, integer cutoff) are flagged as
+    off-distribution/garbage candidates. Shares the deterministic
+    codebook (16 cells, 2 Lloyd steps) and the map-only cell_assign
+    stage with semantic_dedup_flags, so the oracle replays both."""
+    e = spread(T(spark, sf_dir, "embeddings"))
+    cb = ann.kmeans_codebook(e, "vec_id", "embedding", k=16, iters=2)
+    return ann.embedding_outliers(e, "vec_id", "embedding", cb, denom=20)

@@ -75,6 +75,12 @@ PARITY_SUBSET = [
     "minhash_lsh_candidates",
     # new late-r04 retrieval entry (in-window)
     "bm25_keyword_topk",
+    # rotated OUT of the driver window for the fifth wave — still gated here
+    "doc_text_stats",
+    # fifth-wave entries (in-window)
+    "dsir_importance_select",
+    "corpus_snapshot_diff",
+    "embedding_outlier_scores",
 ]
 
 

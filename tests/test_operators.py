@@ -1155,3 +1155,110 @@ class TestNewOpEdgeCases:
         # single source: weight 1, rate = target_frac exactly
         assert row["weight"] == 1.0 and row["rate_ppm"] == 500_000
         assert 0 < row["n_accepted"] < 400
+
+
+class TestDsirWeights:
+    def test_target_like_docs_score_higher(self, spark):
+        """Docs sharing the target slice's vocabulary must outrank docs
+        made of raw-only vocabulary — the defining DSIR property."""
+        from pyspark.sql import functions as F
+        from hebrew_tutor_data_pipeline_spark.operators.sampling import dsir_weights
+
+        target = [(i, "alpha beta gamma delta epsilon zeta", True) for i in range(20)]
+        like_t = [(100 + i, "alpha beta gamma delta", False) for i in range(5)]
+        unlike = [(200 + i, "rock stone sand gravel pebble dust", False) for i in range(5)]
+        df = spark.createDataFrame(target + like_t + unlike, ["id", "text", "is_t"])
+        w = {
+            r["id"]: r["avg_logratio"]
+            for r in dsir_weights(df, "id", "text", F.col("is_t")).collect()
+        }
+        assert min(w[100 + i] for i in range(5)) > max(w[200 + i] for i in range(5))
+
+    def test_deterministic_under_repartition(self, spark):
+        from pyspark.sql import functions as F
+        from hebrew_tutor_data_pipeline_spark.operators.sampling import dsir_weights
+
+        rows = [(i, f"tok{i % 17} tok{i % 5} tok{i % 3}", i % 4 == 0) for i in range(300)]
+        a = spark.createDataFrame(rows, ["id", "text", "is_t"])
+        b = a.repartition(13)
+        ra = sorted(map(tuple, dsir_weights(a, "id", "text", F.col("is_t")).collect()))
+        rb = sorted(map(tuple, dsir_weights(b, "id", "text", F.col("is_t")).collect()))
+        assert ra == rb
+        assert len(ra) == 300
+
+
+class TestSnapshotDiff:
+    def test_all_four_statuses(self, spark):
+        from hebrew_tutor_data_pipeline_spark.operators.diff import snapshot_diff
+
+        old = spark.createDataFrame(
+            [(1, 11), (2, 22), (3, 33)], ["id", "fp"]
+        )
+        new = spark.createDataFrame(
+            [(2, 22), (3, 99), (4, 44)], ["id", "fp"]
+        )
+        got = {r["id"]: r["status"] for r in snapshot_diff(old, new, "id", "fp").collect()}
+        assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+    def test_disjoint_and_empty(self, spark):
+        from hebrew_tutor_data_pipeline_spark.operators.diff import snapshot_diff
+
+        old = spark.createDataFrame([(1, 10)], ["id", "fp"])
+        empty = spark.createDataFrame([], "id long, fp long")
+        assert [tuple(r) for r in snapshot_diff(old, empty, "id", "fp").collect()] == [
+            (1, "removed", 10, None)
+        ]
+        assert [tuple(r) for r in snapshot_diff(empty, old, "id", "fp").collect()] == [
+            (1, "added", None, 10)
+        ]
+        assert snapshot_diff(empty, empty, "id", "fp").count() == 0
+
+
+class TestEmbeddingOutliers:
+    def _corpus(self, spark):
+        # two tight clusters on orthogonal axes + one far stray per cluster
+        rows = []
+        for i in range(30):
+            rows.append((i, [10.0 + (i % 3) * 0.01, 0.1, 0.0]))
+        for i in range(30, 60):
+            rows.append((i, [0.1, 10.0 + (i % 3) * 0.01, 0.0]))
+        rows.append((98, [7.0, 0.2, 7.0]))   # stray near cluster 1's axis plane
+        rows.append((99, [0.2, 7.0, 7.0]))   # stray near cluster 2's
+        return spark.createDataFrame(rows, ["id", "vec"])
+
+    def test_strays_flagged_and_cutoff_exact(self, spark):
+        import math
+        from hebrew_tutor_data_pipeline_spark.operators.ann import (
+            embedding_outliers,
+            kmeans_codebook,
+        )
+
+        df = self._corpus(spark)
+        cb = kmeans_codebook(df, "id", "vec", k=2, iters=2)
+        out = embedding_outliers(df, "id", "vec", cb, denom=20).collect()
+        flagged = {r["id"] for r in out if r["is_outlier"]}
+        assert {98, 99} <= flagged
+        # integer cutoff: each cell flags exactly ceil(n/20)
+        by_cell: dict[int, list] = {}
+        for r in out:
+            by_cell.setdefault(r["cell"], []).append(r)
+        for cell, rows in by_cell.items():
+            n_flag = sum(1 for r in rows if r["is_outlier"])
+            assert n_flag == math.ceil(len(rows) / 20)
+            # flagged rows are exactly the lowest-cosine ranks
+            ranks = sorted(r["cell_rank"] for r in rows if r["is_outlier"])
+            assert ranks == list(range(1, n_flag + 1))
+
+    def test_deterministic_under_repartition(self, spark):
+        from hebrew_tutor_data_pipeline_spark.operators.ann import (
+            embedding_outliers,
+            kmeans_codebook,
+        )
+
+        df = self._corpus(spark)
+        cb = kmeans_codebook(df, "id", "vec", k=2, iters=2)
+        ra = sorted(map(tuple, embedding_outliers(df, "id", "vec", cb).collect()))
+        rb = sorted(
+            map(tuple, embedding_outliers(df.repartition(7), "id", "vec", cb).collect())
+        )
+        assert ra == rb

@@ -215,6 +215,22 @@ EXPECTATIONS: dict[str, list[tuple[bool, str, str]]] = {
         (True, "!CartesianProduct", "no all-pairs plan"),
         (True, "!SortMergeJoin", "ranking join never shuffles the corpus"),
     ],
+    "dsir_importance_select": [
+        (True, "TakeOrderedAndProject", "selection cut is top-k, never a global sort"),
+        (True, "BroadcastHashJoin", "log-ratio table and selected ids broadcast; corpus shuffles once"),
+        (True, "HashAggregate", "bucket counts map-side combined"),
+        (True, "!BatchEvalPython", "hashed-n-gram featurization stays JVM-side"),
+    ],
+    "corpus_snapshot_diff": [
+        (True, "SortMergeJoin FullOuter", "delta reconciliation is ONE full-outer SMJ on the id"),
+        (True, "!BatchEvalPython", "fingerprints computed JVM-side"),
+    ],
+    "embedding_outlier_scores": [
+        (True, "MapInPandas", "cell assignment is the broadcast-GEMM Arrow stage"),
+        (True, "BroadcastHashJoin", "k-row codebook broadcast for the centroid re-attach"),
+        (True, "Window", "rank + cell count share one per-cell window shuffle"),
+        (True, "!CartesianProduct", "no all-pairs plan"),
+    ],
 }
 
 
