@@ -832,12 +832,12 @@ _BM25_TERMS = ("spark", "join", "window")
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 
 
-@_register(
-    "bm25_keyword_topk",
-    # Identical decimal literals (2.2, 1.2, 0.25, 0.75) on both engines
-    # parse to the same doubles; per-term contributions round 8 dp
-    # before the 6 dp sum so summation order can't flip the hash.
-    oracle=f"""
+# Shared BM25 CTE chain ending in ``bmt`` (the top-20 result) so the
+# plain keyword query and the PRF rerank replay the IDENTICAL scorer.
+# Identical decimal literals (2.2, 1.2, 0.25, 0.75) on both engines
+# parse to the same doubles; per-term contributions round 8 dp before
+# the 6 dp sum so summation order can't flip the hash.
+_BM25_CTES_SQL = f"""
 WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
 dl AS (SELECT doc_id, len(toks) AS dl FROM t),
 st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
@@ -857,11 +857,17 @@ sc AS (
            round(idf.idf * (tf.tf * 2.2)
                  / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)), 8) AS contrib
     FROM tf JOIN idf USING (w) JOIN dl USING (doc_id) CROSS JOIN st
-)
-SELECT doc_id, count(*) AS n_terms, round(sum(contrib), 6) AS bm25
-FROM sc GROUP BY doc_id
-ORDER BY bm25 DESC, doc_id ASC LIMIT 20
-""",
+),
+bmt AS (
+    SELECT doc_id, count(*) AS n_terms, round(sum(contrib), 6) AS bm25
+    FROM sc GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+)"""
+
+
+@_register(
+    "bm25_keyword_topk",
+    oracle=_BM25_CTES_SQL + "\nSELECT doc_id, n_terms, bm25 FROM bmt\n",
     tags=("retrieval", "bm25", "text-analysis"),
     bench=True,
 )
@@ -878,6 +884,12 @@ def bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the N/avgdl scalars are tiny aggregates broadcast back; the
     final ranking is a global top-k (TakeOrderedAndProject — never a
     full sort). No Python anywhere."""
+    return _bm25_topk(spark, sf_dir)
+
+
+def _bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared BM25 top-20 scorer (see bm25_keyword_topk docstring);
+    also the candidate generator for bm25_prf_rerank."""
     d = spread(T(spark, sf_dir, "documents"))
     dl = d.select(
         "doc_id", text.whitespace_token_count(F.col("text")).alias("dl")
@@ -921,6 +933,79 @@ def bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_terms"), F.round(F.sum("contrib"), 6).alias("bm25"))
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(20)
+    )
+
+
+@_register(
+    "bm25_prf_rerank",
+    # Appends the PRF stages to the shared BM25 CTE chain: top-3 docs,
+    # per-dimension 8-dp centroid, 6-dp cosine rerank. Parallel unnest
+    # zips the vector with its subscripts; the centroid re-assembles
+    # with list(v ORDER BY pos) — position-keyed on both engines.
+    oracle=_BM25_CTES_SQL + f""",
+p3 AS (SELECT doc_id FROM bmt ORDER BY bm25 DESC, doc_id ASC LIMIT 3),
+cent AS (
+    SELECT pos, round(avg(x), 8) AS v
+    FROM (SELECT unnest(CAST(e.embedding AS DOUBLE[])) AS x,
+                 unnest(generate_series(1, len(e.embedding))) AS pos
+          FROM embeddings e JOIN p3 ON e.vec_id = p3.doc_id)
+    GROUP BY pos
+),
+cv AS (SELECT list(v ORDER BY pos) AS c FROM cent),
+rr AS (
+    SELECT b.doc_id, b.bm25,
+           {_cos_sql('CAST(e.embedding AS DOUBLE[])', '(SELECT c FROM cv)')} AS prf_cos
+    FROM bmt b JOIN embeddings e ON e.vec_id = b.doc_id
+)
+SELECT doc_id, bm25, prf_cos,
+       row_number() OVER (ORDER BY prf_cos DESC, doc_id ASC) AS rank
+FROM rr
+""",
+    tags=("retrieval", "bm25", "embedding", "hybrid"),
+    bench=True,
+)
+def bm25_prf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical candidates reranked by embedding
+    cosine to a pseudo-relevance-feedback centroid (Rocchio 1971 /
+    blind-feedback IR; the lexical-recall + dense-precision two-stage
+    shape of modern retrieval stacks). The top-3 BM25 docs' embeddings
+    average into a query vector; the 20 candidates rerank by cosine.
+
+    Plan shape / 100 TB posture: the candidate stage is the BM25 plan
+    (posting-list read + TakeOrderedAndProject); everything after it
+    operates on ≤20 rows — the PRF centroid is a 3-vector aggregate, it
+    rides a 1-row broadcast crossJoin onto the candidates, and the
+    embedding attach joins 20 ids against the (bucketable) embeddings
+    table. The final row_number window sorts 20 rows — a driver-trivial
+    single partition by construction, not a corpus sort."""
+    from ..functions.similarity import cosine_similarity
+
+    top = _bm25_topk(spark, sf_dir)
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    p3 = top.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(3)
+    cent = (
+        p3.join(e, p3["doc_id"] == e["vec_id"])
+        .select(F.posexplode("e").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.round(F.avg("x"), 8).alias("v"))
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("s"))
+        .select(F.transform("s", lambda r: r["v"]).alias("c"))
+    )
+    rr = (
+        top.join(e, top["doc_id"] == e["vec_id"])
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "doc_id",
+            "bm25",
+            F.round(cosine_similarity(F.col("e"), F.col("c")), 6).alias("prf_cos"),
+        )
+    )
+    w = Window.orderBy(F.col("prf_cos").desc(), F.col("doc_id").asc())
+    return rr.select(
+        "doc_id", "bm25", "prf_cos", F.row_number().over(w).alias("rank")
     )
 
 

@@ -81,6 +81,9 @@ PARITY_SUBSET = [
     "dsir_importance_select",
     "corpus_snapshot_diff",
     "embedding_outlier_scores",
+    "bm25_prf_rerank",
+    # rotated OUT for bm25_prf_rerank — still gated here
+    "chapter_filenames",
 ]
 
 

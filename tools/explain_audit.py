@@ -225,6 +225,11 @@ EXPECTATIONS: dict[str, list[tuple[bool, str, str]]] = {
         (True, "SortMergeJoin FullOuter", "delta reconciliation is ONE full-outer SMJ on the id"),
         (True, "!BatchEvalPython", "fingerprints computed JVM-side"),
     ],
+    "bm25_prf_rerank": [
+        (True, "TakeOrderedAndProject", "lexical candidate cut is top-k, never a global sort"),
+        (True, "!BatchEvalPython", "centroid + cosine rerank stay JVM-side"),
+        (True, "!CartesianProduct", "the only cross join is the 1-row PRF centroid broadcast"),
+    ],
     "embedding_outlier_scores": [
         (True, "MapInPandas", "cell assignment is the broadcast-GEMM Arrow stage"),
         (True, "BroadcastHashJoin", "k-row codebook broadcast for the centroid re-attach"),
