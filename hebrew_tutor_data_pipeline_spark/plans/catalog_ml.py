@@ -292,7 +292,7 @@ def dedup_exact_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH d AS (
     SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
                         ELSE string_split_regex(trim(text), '\\s+') END AS t
-    FROM documents
+    FROM __SRC__
 ), g AS (
     -- mirror of ngram_jaccard_pairs' short-doc rule: an empty doc emits
     -- no shingles, a doc shorter than n emits its single joined shingle
@@ -1500,7 +1500,7 @@ def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH d AS (
     SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
                         ELSE string_split_regex(trim(text), '\\s+') END AS t
-    FROM documents
+    FROM __SRC__
 ), g AS (
     -- same short-doc shingle rule as the jaccard oracle / word_ngrams
     SELECT doc_id, doc_id % 17 = 3 AS is_bench,
@@ -1547,11 +1547,18 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shared oracle fragment: documents → m(doc_id, n_tokens, mean_token_len,
 # top_bigram_frac, dup_trigram_frac) — the Gopher-rule inputs, reused by
 # the funnel report below.
-_QUALITY_M_SQL = """
+def _quality_m_sql(src: str = "documents") -> str:
+    """The quality-metric CTE chain (d → g → m) over any (doc_id, text)
+    source — shared by the gopher gate, the funnel, and the incremental
+    delta gate so all three replay identical list arithmetic."""
+    return _QUALITY_M_TEMPLATE.replace("FROM __SRC__", f"FROM {src}")
+
+
+_QUALITY_M_TEMPLATE = """
 d AS (
     SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
                         ELSE string_split_regex(trim(text), '\\s+') END AS t
-    FROM documents
+    FROM __SRC__
 ), g AS (
     SELECT doc_id, len(t) AS n_tokens,
            round(coalesce(list_sum(list_transform(t, x -> len(x)))
@@ -1574,6 +1581,8 @@ d AS (
                      c -> c > 1)), 0) / len(g3), 6) AS dup_trigram_frac
     FROM g
 )"""
+
+_QUALITY_M_SQL = _quality_m_sql()
 
 #: the keep decision over m's columns (SQL text shared by both queries)
 _QUALITY_KEEP_SQL = (
@@ -2104,3 +2113,111 @@ def embedding_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spread(T(spark, sf_dir, "embeddings"))
     cb = ann.kmeans_codebook(e, "vec_id", "embedding", k=16, iters=2)
     return ann.embedding_outliers(e, "vec_id", "embedding", cb, denom=20)
+
+
+# ===========================================================================
+# Incremental curation delta (snapshot diff × quality gate composition)
+# ===========================================================================
+
+def _quality_metrics(d: DataFrame) -> DataFrame:
+    """Spark twin of _quality_m_sql's m CTE over any (doc_id, text)
+    frame: tokens and gram arrays materialize as columns before the
+    counting lambdas touch them (top_ngram_fraction's contract)."""
+    staged = (
+        d.withColumn("_toks", text.whitespace_tokens(F.col("text")))
+        .withColumn("_g2", text.word_ngrams(F.col("_toks"), 2))
+        .withColumn("_g3", text.word_ngrams(F.col("_toks"), 3))
+    )
+    return staged.select(
+        "doc_id",
+        F.size("_toks").alias("n_tokens"),
+        text.mean_token_len(F.col("text")).alias("mean_token_len"),
+        text.top_ngram_fraction(F.col("_g2")).alias("top_bigram_frac"),
+        text.duplicate_ngram_fraction(F.col("_g3")).alias("dup_trigram_frac"),
+    )
+
+
+@_register(
+    "incremental_curation_delta",
+    # Composes the snapshot-diff construction (same salted hashes and
+    # fingerprints as corpus_snapshot_diff) with the quality CTE chain
+    # re-pointed at the delta — the oracle proves the composed pipeline,
+    # not just its stages.
+    oracle=f"""
+WITH bsnap AS (
+    SELECT doc_id,
+           CASE WHEN {_sql_token_hash("'edit|' || CAST(doc_id AS VARCHAR)")} % 1000 < 100
+                THEN text || ' rev2' ELSE text END AS text
+    FROM documents
+    WHERE {_sql_token_hash("'snapB|' || CAST(doc_id AS VARCHAR)")} % 1000 < 900
+),
+aold AS (
+    SELECT doc_id, {_sql_fingerprint('text')} AS fp_old
+    FROM documents
+    WHERE {_sql_token_hash("'snapA|' || CAST(doc_id AS VARCHAR)")} % 1000 < 900
+),
+delta AS (
+    SELECT b.doc_id, b.text,
+           CASE WHEN a.doc_id IS NULL THEN 'added' ELSE 'changed' END AS status
+    FROM (SELECT doc_id, text, {_sql_fingerprint('text')} AS fp_new FROM bsnap) b
+    LEFT JOIN aold a USING (doc_id)
+    WHERE a.doc_id IS NULL OR a.fp_old <> b.fp_new
+),
+{_quality_m_sql('delta')}
+SELECT m.doc_id, delta.status, m.n_tokens, m.mean_token_len,
+       m.top_bigram_frac, m.dup_trigram_frac,
+       {_QUALITY_KEEP_SQL} AS keep
+FROM m JOIN delta USING (doc_id)
+""",
+    tags=("diff", "incremental", "quality", "curation"),
+    bench=True,
+)
+def incremental_curation_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental curation: quality-gate ONLY the documents that are
+    new or edited since the previous snapshot — the composition that
+    makes a 100 TB refresh affordable (gate cost scales with the delta,
+    not the corpus; the unchanged 90% is never re-tokenized).
+
+    Plan shape: the delta detection is corpus_snapshot_diff's
+    fingerprint left-join (digests shuffle once); the Gopher-rule gate
+    then runs map-only on the surviving rows. Downstream consumers
+    (dedup index refresh, re-embedding) key off the same delta."""
+    from ..operators.sampling import hash_bucket
+
+    d = spread(T(spark, sf_dir, "documents"))
+    edited = F.when(
+        hash_bucket(F.col("doc_id"), "edit") < 100,
+        F.concat(F.col("text"), F.lit(" rev2")),
+    ).otherwise(F.col("text"))
+    bsnap = d.filter(hash_bucket(F.col("doc_id"), "snapB") < 900).select(
+        "doc_id",
+        edited.alias("text"),
+    )
+    b = bsnap.withColumn("fp_new", text.doc_fingerprint(F.col("text")))
+    a = d.filter(hash_bucket(F.col("doc_id"), "snapA") < 900).select(
+        "doc_id", text.doc_fingerprint(F.col("text")).alias("fp_old")
+    )
+    delta = (
+        b.join(a, "doc_id", "left")
+        .filter(F.col("fp_old").isNull() | (F.col("fp_old") != F.col("fp_new")))
+        .select(
+            "doc_id",
+            "text",
+            F.when(F.col("fp_old").isNull(), F.lit("added"))
+            .otherwise(F.lit("changed"))
+            .alias("status"),
+        )
+    )
+    m = _quality_metrics(delta)
+    pass_rep = (F.col("top_bigram_frac") <= 0.1) & (F.col("dup_trigram_frac") <= 0.1)
+    pass_len = F.col("n_tokens").between(30, 10000)
+    pass_wl = F.col("mean_token_len").between(3, 10)
+    return m.join(delta.select("doc_id", "status"), "doc_id").select(
+        "doc_id",
+        "status",
+        "n_tokens",
+        "mean_token_len",
+        "top_bigram_frac",
+        "dup_trigram_frac",
+        (pass_rep & pass_len & pass_wl).alias("keep"),
+    )

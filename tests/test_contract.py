@@ -82,7 +82,8 @@ PARITY_SUBSET = [
     "corpus_snapshot_diff",
     "embedding_outlier_scores",
     "bm25_prf_rerank",
-    # rotated OUT for bm25_prf_rerank — still gated here
+    "incremental_curation_delta",
+    # rotated OUT for the fifth wave — still gated here
     "chapter_filenames",
 ]
 

@@ -225,6 +225,11 @@ EXPECTATIONS: dict[str, list[tuple[bool, str, str]]] = {
         (True, "SortMergeJoin FullOuter", "delta reconciliation is ONE full-outer SMJ on the id"),
         (True, "!BatchEvalPython", "fingerprints computed JVM-side"),
     ],
+    "incremental_curation_delta": [
+        (True, "SortMergeJoin|BroadcastHashJoin", "delta detection is the fingerprint join; no rescan-the-world"),
+        (True, "!BatchEvalPython", "gate arithmetic stays JVM-side"),
+        (True, "!CartesianProduct", "no all-pairs plan"),
+    ],
     "bm25_prf_rerank": [
         (True, "TakeOrderedAndProject", "lexical candidate cut is top-k, never a global sort"),
         (True, "!BatchEvalPython", "centroid + cosine rerank stay JVM-side"),
