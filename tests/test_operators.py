@@ -1262,3 +1262,42 @@ class TestEmbeddingOutliers:
             map(tuple, embedding_outliers(df.repartition(7), "id", "vec", cb).collect())
         )
         assert ra == rb
+
+
+class TestCurationInvariants:
+    def test_dsir_weights_duplication_invariant(self, spark):
+        """Weights are content-addressed: in a corpus where every doc
+        appears twice under different ids, each clone must score EXACTLY
+        like its original (same text + same flag -> same weight, no id
+        or partition dependence), and the defining target-vs-raw
+        separation must survive the duplication."""
+        from pyspark.sql import functions as F
+        from hebrew_tutor_data_pipeline_spark.operators.sampling import dsir_weights
+
+        rows = [(i, f"w{i % 11} w{i % 7} w{i % 5} w{i % 3}", i % 3 == 0) for i in range(120)]
+        base = spark.createDataFrame(rows, ["id", "text", "is_t"])
+        doubled = base.union(
+            base.select((F.col("id") + 1000).alias("id"), "text", "is_t")
+        )
+        wa = {r["id"]: r["avg_logratio"]
+              for r in dsir_weights(base, "id", "text", F.col("is_t")).collect()}
+        wb = {r["id"]: r["avg_logratio"]
+              for r in dsir_weights(doubled, "id", "text", F.col("is_t")).collect()}
+        assert set(wb) == set(wa) | {k + 1000 for k in wa}
+        for k in wa:
+            assert wb[k] == wb[k + 1000]
+
+    def test_snapshot_diff_swap_symmetry(self, spark):
+        from hebrew_tutor_data_pipeline_spark.operators.diff import snapshot_diff
+
+        old = spark.createDataFrame([(1, 11), (2, 22), (3, 33)], ["id", "fp"])
+        new = spark.createDataFrame([(2, 22), (3, 99), (4, 44)], ["id", "fp"])
+        fwd = {r["id"]: r for r in snapshot_diff(old, new, "id", "fp").collect()}
+        rev = {r["id"]: r for r in snapshot_diff(new, old, "id", "fp").collect()}
+        swap = {"added": "removed", "removed": "added",
+                "changed": "changed", "unchanged": "unchanged"}
+        assert set(fwd) == set(rev)
+        for i in fwd:
+            assert rev[i]["status"] == swap[fwd[i]["status"]]
+            assert rev[i]["fp_old"] == fwd[i]["fp_new"]
+            assert rev[i]["fp_new"] == fwd[i]["fp_old"]
