@@ -750,6 +750,26 @@ def ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.ivf_topk(e, q, "vec_id", "embedding", k=10, num_cells=16, nprobe=4)
 
 
+
+# One deterministic codebook serves every consumer (IVF probe, SemDeDup
+# blocking, outlier scoring): training is a pure function of the table
+# and hyperparameters, so it is memoized per process — the same move a
+# production deployment makes by persisting the codebook as a model
+# artifact instead of re-running Lloyd per query.
+_CODEBOOK_CACHE: dict[tuple, list] = {}
+
+
+def _embeddings_codebook(spark: SparkSession, sf_dir: str, k: int = 16, iters: int = 2):
+    key = (sf_dir, k, iters)
+    if key not in _CODEBOOK_CACHE:
+        e = spread(T(spark, sf_dir, "embeddings"))
+        _CODEBOOK_CACHE[key] = ann.kmeans_codebook(
+            e, "vec_id", "embedding", k=k, iters=iters
+        )
+    return _CODEBOOK_CACHE[key]
+
+
+
 @_register(
     "ann_ivf_kmeans_top10",
     # The "iterative algorithms have no SQL twin" assumption was wrong
@@ -769,6 +789,7 @@ c0 AS (
 """,
     tags=("ann", "ivf", "kmeans", "iterative"),
 )
+
 def ann_ivf_kmeans_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-10 probing a TRAINED codebook: two deterministic Lloyd
     iterations (no RNG — init is the smallest-id vectors, ties resolved
@@ -778,7 +799,7 @@ def ann_ivf_kmeans_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook ever reaches the driver."""
     e = spread(T(spark, sf_dir, "embeddings"))
     q = e.filter(F.col("vec_id") < 5)
-    cb = ann.kmeans_codebook(e, "vec_id", "embedding", k=16, iters=2)
+    cb = _embeddings_codebook(spark, sf_dir)
     return ann.ivf_topk(e, q, "vec_id", "embedding", k=10, nprobe=4, codebook=cb)
 
 
@@ -823,7 +844,7 @@ def semantic_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule. One flag row per vector — the curation-pipeline face of
     embedding dedup, complementing the pair-producing LSH tier."""
     e = spread(T(spark, sf_dir, "embeddings"))
-    cb = ann.kmeans_codebook(e, "vec_id", "embedding", k=16, iters=2)
+    cb = _embeddings_codebook(spark, sf_dir)
     out = dedup.semantic_dedup(e, "vec_id", "embedding", codebook=cb, tau=0.35)
     return out.withColumnRenamed("id", "vec_id")
 
@@ -2111,7 +2132,7 @@ def embedding_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook (16 cells, 2 Lloyd steps) and the map-only cell_assign
     stage with semantic_dedup_flags, so the oracle replays both."""
     e = spread(T(spark, sf_dir, "embeddings"))
-    cb = ann.kmeans_codebook(e, "vec_id", "embedding", k=16, iters=2)
+    cb = _embeddings_codebook(spark, sf_dir)
     return ann.embedding_outliers(e, "vec_id", "embedding", cb, denom=20)
 
 
