@@ -41,13 +41,24 @@ def snapshot_diff(
     disappears entirely. Status derivation is map-side column
     arithmetic after the join.
     """
-    o = old.select(F.col(id_col).alias("id"), F.col(fp_col).alias("fp_old"))
-    n = new.select(F.col(id_col).alias("id"), F.col(fp_col).alias("fp_new"))
+    o = old.select(
+        F.col(id_col).alias("id"),
+        F.col(fp_col).alias("fp_old"),
+        F.lit(True).alias("_in_old"),
+    )
+    n = new.select(
+        F.col(id_col).alias("id"),
+        F.col(fp_col).alias("fp_new"),
+        F.lit(True).alias("_in_new"),
+    )
     j = o.join(n, "id", "full_outer")
+    # membership comes from explicit per-side markers, NOT from
+    # fingerprint NULL-ness: a legitimately NULL digest (e.g. a NULL
+    # text column) must not masquerade as an add/remove
     status = (
-        F.when(F.col("fp_old").isNull(), F.lit("added"))
-        .when(F.col("fp_new").isNull(), F.lit("removed"))
-        .when(F.col("fp_old") == F.col("fp_new"), F.lit("unchanged"))
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(F.col("fp_old").eqNullSafe(F.col("fp_new")), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )
     return j.select("id", status.alias("status"), "fp_old", "fp_new")

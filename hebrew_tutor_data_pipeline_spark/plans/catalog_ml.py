@@ -292,7 +292,7 @@ def dedup_exact_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH d AS (
     SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
                         ELSE string_split_regex(trim(text), '\\s+') END AS t
-    FROM __SRC__
+    FROM documents
 ), g AS (
     -- mirror of ngram_jaccard_pairs' short-doc rule: an empty doc emits
     -- no shingles, a doc shorter than n emits its single joined shingle
@@ -1521,7 +1521,7 @@ def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH d AS (
     SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
                         ELSE string_split_regex(trim(text), '\\s+') END AS t
-    FROM __SRC__
+    FROM documents
 ), g AS (
     -- same short-doc shingle rule as the jaccard oracle / word_ngrams
     SELECT doc_id, doc_id % 17 = 3 AS is_bench,
@@ -1638,20 +1638,7 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     no Python and no shuffle; the oracle reruns identical list
     arithmetic."""
     d = spread(T(spark, sf_dir, "documents"))
-    # tokens and gram arrays materialize as columns before the counting
-    # lambdas touch them (see top_ngram_fraction's contract)
-    staged = (
-        d.withColumn("_toks", text.whitespace_tokens(F.col("text")))
-        .withColumn("_g2", text.word_ngrams(F.col("_toks"), 2))
-        .withColumn("_g3", text.word_ngrams(F.col("_toks"), 3))
-    )
-    m = staged.select(
-        "doc_id",
-        F.size("_toks").alias("n_tokens"),
-        text.mean_token_len(F.col("text")).alias("mean_token_len"),
-        text.top_ngram_fraction(F.col("_g2")).alias("top_bigram_frac"),
-        text.duplicate_ngram_fraction(F.col("_g3")).alias("dup_trigram_frac"),
-    )
+    m = _quality_metrics(d)
     pass_rep = (F.col("top_bigram_frac") <= 0.1) & (F.col("dup_trigram_frac") <= 0.1)
     pass_len = F.col("n_tokens").between(30, 10000)
     pass_wl = F.col("mean_token_len").between(3, 10)
@@ -1660,7 +1647,7 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass_rep.alias("pass_repetition"),
         pass_len.alias("pass_length"),
         pass_wl.alias("pass_word_len"),
-        (pass_rep & pass_len & pass_wl).alias("keep"),
+        _quality_keep().alias("keep"),
     )
 
 
@@ -1847,27 +1834,8 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import sampling
 
     d = spread(T(spark, sf_dir, "documents"))
-    staged = (
-        d.withColumn("_toks", text.whitespace_tokens(F.col("text")))
-        .withColumn("_g2", text.word_ngrams(F.col("_toks"), 2))
-        .withColumn("_g3", text.word_ngrams(F.col("_toks"), 3))
-    )
-    m = staged.select(
-        "doc_id",
-        "lang",
-        "text",
-        F.size("_toks").alias("n_tokens"),
-        text.mean_token_len(F.col("text")).alias("mean_token_len"),
-        text.top_ngram_fraction(F.col("_g2")).alias("top_bigram_frac"),
-        text.duplicate_ngram_fraction(F.col("_g3")).alias("dup_trigram_frac"),
-    )
-    keep_q = (
-        (F.col("top_bigram_frac") <= 0.1)
-        & (F.col("dup_trigram_frac") <= 0.1)
-        & F.col("n_tokens").between(30, 10000)
-        & F.col("mean_token_len").between(3, 10)
-    )
-    k = m.withColumn("keep_q", keep_q)
+    m = _quality_metrics(d, extra=("lang", "text"))
+    k = m.withColumn("keep_q", _quality_keep())
     w = Window.partitionBy(F.md5("text"), "keep_q").orderBy("doc_id")
     s = k.withColumn("rn", F.row_number().over(w)).select(
         "lang",
@@ -1950,7 +1918,9 @@ _DSIR_GRAMS_SQL = f"""
                           ELSE list_transform(generate_series(1, len(toks) - 1),
                                               i -> toks[i] || ' ' || toks[i + 1])
                      END)) AS gram
-          FROM (SELECT doc_id, lang = 'en' AS is_t, {_TOKENS_SQL} AS toks
+          FROM (SELECT doc_id, lang = 'en' AS is_t,
+                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE {_TOKENS_SQL} END AS toks
                 FROM documents))
 """
 
@@ -2027,6 +1997,31 @@ def _sql_fingerprint(txt: str) -> str:
     )
 
 
+def _snapshot_pair(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The engine-constructed snapshot pair shared by corpus_snapshot_diff
+    and incremental_curation_delta: membership from salted hash buckets
+    (each snapshot keeps 90%), snapshot B carries a deterministic 10%
+    ' rev2' edit. ONE definition, so the two registered queries can never
+    drift onto different corpora. Returns (old, new), each with columns
+    (doc_id, text, fp)."""
+    from ..operators.sampling import hash_bucket
+
+    d = spread(T(spark, sf_dir, "documents"))
+    old = d.filter(hash_bucket(F.col("doc_id"), "snapA") < 900).select(
+        "doc_id", "text", text.doc_fingerprint(F.col("text")).alias("fp")
+    )
+    edited = F.when(
+        hash_bucket(F.col("doc_id"), "edit") < 100,
+        F.concat(F.col("text"), F.lit(" rev2")),
+    ).otherwise(F.col("text"))
+    new = (
+        d.filter(hash_bucket(F.col("doc_id"), "snapB") < 900)
+        .select("doc_id", edited.alias("text"))
+        .withColumn("fp", text.doc_fingerprint(F.col("text")))
+    )
+    return old, new
+
+
 @_register(
     "corpus_snapshot_diff",
     # Replays both snapshot constructions (salted-hash membership, the
@@ -2048,7 +2043,7 @@ b AS (
 SELECT coalesce(a.doc_id, b.doc_id) AS id,
        CASE WHEN a.doc_id IS NULL THEN 'added'
             WHEN b.doc_id IS NULL THEN 'removed'
-            WHEN a.fp_old = b.fp_new THEN 'unchanged'
+            WHEN a.fp_old IS NOT DISTINCT FROM b.fp_new THEN 'unchanged'
             ELSE 'changed' END AS status,
        a.fp_old, b.fp_new
 FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
@@ -2065,20 +2060,11 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental-processing entry point of a refreshed 100 TB corpus:
     downstream dedup/embedding stages consume the delta, not the world."""
     from ..operators import diff as diff_ops
-    from ..operators.sampling import hash_bucket
 
-    d = spread(T(spark, sf_dir, "documents"))
-    snap_a = d.filter(hash_bucket(F.col("doc_id"), "snapA") < 900).select(
-        "doc_id", text.doc_fingerprint(F.col("text")).alias("fp")
+    old, new = _snapshot_pair(spark, sf_dir)
+    return diff_ops.snapshot_diff(
+        old.select("doc_id", "fp"), new.select("doc_id", "fp"), "doc_id", "fp"
     )
-    edited = F.when(
-        hash_bucket(F.col("doc_id"), "edit") < 100,
-        F.concat(F.col("text"), F.lit(" rev2")),
-    ).otherwise(F.col("text"))
-    snap_b = d.filter(hash_bucket(F.col("doc_id"), "snapB") < 900).select(
-        "doc_id", text.doc_fingerprint(edited).alias("fp")
-    )
-    return diff_ops.snapshot_diff(snap_a, snap_b, "doc_id", "fp")
 
 
 # ===========================================================================
@@ -2140,10 +2126,12 @@ def embedding_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Incremental curation delta (snapshot diff × quality gate composition)
 # ===========================================================================
 
-def _quality_metrics(d: DataFrame) -> DataFrame:
+def _quality_metrics(d: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
     """Spark twin of _quality_m_sql's m CTE over any (doc_id, text)
-    frame: tokens and gram arrays materialize as columns before the
-    counting lambdas touch them (top_ngram_fraction's contract)."""
+    frame, with optional passthrough columns: tokens and gram arrays
+    materialize as columns before the counting lambdas touch them
+    (top_ngram_fraction's contract). The ONE copy of the metric block —
+    the gate, the funnel, and the delta all call it."""
     staged = (
         d.withColumn("_toks", text.whitespace_tokens(F.col("text")))
         .withColumn("_g2", text.word_ngrams(F.col("_toks"), 2))
@@ -2151,10 +2139,22 @@ def _quality_metrics(d: DataFrame) -> DataFrame:
     )
     return staged.select(
         "doc_id",
+        *extra,
         F.size("_toks").alias("n_tokens"),
         text.mean_token_len(F.col("text")).alias("mean_token_len"),
         text.top_ngram_fraction(F.col("_g2")).alias("top_bigram_frac"),
         text.duplicate_ngram_fraction(F.col("_g3")).alias("dup_trigram_frac"),
+    )
+
+
+def _quality_keep():
+    """The Gopher keep rule over _quality_metrics' columns — the ONE
+    Spark copy of _QUALITY_KEEP_SQL."""
+    return (
+        (F.col("top_bigram_frac") <= 0.1)
+        & (F.col("dup_trigram_frac") <= 0.1)
+        & F.col("n_tokens").between(30, 10000)
+        & F.col("mean_token_len").between(3, 10)
     )
 
 
@@ -2182,7 +2182,7 @@ delta AS (
            CASE WHEN a.doc_id IS NULL THEN 'added' ELSE 'changed' END AS status
     FROM (SELECT doc_id, text, {_sql_fingerprint('text')} AS fp_new FROM bsnap) b
     LEFT JOIN aold a USING (doc_id)
-    WHERE a.doc_id IS NULL OR a.fp_old <> b.fp_new
+    WHERE a.doc_id IS NULL OR a.fp_old IS DISTINCT FROM b.fp_new
 ),
 {_quality_m_sql('delta')}
 SELECT m.doc_id, delta.status, m.n_tokens, m.mean_token_len,
@@ -2201,44 +2201,38 @@ def incremental_curation_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: the delta detection is corpus_snapshot_diff's
     fingerprint left-join (digests shuffle once); the Gopher-rule gate
-    then runs map-only on the surviving rows. Downstream consumers
-    (dedup index refresh, re-embedding) key off the same delta."""
-    from ..operators.sampling import hash_bucket
-
-    d = spread(T(spark, sf_dir, "documents"))
-    edited = F.when(
-        hash_bucket(F.col("doc_id"), "edit") < 100,
-        F.concat(F.col("text"), F.lit(" rev2")),
-    ).otherwise(F.col("text"))
-    bsnap = d.filter(hash_bucket(F.col("doc_id"), "snapB") < 900).select(
+    then runs map-only on the surviving rows — ONE delta subtree, the
+    status rides through the metrics select so nothing is recomputed.
+    Downstream consumers (dedup index refresh, re-embedding) key off
+    the same delta."""
+    old, new = _snapshot_pair(spark, sf_dir)
+    a = old.select(
         "doc_id",
-        edited.alias("text"),
-    )
-    b = bsnap.withColumn("fp_new", text.doc_fingerprint(F.col("text")))
-    a = d.filter(hash_bucket(F.col("doc_id"), "snapA") < 900).select(
-        "doc_id", text.doc_fingerprint(F.col("text")).alias("fp_old")
+        F.col("fp").alias("fp_old"),
+        F.lit(True).alias("_in_old"),
     )
     delta = (
-        b.join(a, "doc_id", "left")
-        .filter(F.col("fp_old").isNull() | (F.col("fp_old") != F.col("fp_new")))
+        new.withColumnRenamed("fp", "fp_new")
+        .join(a, "doc_id", "left")
+        .filter(
+            F.col("_in_old").isNull()
+            | ~F.col("fp_old").eqNullSafe(F.col("fp_new"))
+        )
         .select(
             "doc_id",
             "text",
-            F.when(F.col("fp_old").isNull(), F.lit("added"))
+            F.when(F.col("_in_old").isNull(), F.lit("added"))
             .otherwise(F.lit("changed"))
             .alias("status"),
         )
     )
-    m = _quality_metrics(delta)
-    pass_rep = (F.col("top_bigram_frac") <= 0.1) & (F.col("dup_trigram_frac") <= 0.1)
-    pass_len = F.col("n_tokens").between(30, 10000)
-    pass_wl = F.col("mean_token_len").between(3, 10)
-    return m.join(delta.select("doc_id", "status"), "doc_id").select(
+    m = _quality_metrics(delta, extra=("status",))
+    return m.select(
         "doc_id",
         "status",
         "n_tokens",
         "mean_token_len",
         "top_bigram_frac",
         "dup_trigram_frac",
-        (pass_rep & pass_len & pass_wl).alias("keep"),
+        _quality_keep().alias("keep"),
     )

@@ -1213,6 +1213,17 @@ class TestSnapshotDiff:
         ]
         assert snapshot_diff(empty, empty, "id", "fp").count() == 0
 
+    def test_null_fingerprints_use_membership_not_nullness(self, spark):
+        """A doc present in BOTH snapshots with a NULL digest must read
+        'unchanged' (membership comes from per-side markers), and a NULL
+        vs non-NULL digest pair is 'changed'."""
+        from hebrew_tutor_data_pipeline_spark.operators.diff import snapshot_diff
+
+        old = spark.createDataFrame([(1, None), (2, None)], "id long, fp long")
+        new = spark.createDataFrame([(1, None), (2, 22)], "id long, fp long")
+        got = {r["id"]: r["status"] for r in snapshot_diff(old, new, "id", "fp").collect()}
+        assert got == {1: "unchanged", 2: "changed"}
+
 
 class TestEmbeddingOutliers:
     def _corpus(self, spark):
