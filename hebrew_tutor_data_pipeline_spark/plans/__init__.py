@@ -54,6 +54,7 @@ _DEMOTED = (
     "doc_text_stats",             # r03-green; text family evidence stays via doc_lm_perplexity, bm25, gopher in-window
     "chapter_filenames",          # r03-green; S3/F6/F7 gated by PARITY_SUBSET; frees a slot for bm25_prf_rerank (first-time entry)
     "rollup_region_nation",       # r03-green; A6 gated by PARITY_SUBSET; frees a slot for incremental_curation_delta (first-time entry)
+    "part_name_similarity",       # r01-green; J6/F12 gated by PARITY_SUBSET; frees a slot for ann_recall_report (first-time entry)
 )
 
 

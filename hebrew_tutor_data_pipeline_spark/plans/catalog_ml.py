@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from ..functions import hebrew, text
 from ..sources.readers import spread
 from ..operators import alignment, ann, dedup
-from .catalog import T, _register
+from .catalog import CATALOG, T, _register
 
 HASH_MOD = dedup.HASH_MOD
 HASH_BASE = dedup.HASH_BASE
@@ -2235,4 +2235,76 @@ def incremental_curation_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_bigram_frac",
         "dup_trigram_frac",
         _quality_keep().alias("keep"),
+    )
+
+
+# ===========================================================================
+# ANN recall evaluation report (index-quality harness)
+# ===========================================================================
+
+def _ann_recall_oracle() -> str:
+    """Composes the three registered ANN oracles verbatim (a CTE body
+    may itself start with WITH), so the recall report's ground truth is
+    the exact SQL the individual tiers are hash-gated on."""
+    bf = CATALOG["ann_bruteforce_top10"].oracle
+    ivf = CATALOG["ann_ivf_top10"].oracle
+    pq = CATALOG["ann_pq_top10"].oracle
+    return f"""
+WITH bf AS ({bf}),
+ivf AS ({ivf}),
+pq AS ({pq}),
+qids AS (SELECT DISTINCT query_id FROM bf),
+h_ivf AS (
+    SELECT i.query_id, count(*) AS n_hits
+    FROM ivf i JOIN bf USING (query_id, neighbor_id) GROUP BY i.query_id
+),
+h_pq AS (
+    SELECT p.query_id, count(*) AS n_hits
+    FROM pq p JOIN bf USING (query_id, neighbor_id) GROUP BY p.query_id
+)
+SELECT 'ivf' AS tier, q.query_id, coalesce(h.n_hits, 0) AS n_hits,
+       round(coalesce(h.n_hits, 0) / 10.0, 6) AS recall
+FROM qids q LEFT JOIN h_ivf h USING (query_id)
+UNION ALL
+SELECT 'pq' AS tier, q.query_id, coalesce(h.n_hits, 0) AS n_hits,
+       round(coalesce(h.n_hits, 0) / 10.0, 6) AS recall
+FROM qids q LEFT JOIN h_pq h USING (query_id)
+"""
+
+
+@_register(
+    "ann_recall_report",
+    oracle=_ann_recall_oracle(),
+    tags=("ann", "evaluation", "recall"),
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the approximate ANN tiers against the exact
+    brute-force baseline, per query — the index-quality report a vector
+    platform publishes before swapping an approximate tier into
+    production (and the regression gate for nprobe/codebook changes).
+
+    Plan shape / 100 TB posture: each tier's plan is exactly its
+    registered query (broadcast probe stages, top-k cuts); the recall
+    join operates on tier outputs of k rows per query — evaluation cost
+    scales with the QUERY set, never the corpus. At fleet scale the
+    brute-force arm runs on a sampled query panel for the same reason."""
+    bf = ann_bruteforce_top10(spark, sf_dir).select("query_id", "neighbor_id")
+    qids = bf.select("query_id").distinct()
+
+    def tier(name: str, df: DataFrame) -> DataFrame:
+        h = (
+            df.select("query_id", "neighbor_id")
+            .join(bf, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count("*").alias("n_hits"))
+        )
+        return qids.join(h, "query_id", "left").select(
+            F.lit(name).alias("tier"),
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / 10.0, 6).alias("recall"),
+        )
+
+    return tier("ivf", ann_ivf_top10(spark, sf_dir)).unionAll(
+        tier("pq", ann_pq_top10(spark, sf_dir))
     )

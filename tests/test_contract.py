@@ -83,6 +83,7 @@ PARITY_SUBSET = [
     "embedding_outlier_scores",
     "bm25_prf_rerank",
     "incremental_curation_delta",
+    "ann_recall_report",
     # rotated OUT for the fifth wave — still gated here
     "chapter_filenames",
 ]
