@@ -152,6 +152,7 @@ def mixture_plan(
     target_frac: float = 0.5,
     salt: str = "mix",
     resolution: int = 1_000_000,
+    allow_upsample: bool = False,
 ) -> DataFrame:
     """Temperature-weighted source-mixture resampling plan: compute the
     per-source acceptance rates that reshape the corpus toward
@@ -163,10 +164,18 @@ def mixture_plan(
     repartitioning, unlike RNG sampling.
 
     Returns one row per source: ``(group, n_docs, weight, rate_ppm,
-    n_accepted)`` where ``rate_ppm = floor(min(1, weight·target_total /
+    n_accepted)`` where ``rate_ppm = round(min(1, weight·target_total /
     n_s)·resolution)`` and ``n_accepted`` counts the docs whose salted
     hash lands under it — the audit record a training run stores next
     to the actual filtered corpus.
+
+    ``allow_upsample=True`` removes the 1.0 rate cap: a source whose
+    temperature weight exceeds its share is OVER-sampled (the other half
+    of the published temperature-mixing rule — small sources repeat).
+    Each doc then contributes ``floor(rate) + [hash < frac(rate)]``
+    copies, all in integer ppm arithmetic, so the expected-copies count
+    stays deterministic and engine-exact; ``n_accepted`` becomes the
+    total copy count.
 
     Plan shape / 100 TB posture: pass 1 is one map-side-combined
     groupBy on the source; the normalizer is a 1-row broadcast
@@ -182,27 +191,38 @@ def mixture_plan(
         F.sum("n_docs").alias("n"),
     )
     w = F.pow(F.col("n_docs"), F.lit(alpha)) / F.col("z")
+    raw_rate = w * (F.lit(target_frac) * F.col("n")) / F.col("n_docs")
+    if not allow_upsample:
+        raw_rate = F.least(F.lit(1.0), raw_rate)
     rates = counts.crossJoin(F.broadcast(tot)).select(
         "group",
         "n_docs",
         F.round(w, 6).alias("weight"),
-        F.floor(
-            F.least(F.lit(1.0), w * (F.lit(target_frac) * F.col("n")) / F.col("n_docs"))
-            * resolution
-        )
-        .cast("long")
-        .alias("rate_ppm"),
+        # half-away ROUND, not floor: a mathematically-exact rate (e.g.
+        # uniform sources at target 1.0 -> rate 1.0) sits ON the floor
+        # boundary, where a 1-ulp cross-engine difference in the z sum
+        # flips the ppm; the .5-ppm round boundary is unreachable
+        F.round(raw_rate * resolution, 0).cast("long").alias("rate_ppm"),
     )
     accept_hash = token_hash(
         F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))
     ) % resolution
-    accepted = (
-        df.select(F.col(group_col).alias("group"), accept_hash.alias("_ah"))
-        .join(F.broadcast(rates.select("group", "rate_ppm")), "group")
-        .filter(F.col("_ah") < F.col("rate_ppm"))
-        .groupBy("group")
-        .agg(F.count("*").alias("n_accepted"))
+    tagged = df.select(F.col(group_col).alias("group"), accept_hash.alias("_ah")).join(
+        F.broadcast(rates.select("group", "rate_ppm")), "group"
     )
+    if allow_upsample:
+        copies = (F.col("rate_ppm") - F.col("rate_ppm") % resolution) / resolution + (
+            F.col("_ah") < F.col("rate_ppm") % resolution
+        ).cast("long")
+        accepted = tagged.groupBy("group").agg(
+            F.sum(copies).cast("long").alias("n_accepted")
+        )
+    else:
+        accepted = (
+            tagged.filter(F.col("_ah") < F.col("rate_ppm"))
+            .groupBy("group")
+            .agg(F.count("*").alias("n_accepted"))
+        )
     return rates.join(accepted, "group", "left").select(
         "group",
         "n_docs",

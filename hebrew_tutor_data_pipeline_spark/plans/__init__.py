@@ -55,6 +55,7 @@ _DEMOTED = (
     "chapter_filenames",          # r03-green; S3/F6/F7 gated by PARITY_SUBSET; frees a slot for bm25_prf_rerank (first-time entry)
     "rollup_region_nation",       # r03-green; A6 gated by PARITY_SUBSET; frees a slot for incremental_curation_delta (first-time entry)
     "part_name_similarity",       # r01-green; J6/F12 gated by PARITY_SUBSET; frees a slot for ann_recall_report (first-time entry)
+    "suppliers_shipping_1995h1",  # r03-green; J4 gated by PARITY_SUBSET; frees a slot for corpus_mixture_upsample (first-time entry)
 )
 
 

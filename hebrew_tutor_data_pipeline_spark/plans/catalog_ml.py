@@ -1419,7 +1419,7 @@ tot AS (SELECT sum(pow(n_docs, 0.5)) AS z, sum(n_docs) AS n FROM sc),
 r AS (
     SELECT "group", n_docs,
            round(pow(n_docs, 0.5) / z, 6) AS weight,
-           CAST(floor(least(1.0, (pow(n_docs, 0.5) / z) * (0.5 * n) / n_docs)
+           CAST(round(least(1.0, (pow(n_docs, 0.5) / z) * (0.5 * n) / n_docs)
                       * 1000000) AS BIGINT) AS rate_ppm
     FROM sc CROSS JOIN tot
 ),
@@ -2307,4 +2307,52 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return tier("ivf", ann_ivf_top10(spark, sf_dir)).unionAll(
         tier("pq", ann_pq_top10(spark, sf_dir))
+    )
+
+
+@_register(
+    "corpus_mixture_upsample",
+    # The uncapped-rate twin of corpus_mixture_plan: alpha=0.3 at a
+    # 1.0x target total forces rates > 1 on small sources; per-doc
+    # copies = rate_ppm // 1e6 (rates round half-away to ppm) + [hash < rate_ppm % 1e6], all integer
+    # ppm arithmetic, summed per source.
+    oracle=f"""
+WITH sc AS (SELECT source AS "group", count(*) AS n_docs FROM documents GROUP BY source),
+tot AS (SELECT sum(pow(n_docs, 0.3)) AS z, sum(n_docs) AS n FROM sc),
+r AS (
+    SELECT "group", n_docs,
+           round(pow(n_docs, 0.3) / z, 6) AS weight,
+           CAST(round((pow(n_docs, 0.3) / z) * (1.0 * n) / n_docs * 1000000)
+                AS BIGINT) AS rate_ppm
+    FROM sc CROSS JOIN tot
+),
+acc AS (
+    SELECT d.source AS "group",
+           CAST(sum(rate_ppm // 1000000
+                    + CASE WHEN {_sql_token_hash("'mix|' || CAST(doc_id AS VARCHAR)")} % 1000000
+                                < rate_ppm % 1000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_accepted
+    FROM documents d JOIN r ON d.source = r."group"
+    GROUP BY d.source
+)
+SELECT r."group", r.n_docs, r.weight, r.rate_ppm,
+       coalesce(acc.n_accepted, 0) AS n_accepted
+FROM r LEFT JOIN acc USING ("group")
+""",
+    tags=("sampling", "mixture", "upsample", "curation"),
+)
+def corpus_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The over-sampling half of temperature mixing: at alpha=0.3 and a
+    1.0x target total, sources below their temperature share get
+    rate > 1 — their documents REPEAT in the training mix (how the
+    published multilingual mixtures actually treat low-resource
+    slices). Copy counts are pure integer ppm arithmetic on the salted
+    hash, so the plan is deterministic under retries and engines;
+    plan shape identical to corpus_mixture_plan (counts shuffle once,
+    rates broadcast back)."""
+    from ..operators import sampling
+
+    d = spread(T(spark, sf_dir, "documents"))
+    return sampling.mixture_plan(
+        d, "doc_id", "source", alpha=0.3, target_frac=1.0, allow_upsample=True
     )

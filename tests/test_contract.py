@@ -84,8 +84,10 @@ PARITY_SUBSET = [
     "bm25_prf_rerank",
     "incremental_curation_delta",
     "ann_recall_report",
+    "corpus_mixture_upsample",
     # rotated OUT for the fifth wave — still gated here
     "chapter_filenames",
+    "suppliers_shipping_1995h1",
 ]
 
 

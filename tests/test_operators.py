@@ -1156,6 +1156,34 @@ class TestNewOpEdgeCases:
         assert row["weight"] == 1.0 and row["rate_ppm"] == 500_000
         assert 0 < row["n_accepted"] < 400
 
+    def test_upsample_rates_and_copy_counts(self, spark):
+        """allow_upsample lifts the 1.0 cap: the small source's rate
+        exceeds 1e6 ppm and every doc contributes floor(rate) or
+        floor(rate)+1 copies (integer part exact, fraction a hash draw).
+        Uniform sources at target 1.0 sit exactly ON the old floor
+        boundary — rate_ppm must be exactly 1e6, every doc 1 copy."""
+        from hebrew_tutor_data_pipeline_spark.operators.sampling import mixture_plan
+
+        rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+        df = spark.createDataFrame(rows, ["id", "src"])
+        plan = {r["group"]: r for r in
+                mixture_plan(df, "id", "src", alpha=0.3, target_frac=1.0,
+                             allow_upsample=True).collect()}
+        assert plan["small"]["rate_ppm"] > 1_000_000 > plan["big"]["rate_ppm"]
+        for g in plan.values():
+            # each doc contributes floor(rate) or floor(rate)+1 copies
+            lo = (g["rate_ppm"] // 1_000_000) * g["n_docs"]
+            hi = (g["rate_ppm"] // 1_000_000 + 1) * g["n_docs"]
+            assert lo <= g["n_accepted"] <= hi
+
+        uni = [(i, f"s{i % 4}") for i in range(400)]
+        u = {r["group"]: r for r in
+             mixture_plan(spark.createDataFrame(uni, ["id", "src"]), "id", "src",
+                          alpha=0.5, target_frac=1.0, allow_upsample=True).collect()}
+        for g in u.values():
+            assert g["rate_ppm"] == 1_000_000
+            assert g["n_accepted"] == g["n_docs"]
+
 
 class TestDsirWeights:
     def test_target_like_docs_score_higher(self, spark):
