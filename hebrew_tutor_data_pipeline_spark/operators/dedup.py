@@ -49,6 +49,21 @@ def token_hash(tok: Column) -> Column:
     )
 
 
+#: second independent hash chain — paired with the first to form the
+#: 62-bit k-gram keys (see _kgram_hash); a lone 31-bit chain collides.
+HASH_MOD2 = 2_147_483_629  # largest prime below 2^31-1 distinct from HASH_MOD
+HASH_BASE2 = 131
+
+
+def token_hash2(tok: Column) -> Column:
+    """The independent second polynomial (base 131, different prime)."""
+    return F.aggregate(
+        F.split(tok, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * HASH_BASE2 + F.ascii(c)) % HASH_MOD2,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 
@@ -401,30 +416,57 @@ def hamming_distance(a: Column, b: Column, bits: int = 16) -> Column:
     return F.bit_count(a.bitwiseXOR(b)).cast("long")
 
 
-def _kgram_hash(th: Column, k: int):
-    """k-gram hash factory: the base-31 polynomial rolled over k token
-    hashes starting at 0-based index ``i`` of the materialized
-    token-hash array ``th`` (mirrors _sql_token_hash composition in the
-    oracles). For small k the stepwise-mod recurrence equals the single
-    expression Σ th[i+j]·31^(k-1-j) mod M evaluated in one go — the
-    unreduced sum stays under 2^63 while 31^(k-1)·k·(M-1) does (k ≤ 6
-    for M = 2^31) — pure arithmetic, no per-k-gram slice allocation +
-    nested aggregate; larger k falls back to the mod-each-step
-    aggregate. Shared by winnow_fingerprints and duplicate_spans."""
+def _kgram_roll(th: Column, k: int, base: int, mod: int):
+    """One polynomial roll over k token hashes starting at 0-based index
+    ``i`` of the materialized token-hash array ``th``. For small k the
+    stepwise-mod recurrence equals the single expression
+    Σ th[i+j]·base^(k-1-j) mod M evaluated in one go — the unreduced sum
+    stays under 2^63 while base^(k-1)·k·(M-1) does — pure arithmetic, no
+    per-k-gram slice allocation + nested aggregate; larger k falls back
+    to the mod-each-step aggregate."""
 
-    def kgram_hash(i: Column) -> Column:
-        if HASH_BASE ** (k - 1) * k * (HASH_MOD - 1) < 2**62:
+    def roll(i: Column) -> Column:
+        if base ** (k - 1) * k * (mod - 1) < 2**62:
             acc = F.lit(0).cast("long")
             for j in range(k):
-                acc = acc + F.element_at(th, i + j + 1) * (HASH_BASE ** (k - 1 - j))
-            return acc % HASH_MOD
+                acc = acc + F.element_at(th, i + j + 1) * (base ** (k - 1 - j))
+            return acc % mod
         return F.aggregate(
             F.slice(th, i + 1, k),
             F.lit(0).cast("long"),
-            lambda acc, x: (acc * HASH_BASE + x) % HASH_MOD,
+            lambda acc, x: (acc * base + x) % mod,
         )
 
-    return kgram_hash
+    return roll
+
+
+def _kgram_hash(th: Column, th2: Column, k: int):
+    """62-bit combined k-gram key factory, packed as ``g1·MOD2 + g2``
+    (g1 < 2^31, so the pack is exact int64).
+
+    Two structural requirements, both learned from live hypothesis
+    counterexamples ('aa ba' vs 'ab aa'):
+
+    1. The gram roll must use a DIFFERENT base than the char-level
+       token hash it rolls over. With matching bases the k-gram key
+       algebraically equals one polynomial of the concatenated text —
+       token boundaries vanish, so boundary-shifted grams collide for
+       EVERY base choice. Crossing the bases (roll token_hash/31 with
+       131; roll token_hash2/131 with 31) breaks the identity.
+    2. One 31-bit chain is not enough: n²/2³¹ birthday collisions at
+       corpus scale would flag false duplicate regions. Colliding both
+       chains means agreeing modulo two distinct primes under two
+       different base structures ≈ n²/2⁶².
+
+    Shared by winnow_fingerprints and duplicate_spans; mirrored in
+    their SQL oracles."""
+    r1 = _kgram_roll(th, k, HASH_BASE2, HASH_MOD)
+    r2 = _kgram_roll(th2, k, HASH_BASE, HASH_MOD2)
+
+    def key(i: Column) -> Column:
+        return r1(i) * HASH_MOD2 + r2(i)
+
+    return key
 
 
 def winnow_fingerprints(
@@ -465,12 +507,18 @@ def winnow_fingerprints(
     # references inside another HOF's lambda) — measured 15× slower at
     # sf0.1 when the k-gram lambda sliced the raw expression directly.
     hashed = df.withColumn(
-        "_th", F.transform(whitespace_tokens(F.col(text_col)), token_hash)
+        "_toks", whitespace_tokens(F.col(text_col))
+    ).withColumn(
+        "_th", F.transform(F.col("_toks"), token_hash)
+    ).withColumn(
+        "_th2", F.transform(F.col("_toks"), token_hash2)
     )
     th = F.col("_th")
     n_tokens = F.size(th)
 
-    kgrams = F.transform(F.sequence(F.lit(0), n_tokens - k), _kgram_hash(th, k))
+    kgrams = F.transform(
+        F.sequence(F.lit(0), n_tokens - k), _kgram_hash(th, F.col("_th2"), k)
+    )
     # n_kg deliberately comes from a count window over the exploded rows,
     # NOT from size(kgrams) next to the posexplode: CollapseProject pulls
     # a sibling size(kgrams) above the Generate, re-evaluating the whole
@@ -1040,11 +1088,17 @@ def duplicate_spans(
     partitioning. No Python, no collect, no quadratic step anywhere.
     """
     hashed = df.withColumn(
-        "_th", F.transform(whitespace_tokens(F.col(text_col)), token_hash)
+        "_toks", whitespace_tokens(F.col(text_col))
+    ).withColumn(
+        "_th", F.transform(F.col("_toks"), token_hash)
+    ).withColumn(
+        "_th2", F.transform(F.col("_toks"), token_hash2)
     )
     th = F.col("_th")
     n_tokens = F.size(th)
-    kgrams = F.transform(F.sequence(F.lit(0), n_tokens - n), _kgram_hash(th, n))
+    kgrams = F.transform(
+        F.sequence(F.lit(0), n_tokens - n), _kgram_hash(th, F.col("_th2"), n)
+    )
     grams = hashed.filter(n_tokens >= n).select(
         F.col(id_col).alias("id"), F.posexplode(kgrams).alias("pos", "kh")
     )

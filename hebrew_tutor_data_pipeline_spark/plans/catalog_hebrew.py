@@ -1164,16 +1164,24 @@ def video_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH t AS (
     SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
 ), h AS (
+    -- two independent hash chains; the k-gram key packs both rolls
+    -- (62-bit) because a lone 31-bit roll collides (see _kgram_hash)
     SELECT doc_id,
            list_transform(toks, tk -> list_reduce(list_prepend(CAST(0 AS BIGINT),
                list_transform(string_split(tk, ''), c -> CAST(unicode(c) AS BIGINT))),
-               (acc, x) -> (acc * 31 + x) % 2147483647)) AS th
+               (acc, x) -> (acc * 31 + x) % 2147483647)) AS th,
+           list_transform(toks, tk -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(tk, ''), c -> CAST(unicode(c) AS BIGINT))),
+               (acc, x) -> (acc * 131 + x) % 2147483629)) AS th2
     FROM t WHERE len(toks) >= 3
 ), kgl AS (
     SELECT doc_id,
            list_transform(range(len(th) - 2),
                i -> list_reduce(list_prepend(CAST(0 AS BIGINT), th[i+1:i+3]),
-                                (acc, x) -> (acc * 31 + x) % 2147483647)) AS khs
+                                (acc, x) -> (acc * 131 + x) % 2147483647)
+                    * 2147483629
+                    + list_reduce(list_prepend(CAST(0 AS BIGINT), th2[i+1:i+3]),
+                                  (acc, x) -> (acc * 31 + x) % 2147483629)) AS khs
     FROM h
 ), kg AS (
     SELECT doc_id,

@@ -35,6 +35,20 @@ def _sql_token_hash(tok_expr: str) -> str:
     )
 
 
+# Second independent chain (dedup.token_hash2): paired with the first to
+# form the 62-bit k-gram keys of winnowing / duplicate-span detection.
+HASH_MOD2 = dedup.HASH_MOD2
+HASH_BASE2 = dedup.HASH_BASE2
+
+
+def _sql_token_hash2(tok_expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({tok_expr}, ''), c -> CAST(unicode(c) AS BIGINT))), "
+        f"(acc, x) -> (acc * {HASH_BASE2} + x) % {HASH_MOD2})"
+    )
+
+
 _TOKENS_SQL = "string_split_regex(trim(text), '\\s+')"
 
 
@@ -177,18 +191,24 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # polynomial, corpus-wide frequency ≥ 2, then the running-max
     # island merge as two windows + a group.
     oracle=f"""
-WITH t AS (
-    SELECT doc_id, list_transform({_TOKENS_SQL}, t2 -> {_sql_token_hash('t2')}) AS th
-    FROM documents
+WITH tk AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+t AS (
+    SELECT doc_id,
+           list_transform(toks, t2 -> {_sql_token_hash('t2')}) AS th,
+           list_transform(toks, t2 -> {_sql_token_hash2('t2')}) AS th2
+    FROM tk
 ),
 gi AS (
-    SELECT doc_id, unnest(generate_series(1, len(th) - 9)) AS i, th
+    SELECT doc_id, unnest(generate_series(1, len(th) - 9)) AS i, th, th2
     FROM t WHERE len(th) >= 10
 ),
 g AS (
     SELECT doc_id, i - 1 AS pos,
            list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+9]),
-                       (acc, x) -> (acc * 31 + x) % 2147483647) AS kh
+                       (acc, x) -> (acc * {HASH_BASE2} + x) % {HASH_MOD})
+           * {HASH_MOD2}
+           + list_reduce(list_prepend(CAST(0 AS BIGINT), th2[i:i+9]),
+                         (acc, x) -> (acc * {HASH_BASE} + x) % {HASH_MOD2}) AS kh
     FROM gi
 ),
 dup AS (SELECT kh FROM g GROUP BY kh HAVING count(*) >= 2),

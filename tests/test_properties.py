@@ -299,24 +299,36 @@ class TestIntervalJoinProperties:
         assert got == want
 
 
-def _py_winnow(tokens: list[str], k: int, w: int) -> set[tuple[int, int]]:
-    """Pure-Python reference winnowing (Schleimer et al. 2003) with the
-    engine's base-31 polynomial hashes and rightmost tie-break."""
-    M, B = 2_147_483_647, 31
+def _py_kgram_keys(tokens: list[str], k: int) -> list[int]:
+    """Pure-Python reference of the engine's 62-bit combined k-gram key:
+    two independent polynomial chains packed as g1*MOD2 + g2 (mirrors
+    operators.dedup._kgram_hash)."""
+    M1, B1 = 2_147_483_647, 31
+    M2, B2 = 2_147_483_629, 131
 
-    def th(tok: str) -> int:
+    def th(tok: str, base: int, mod: int) -> int:
         h = 0
         for c in tok:
-            h = (h * B + ord(c)) % M
+            h = (h * base + ord(c)) % mod
         return h
 
-    hashes = [th(t) for t in tokens]
+    h1 = [th(t, B1, M1) for t in tokens]
+    h2 = [th(t, B2, M2) for t in tokens]
     kg = []
     for i in range(len(tokens) - k + 1):
-        h = 0
+        g1 = g2 = 0
         for j in range(k):
-            h = (h * B + hashes[i + j]) % M
-        kg.append(h)
+            # bases CROSSED vs the token hashes (see _kgram_hash)
+            g1 = (g1 * B2 + h1[i + j]) % M1
+            g2 = (g2 * B1 + h2[i + j]) % M2
+        kg.append(g1 * M2 + g2)
+    return kg
+
+
+def _py_winnow(tokens: list[str], k: int, w: int) -> set[tuple[int, int]]:
+    """Pure-Python reference winnowing (Schleimer et al. 2003) with the
+    engine's combined k-gram keys and rightmost tie-break."""
+    kg = _py_kgram_keys(tokens, k)
     if not kg:
         return set()
     out = set()
@@ -436,9 +448,11 @@ def _py_duplicate_spans(
     docs: list[list[str]], n: int, min_count: int = 2
 ) -> set[tuple[int, int, int]]:
     """Pure-Python reference for duplicate_spans (Lee et al., ACL 2022):
-    count token n-grams corpus-wide (by value — the engine hashes them,
-    base-31 collisions are astronomically unlikely on these alphabets),
-    then merge each doc's duplicated occurrences into maximal spans."""
+    count token n-grams corpus-wide by VALUE — the exact ground truth
+    the engine's 62-bit combined keys must reproduce (a lone base-31
+    roll demonstrably collides: 'aa ba' vs 'ab aa' was a live
+    falsifying example) — then merge duplicated occurrences into
+    maximal spans."""
     from collections import Counter
 
     grams: Counter = Counter()
