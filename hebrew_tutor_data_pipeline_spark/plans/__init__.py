@@ -56,6 +56,7 @@ _DEMOTED = (
     "rollup_region_nation",       # r03-green; A6 gated by PARITY_SUBSET; frees a slot for incremental_curation_delta (first-time entry)
     "part_name_similarity",       # r01-green; J6/F12 gated by PARITY_SUBSET; frees a slot for ann_recall_report (first-time entry)
     "suppliers_shipping_1995h1",  # r03-green; J4 gated by PARITY_SUBSET; frees a slot for corpus_mixture_upsample (first-time entry)
+    "customers_quiet_1995",       # r03-green; J3 gated by PARITY_SUBSET; frees a slot for bpe_merge_rounds (first-time entry)
 )
 
 

@@ -2376,3 +2376,64 @@ def corpus_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.mixture_plan(
         d, "doc_id", "source", alpha=0.3, target_frac=1.0, allow_upsample=True
     )
+
+
+# ===========================================================================
+# BPE merge-round vocabulary induction (tokenizer training)
+# ===========================================================================
+
+def _bpe_fold_sql(tcte: str, pcte: str) -> str:
+    """One BPE apply round in DuckDB: greedy leftmost fuse of pcte's
+    (l, r) pair inside every token list of tcte — the same
+    string-accumulator fold as operators.bpe.merge_pair_fold."""
+    return f"""
+    SELECT doc_id,
+           string_split(list_reduce(list_prepend('', t),
+              (acc, x) -> CASE
+                 WHEN x = {pcte}.r
+                      AND (acc = {pcte}.l OR ends_with(acc, ' ' || {pcte}.l))
+                 THEN left(acc, len(acc) - len({pcte}.l)) || {pcte}.l || '+' || {pcte}.r
+                 WHEN acc = '' THEN x
+                 ELSE acc || ' ' || x END), ' ') AS t
+    FROM {tcte} CROSS JOIN {pcte}"""
+
+
+def _bpe_top_pair_sql(tcte: str) -> str:
+    return f"""
+    SELECT split_part(pg, ' ', 1) AS l, split_part(pg, ' ', 2) AS r,
+           count(*) AS c
+    FROM (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                                       i -> t[i] || ' ' || t[i + 1])) AS pg
+          FROM {tcte})
+    GROUP BY 1, 2 ORDER BY c DESC, l, r LIMIT 1"""
+
+
+@_register(
+    "bpe_merge_rounds",
+    # Three unrolled merge rounds: top adjacent pair (count DESC, then
+    # lexicographic — engine-exact string tiebreak), greedy-leftmost
+    # fuse, repeat on the re-tokenized corpus.
+    oracle=f"""
+WITH t0 AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+p1 AS ({_bpe_top_pair_sql('t0')}),
+t1 AS ({_bpe_fold_sql('t0', 'p1')}),
+p2 AS ({_bpe_top_pair_sql('t1')}),
+t2 AS ({_bpe_fold_sql('t1', 'p2')}),
+p3 AS ({_bpe_top_pair_sql('t2')})
+SELECT 1 AS round, l AS "left", r AS "right", c AS pair_count FROM p1
+UNION ALL SELECT 2, l, r, c FROM p2
+UNION ALL SELECT 3, l, r, c FROM p3
+""",
+    tags=("bpe", "tokenizer", "iterative", "vocabulary"),
+)
+def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-loop vocabulary induction (Sennrich et al., ACL 2016;
+    at word level = phrase induction a la word2phrase) — the engine's
+    second iterative algorithm beside k-means: three merge rounds, each
+    ONE corpus-wide pair count cut by TakeOrderedAndProject, the winning
+    pair (a 2-string model artifact) broadcast into the next round's
+    re-tokenization map stage. See operators.bpe.bpe_merges."""
+    from ..operators import bpe
+
+    d = spread(T(spark, sf_dir, "documents"))
+    return bpe.bpe_merges(d, "doc_id", "text", rounds=3)

@@ -85,9 +85,11 @@ PARITY_SUBSET = [
     "incremental_curation_delta",
     "ann_recall_report",
     "corpus_mixture_upsample",
+    "bpe_merge_rounds",
     # rotated OUT for the fifth wave — still gated here
     "chapter_filenames",
     "suppliers_shipping_1995h1",
+    "customers_quiet_1995",
 ]
 
 

@@ -1340,3 +1340,46 @@ class TestCurationInvariants:
             assert rev[i]["status"] == swap[fwd[i]["status"]]
             assert rev[i]["fp_old"] == fwd[i]["fp_new"]
             assert rev[i]["fp_new"] == fwd[i]["fp_old"]
+
+
+class TestBpeMerges:
+    def test_greedy_leftmost_and_rounds(self, spark):
+        from hebrew_tutor_data_pipeline_spark.operators.bpe import bpe_merges
+
+        df = spark.createDataFrame(
+            [(1, "a b a b c"), (2, "b c a b"), (3, "a a a")], ["id", "text"]
+        )
+        got = [tuple(r) for r in bpe_merges(df, "id", "text", rounds=2).collect()]
+        # round 1: (a,b) x3 beats (b,c) x2 and (a,a) x2... (a,a) count:
+        # doc3 'a a a' has two adjacent (a,a) pairs -> (a,b)=3 wins
+        assert got[0] == (1, "a", "b", 3)
+        # after fusing a+b: docs are [a+b, a+b, c], [b, c, a+b], [a, a, a]
+        # pairs: (a+b,a+b)=1, (a+b,c)=1, (b,c)=1, (c,a+b)=1, (a,a)=2
+        assert got[1] == (2, "a", "a", 2)
+
+    def test_overlapping_self_pair_is_nonoverlapping_greedy(self, spark):
+        from hebrew_tutor_data_pipeline_spark.operators.bpe import (
+            bpe_merges,
+            merge_pair_fold,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([(1, ["a", "a", "a", "a", "a"])], ["id", "t"])
+        out = df.select(merge_pair_fold(F.col("t"), "a", "a").alias("t")).first()["t"]
+        # greedy leftmost non-overlapping: 5 a's -> a+a, a+a, a
+        assert out == ["a+a", "a+a", "a"]
+
+    def test_short_and_empty_docs(self, spark):
+        from hebrew_tutor_data_pipeline_spark.operators.bpe import bpe_merges
+
+        df = spark.createDataFrame([(1, "solo"), (2, "")], ["id", "text"])
+        assert bpe_merges(df, "id", "text", rounds=2).count() == 0
+
+    def test_deterministic_under_repartition(self, spark):
+        from hebrew_tutor_data_pipeline_spark.operators.bpe import bpe_merges
+
+        rows = [(i, f"t{i % 5} t{(i + 1) % 5} t{(i + 2) % 7} t{i % 3}") for i in range(200)]
+        a = spark.createDataFrame(rows, ["id", "text"])
+        ra = [tuple(r) for r in bpe_merges(a, "id", "text", rounds=3).collect()]
+        rb = [tuple(r) for r in bpe_merges(a.repartition(13), "id", "text", rounds=3).collect()]
+        assert ra == rb and len(ra) == 3
