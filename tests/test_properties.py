@@ -513,3 +513,59 @@ class TestDuplicateSpanProperties:
             for r in duplicate_spans(df, "doc_id", "text", n=n).collect()
         }
         assert got == _py_duplicate_spans(docs, n)
+
+
+def _py_bpe_merges(docs: list[list[str]], rounds: int) -> list[tuple[int, str, str, int]]:
+    """Pure-Python reference of the BPE merge loop: top adjacent pair by
+    (count DESC, left, right), greedy-leftmost non-overlapping fuse."""
+    from collections import Counter
+
+    docs = [list(d) for d in docs]
+    out = []
+    for rnd in range(1, rounds + 1):
+        counts: Counter = Counter()
+        for d in docs:
+            for a, b in zip(d, d[1:]):
+                counts[(a, b)] += 1
+        if not counts:
+            break
+        (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((rnd, l, r, c))
+        fused = l + "+" + r
+        new_docs = []
+        for d in docs:
+            nd, i = [], 0
+            while i < len(d):
+                if i + 1 < len(d) and d[i] == l and d[i + 1] == r:
+                    nd.append(fused)
+                    i += 2
+                else:
+                    nd.append(d[i])
+                    i += 1
+            new_docs.append(nd)
+        docs = new_docs
+    return out
+
+
+class TestBpeProperties:
+    @given(
+        docs=st.lists(
+            st.lists(st.sampled_from(["a", "b", "ab", "a+b"]), min_size=0, max_size=12),
+            min_size=1,
+            max_size=4,
+        ),
+        rounds=st.integers(min_value=1, max_value=3),
+    )
+    @SLOW
+    def test_matches_python_reference(self, spark, docs, rounds):
+        """The Spark merge loop equals the straightforward Python BPE on
+        arbitrary token lists — pair choice, tiebreaks, and the greedy
+        fuse. The alphabet includes 'ab' and a literal 'a+b' token so
+        fused-token aliasing (a fresh a+b vs a pre-existing one) is
+        exercised."""
+        from hebrew_tutor_data_pipeline_spark.operators.bpe import bpe_merges
+
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = [tuple(r) for r in bpe_merges(df, "doc_id", "text", rounds=rounds).collect()]
+        assert got == _py_bpe_merges(docs, rounds)

@@ -225,6 +225,22 @@ EXPECTATIONS: dict[str, list[tuple[bool, str, str]]] = {
         (True, "SortMergeJoin FullOuter", "delta reconciliation is ONE full-outer SMJ on the id"),
         (True, "!BatchEvalPython", "fingerprints computed JVM-side"),
     ],
+    "bpe_merge_rounds": [
+        # the returned frame is the learned merge TABLE (a bounded model
+        # artifact, like the k-means codebook) — the per-round count
+        # plans run inside the training loop and are not in this plan
+        (True, "LocalTableScan|Scan ExistingRDD", "output is the driver-side merge table"),
+        (True, "!BatchEvalPython", "no Python stages in the returned plan"),
+    ],
+    "corpus_mixture_upsample": [
+        (True, "BroadcastHashJoin", "rate table broadcasts back onto the corpus"),
+        (True, "!BatchEvalPython", "copy-count arithmetic stays JVM-side"),
+    ],
+    "ann_recall_report": [
+        (True, "!CartesianProduct", "tier-vs-baseline joins are equi joins on (query, neighbor)"),
+        (True, "MapInPandas", "the IVF/PQ assignment stages ride inside the composition"),
+        (True, "!BatchEvalPython", "no row-at-a-time Python"),
+    ],
     "incremental_curation_delta": [
         (True, "SortMergeJoin|BroadcastHashJoin", "delta detection is the fingerprint join; no rescan-the-world"),
         (True, "!BatchEvalPython", "gate arithmetic stays JVM-side"),
