@@ -82,7 +82,10 @@ def bpe_merges(
     2-string model artifact, like the k-means centroids) drives the next
     round's re-tokenization map stage. The corpus is never shuffled; the
     driver holds ``rounds`` pairs. The re-tokenization lineage grows one
-    map stage per round — for large ``rounds`` checkpoint every ~10.
+    map stage per round — for large ``rounds`` checkpoint every ~10. At
+    100 TB vocabulary induction runs on a corpus SAMPLE (pass a sampled
+    DataFrame in — the same move as k-means codebook training); applying
+    the learned merges to the full corpus is a pure map pass.
     """
     t = df.select(
         F.col(id_col).alias("id"), whitespace_tokens(F.col(text_col)).alias("t")

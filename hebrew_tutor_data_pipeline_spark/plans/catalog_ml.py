@@ -427,7 +427,12 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Shared oracle fragment: documents → (doc_id, 16-bit simhash)
-_SIMHASH_FP_SQL = f"""
+def _simhash_fp_sql(bits: int = 16) -> str:
+    """The simhash fingerprint CTE chain (sd → sh → fp) for a given
+    width — token hashes carry 31 bits, so bits ≤ 31."""
+    assert bits <= 31
+    bit_list = ", ".join(str(i) for i in range(bits - 1, -1, -1))
+    return f"""
 sd AS (
     SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
 ), sh AS (
@@ -437,13 +442,16 @@ sd AS (
 ), fp AS (
     SELECT doc_id,
            list_reduce(list_prepend(CAST(0 AS BIGINT),
-               list_transform([15,14,13,12,11,10,9,8,7,6,5,4,3,2,1,0],
+               list_transform([{bit_list}],
                    i -> CASE WHEN list_sum(list_transform(th,
                             hh -> (CAST(floor(hh / pow(2, i)) AS BIGINT) % 2) * 2 - 1)) > 0
                         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
                (a, b) -> a * 2 + b) AS simhash
     FROM sh
 )"""
+
+
+_SIMHASH_FP_SQL = _simhash_fp_sql(16)
 
 
 @_register(
@@ -488,7 +496,7 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "dedup_clusters",
     oracle=f"""
-WITH RECURSIVE {_SIMHASH_FP_SQL},
+WITH RECURSIVE {_simhash_fp_sql(30)},
 e AS (
     SELECT a.doc_id AS s, b.doc_id AS t
     FROM fp a JOIN fp b ON a.doc_id < b.doc_id
@@ -521,11 +529,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(log n)-round distributed algorithm is value-checked against a
     transitive-closure ground truth."""
     d = spread(T(spark, sf_dir, "documents"))
-    # bands=2 (8-bit bands): pigeonhole still exact for d <= 1, and the
-    # 256-value band space is 16x more selective than 4-bit bands —
-    # ~30x fewer candidate pairs reach Hamming verification.
+    # 30-bit fingerprints, bands=2 (15-bit bands): pigeonhole still
+    # exact for d <= 1. Width matters as much as banding — 16-bit
+    # simhash on 5000 docs produced ~348k pairs at sf0.1, almost all
+    # birthday collisions of the tiny space (n^2/2^17), ballooning the
+    # component graph; at 30 bits the d<=1 graph carries only real
+    # near-dups and the star rounds converge on a sparse edge set.
     pairs = dedup.simhash_near_dup_pairs(
-        d, "doc_id", "text", bits=16, bands=2, max_distance=1
+        d, "doc_id", "text", bits=30, bands=2, max_distance=1
     )
     # the banded generator emits each pair once (first-agreeing-band
     # rule), so the operator's entry dedup shuffle is skipped
