@@ -470,3 +470,53 @@ class TestStreamingCuration:
             for r in CATALOG["corpus_curation_pipeline"].spark(spark, sf).collect()
         }
         assert got == want and len(got) > 0
+
+
+class TestStreamingIncrementalLookup:
+    def test_simhash_lookup_stream_equals_batch(self, spark, tmp_path):
+        """The daily-crawl dedup pattern on an unbounded ingest: each
+        microbatch looks up its best near-match in the STANDING index
+        via foreachBatch — per-doc decisions are independent of
+        batching, so the union across microbatches must equal the batch
+        incremental_simhash_dedup on the same split."""
+        from pyspark.sql import functions as F
+
+        from hebrew_tutor_data_pipeline_spark.operators import dedup as dedup_ops
+        from hebrew_tutor_data_pipeline_spark.sources.readers import load_table
+
+        sf = "/root/testdata/sf0.001"
+        d = load_table(spark, sf, "documents")
+        crawl = d.filter(F.col("doc_id") % 10 == 7).select("doc_id", "text")
+        index = d.filter(F.col("doc_id") % 10 != 7).select("doc_id", "text")
+
+        in_dir = tmp_path / "crawl_in"
+        crawl.repartition(2).write.json(str(in_dir))
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)  # force >1 microbatch
+            .json(str(in_dir))
+        )
+        batches: list[list[tuple]] = []
+
+        def handle(bdf, _bid):
+            out = dedup_ops.simhash_lookup_pairs(
+                bdf, index, "doc_id", "text", bits=16, bands=2, max_distance=1
+            )
+            batches.append([tuple(r) for r in out.collect()])
+
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination(180)
+        assert len(batches) >= 2, "expected multiple microbatches"
+        got = {t for b in batches for t in b}
+        want = {
+            tuple(r)
+            for r in dedup_ops.simhash_lookup_pairs(
+                crawl, index, "doc_id", "text", bits=16, bands=2, max_distance=1
+            ).collect()
+        }
+        assert got == want and len(got) > 0
