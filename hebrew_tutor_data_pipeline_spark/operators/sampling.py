@@ -211,11 +211,13 @@ def mixture_plan(
         F.broadcast(rates.select("group", "rate_ppm")), "group"
     )
     if allow_upsample:
-        copies = (F.col("rate_ppm") - F.col("rate_ppm") % resolution) / resolution + (
+        # `div` keeps the whole chain in BIGINT — a double intermediate
+        # would silently lose exactness past 2^53 summed copies
+        copies = F.expr(f"rate_ppm div {resolution}") + (
             F.col("_ah") < F.col("rate_ppm") % resolution
         ).cast("long")
         accepted = tagged.groupBy("group").agg(
-            F.sum(copies).cast("long").alias("n_accepted")
+            F.sum(copies).alias("n_accepted")
         )
     else:
         accepted = (

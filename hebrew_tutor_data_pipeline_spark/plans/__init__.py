@@ -57,6 +57,12 @@ _DEMOTED = (
     "part_name_similarity",       # r01-green; J6/F12 gated by PARITY_SUBSET; frees a slot for ann_recall_report (first-time entry)
     "suppliers_shipping_1995h1",  # r03-green; J4 gated by PARITY_SUBSET; frees a slot for corpus_mixture_upsample (first-time entry)
     "customers_quiet_1995",       # r03-green; J3 gated by PARITY_SUBSET; frees a slot for bpe_merge_rounds (first-time entry)
+    # review finding: the kept set sat at 52 entries, so the LAST two
+    # (video_frame_index, winnow_fingerprints) silently missed the
+    # 50-entry driver window the comments promised them — two more
+    # r03-green demotions close the off-by-two
+    "first_event_over_threshold",  # W1 r03-green; gated by PARITY_SUBSET
+    "top5_recent_events_per_user",  # W4 r03-green; gated by PARITY_SUBSET
 )
 
 

@@ -21,6 +21,14 @@ from ..functions import similarity
 from ..operators import alignment
 from ..sources.readers import read_nested_json_corpus
 from .catalog import T, _register
+from .catalog_ml import (
+    HASH_BASE,
+    HASH_BASE2,
+    HASH_MOD,
+    HASH_MOD2,
+    _sql_token_hash,
+    _sql_token_hash2,
+)
 
 FIXTURE_CORPUS = str(
     Path(__file__).resolve().parents[2] / "tests" / "fixtures" / "bible_corpus.json"
@@ -1160,28 +1168,25 @@ def video_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the first 50 queries() entries, all sole-evidence slots — this
     # addition must not displace one. tools/parity.py and the unit tests
     # still run the oracle locally every round.
-    oracle="""
+    oracle=f"""
 WITH t AS (
     SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
 ), h AS (
     -- two independent hash chains; the k-gram key packs both rolls
-    -- (62-bit) because a lone 31-bit roll collides (see _kgram_hash)
+    -- (62-bit, CROSSED bases) because a lone same-base roll collides
+    -- (see operators.dedup._kgram_hash)
     SELECT doc_id,
-           list_transform(toks, tk -> list_reduce(list_prepend(CAST(0 AS BIGINT),
-               list_transform(string_split(tk, ''), c -> CAST(unicode(c) AS BIGINT))),
-               (acc, x) -> (acc * 31 + x) % 2147483647)) AS th,
-           list_transform(toks, tk -> list_reduce(list_prepend(CAST(0 AS BIGINT),
-               list_transform(string_split(tk, ''), c -> CAST(unicode(c) AS BIGINT))),
-               (acc, x) -> (acc * 131 + x) % 2147483629)) AS th2
+           list_transform(toks, tk -> {_sql_token_hash('tk')}) AS th,
+           list_transform(toks, tk -> {_sql_token_hash2('tk')}) AS th2
     FROM t WHERE len(toks) >= 3
 ), kgl AS (
     SELECT doc_id,
            list_transform(range(len(th) - 2),
                i -> list_reduce(list_prepend(CAST(0 AS BIGINT), th[i+1:i+3]),
-                                (acc, x) -> (acc * 131 + x) % 2147483647)
-                    * 2147483629
+                                (acc, x) -> (acc * {HASH_BASE2} + x) % {HASH_MOD})
+                    * {HASH_MOD2}
                     + list_reduce(list_prepend(CAST(0 AS BIGINT), th2[i+1:i+3]),
-                                  (acc, x) -> (acc * 31 + x) % 2147483629)) AS khs
+                                  (acc, x) -> (acc * {HASH_BASE} + x) % {HASH_MOD2})) AS khs
     FROM h
 ), kg AS (
     SELECT doc_id,
@@ -1191,7 +1196,7 @@ WITH t AS (
     FROM kgl
 ), sel AS (
     SELECT doc_id, idx, n_kg,
-           min({'kh': kh, 'ni': -idx}) OVER (PARTITION BY doc_id ORDER BY idx
+           min({{'kh': kh, 'ni': -idx}}) OVER (PARTITION BY doc_id ORDER BY idx
                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS s
     FROM kg
 )

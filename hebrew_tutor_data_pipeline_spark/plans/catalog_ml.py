@@ -2319,25 +2319,35 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     join operates on tier outputs of k rows per query — evaluation cost
     scales with the QUERY set, never the corpus. At fleet scale the
     brute-force arm runs on a sampled query panel for the same reason."""
+    # the brute-force arm is the expensive one — union the tier outputs
+    # FIRST so one join consumes it exactly once in the returned plan
     bf = ann_bruteforce_top10(spark, sf_dir).select("query_id", "neighbor_id")
-    qids = bf.select("query_id").distinct()
-
-    def tier(name: str, df: DataFrame) -> DataFrame:
-        h = (
-            df.select("query_id", "neighbor_id")
-            .join(bf, ["query_id", "neighbor_id"])
-            .groupBy("query_id")
-            .agg(F.count("*").alias("n_hits"))
+    cand = (
+        ann_ivf_top10(spark, sf_dir)
+        .select(F.lit("ivf").alias("tier"), "query_id", "neighbor_id")
+        .unionAll(
+            ann_pq_top10(spark, sf_dir).select(
+                F.lit("pq").alias("tier"), "query_id", "neighbor_id"
+            )
         )
-        return qids.join(h, "query_id", "left").select(
-            F.lit(name).alias("tier"),
-            "query_id",
-            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
-            F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / 10.0, 6).alias("recall"),
-        )
-
-    return tier("ivf", ann_ivf_top10(spark, sf_dir)).unionAll(
-        tier("pq", ann_pq_top10(spark, sf_dir))
+    )
+    h = (
+        cand.join(bf, ["query_id", "neighbor_id"])
+        .groupBy("tier", "query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    # the query panel is definitional (vec_id < 5), not derived from bf
+    panel = (
+        T(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"))
+        .crossJoin(spark.createDataFrame([("ivf",), ("pq",)], "tier string"))
+    )
+    return panel.join(h, ["tier", "query_id"], "left").select(
+        "tier",
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / 10.0, 6).alias("recall"),
     )
 
 

@@ -90,6 +90,8 @@ PARITY_SUBSET = [
     "chapter_filenames",
     "suppliers_shipping_1995h1",
     "customers_quiet_1995",
+    "first_event_over_threshold",
+    "top5_recent_events_per_user",
 ]
 
 
