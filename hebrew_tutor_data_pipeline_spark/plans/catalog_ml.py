@@ -2458,3 +2458,103 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spread(T(spark, sf_dir, "documents"))
     return bpe.bpe_merges(d, "doc_id", "text", rounds=3)
+
+
+# ===========================================================================
+# Dedup-tier recall report (candidate-generation quality harness)
+# ===========================================================================
+
+def _dedup_recall_oracle() -> str:
+    """Candidates come from the registered MinHash oracle verbatim (same
+    composition trick as _ann_recall_oracle); the ground truth is the
+    exact all-pairs 2-gram Jaccard on the same slice, unpruned."""
+    cand = CATALOG["minhash_lsh_candidates"].oracle
+    return f"""
+WITH cand AS ({cand}),
+d2 AS (
+    SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                        ELSE string_split_regex(trim(text), '\\s+') END AS t
+    FROM documents WHERE doc_id < 200
+), g2 AS (
+    SELECT doc_id,
+           CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+                WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+                ELSE list_distinct([list_aggr(t[i:i+1], 'string_agg', ' ')
+                                    for i in range(1, len(t))]) END AS toks
+    FROM d2
+), s2 AS (
+    SELECT doc_id, len(toks) AS nsh FROM g2
+), p2 AS (
+    SELECT doc_id, unnest(toks) AS tok FROM g2
+), i2 AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+    FROM p2 a JOIN p2 b ON a.tok = b.tok AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), tru AS (
+    SELECT id_a, id_b,
+           round(inter / (sa.nsh + sb.nsh - inter), 6) AS j
+    FROM i2
+    JOIN s2 sa ON sa.doc_id = id_a
+    JOIN s2 sb ON sb.doc_id = id_b
+    WHERE round(inter / (sa.nsh + sb.nsh - inter), 6) >= 0.2
+), th AS (SELECT unnest([0.2, 0.4, 0.6, 0.8]) AS threshold),
+tn AS (
+    SELECT threshold, count(t.id_a) AS n_truth
+    FROM th LEFT JOIN tru t ON t.j >= threshold GROUP BY threshold
+),
+fn AS (
+    SELECT threshold, count(c.id_a) AS n_found
+    FROM th LEFT JOIN cand c ON c.jaccard >= threshold GROUP BY threshold
+)
+SELECT tn.threshold, tn.n_truth, fn.n_found,
+       round(coalesce(fn.n_found / nullif(tn.n_truth, 0), 0), 6) AS recall
+FROM tn JOIN fn USING (threshold)
+"""
+
+
+@_register(
+    "dedup_recall_report",
+    oracle=_dedup_recall_oracle(),
+    tags=("dedup", "evaluation", "recall", "minhash"),
+)
+def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the MinHash+LSH candidate tier against exact all-pairs
+    Jaccard ground truth, per similarity threshold — the dedup twin of
+    ann_recall_report, and the S-curve measurement that justifies a
+    banding config before it runs on the real corpus (recall should
+    climb toward 1 as similarity rises past the tier's ~0.2 operating
+    point).
+
+    Plan shape / 100 TB posture: the truth arm is the unpruned posting
+    self-join — affordable ONLY on an evaluation slice (doc_id < 200
+    here, a sampled panel in production), which is exactly how recall
+    audits run at scale: the candidate tier runs corpus-wide, the
+    exact arm runs on the panel. Threshold buckets ride a 4-row
+    broadcast theta-join; counts are two tiny aggregates."""
+    d = spread(T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200))
+    truth = dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=2, threshold=0.2, max_shingle_freq=None
+    )
+    cand = dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", n=2, num_hashes=32, bands=8, threshold=0.2
+    )
+    th = spark.createDataFrame([(0.2,), (0.4,), (0.6,), (0.8,)], "threshold double")
+    tn = (
+        th.join(truth, truth["jaccard"] >= th["threshold"], "left")
+        .groupBy("threshold")
+        .agg(F.count("id_a").alias("n_truth"))
+    )
+    fn = (
+        th.join(cand, cand["jaccard"] >= th["threshold"], "left")
+        .groupBy("threshold")
+        .agg(F.count("id_a").alias("n_found"))
+    )
+    return tn.join(fn, "threshold").select(
+        "threshold",
+        "n_truth",
+        "n_found",
+        F.round(
+            F.coalesce(F.try_divide("n_found", F.nullif("n_truth", F.lit(0))), F.lit(0.0)),
+            6,
+        ).alias("recall"),
+    )

@@ -86,6 +86,8 @@ PARITY_SUBSET = [
     "ann_recall_report",
     "corpus_mixture_upsample",
     "bpe_merge_rounds",
+    "dedup_recall_report",
+    "region_revenue",
     # rotated OUT for the fifth wave — still gated here
     "chapter_filenames",
     "suppliers_shipping_1995h1",
