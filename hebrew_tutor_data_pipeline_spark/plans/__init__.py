@@ -11,7 +11,7 @@ from . import catalog_hebrew  # noqa: F401  (registers the corpus/domain queries
 # group preserves registration order, so the rotation is deterministic.
 _DEMOTED = (
     "asof_click_purchase",        # r03-green; superseded in-window by asof_click_purchase_tol (same plan + tolerance gate)
-    "top10_orders",               # O1–O3: ordering also pinned by top5_recent_events_per_user
+    "top10_orders",               # O1–O3: ordering/TakeOrdered evidence stays in-window via bm25_keyword_topk + dsir_importance_select (top5_recent_events_per_user later joined the demoted tail)
     "except_types_week1_week2",   # E1–E3 r03-green; set-ops stable since r01
     "intersect_types_week1_week2",
     "union_click_purchase_daily",

@@ -2472,15 +2472,18 @@ def _dedup_recall_oracle() -> str:
     return f"""
 WITH cand AS ({cand}),
 d2 AS (
-    SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                        ELSE string_split_regex(trim(text), '\\s+') END AS t
-    FROM documents WHERE doc_id < 200
+    -- evaluation panel: docs with >= 2 tokens only, so every arm's
+    -- degenerate-doc convention (Spark [''] shingle vs zero shingles
+    -- for empty/1-token docs) is moot and candidates stay a subset of
+    -- truth by construction
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+    FROM documents
+    WHERE doc_id < 200 AND trim(text) <> ''
+          AND len(string_split_regex(trim(text), '\\s+')) >= 2
 ), g2 AS (
     SELECT doc_id,
-           CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
-                WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
-                ELSE list_distinct([list_aggr(t[i:i+1], 'string_agg', ' ')
-                                    for i in range(1, len(t))]) END AS toks
+           list_distinct([list_aggr(t[i:i+1], 'string_agg', ' ')
+                          for i in range(1, len(t))]) AS toks
     FROM d2
 ), s2 AS (
     SELECT doc_id, len(toks) AS nsh FROM g2
@@ -2531,7 +2534,12 @@ def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     audits run at scale: the candidate tier runs corpus-wide, the
     exact arm runs on the panel. Threshold buckets ride a 4-row
     broadcast theta-join; counts are two tiny aggregates."""
-    d = spread(T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200))
+    d = spread(
+        T(spark, sf_dir, "documents").filter(
+            (F.col("doc_id") < 200)
+            & (text.whitespace_token_count(F.col("text")) >= 2)
+        )
+    )
     truth = dedup.ngram_jaccard_pairs(
         d, "doc_id", "text", n=2, threshold=0.2, max_shingle_freq=None
     )

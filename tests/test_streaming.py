@@ -510,7 +510,7 @@ class TestStreamingIncrementalLookup:
             .option("checkpointLocation", str(tmp_path / "ckpt"))
             .start()
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(180), "stream did not finish"
         assert len(batches) >= 2, "expected multiple microbatches"
         got = {t for b in batches for t in b}
         want = {
