@@ -64,6 +64,7 @@ _DEMOTED = (
     "first_event_over_threshold",  # W1 r03-green; gated by PARITY_SUBSET
     "top5_recent_events_per_user",  # W4 r03-green; gated by PARITY_SUBSET
     "region_revenue",             # r03-green; J1 broadcast evidence also pinned by explain_audit + PARITY_SUBSET; frees a slot for dedup_recall_report (first-time entry)
+    "orders_containing_shipdate",  # r03-green; J7 gated by PARITY_SUBSET + explain_audit; frees a slot for schema_drift_conform (first-time entry)
 )
 
 

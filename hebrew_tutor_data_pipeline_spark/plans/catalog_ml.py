@@ -2566,3 +2566,41 @@ def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recall"),
     )
+
+
+@_register(
+    "schema_drift_conform",
+    # A drifted generation (doc_id re-typed INT, lang dropped, a crawl
+    # metadata column added) conforms back to the canonical documents
+    # schema: re-widened id, NULL lang, extras gone — replayed as casts.
+    oracle="""
+SELECT CAST(CAST(doc_id AS INTEGER) AS BIGINT) AS doc_id,
+       text,
+       CAST(NULL AS VARCHAR) AS lang,
+       source,
+       n_chars
+FROM documents
+""",
+    tags=("sources", "schema", "incremental"),
+)
+def schema_drift_conform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift conformance (sources.readers.conform_schema): a
+    later crawl generation re-typed the id, dropped ``lang``, and added
+    a crawler column; conforming onto the canonical schema re-widens
+    the id, materializes the dropped field as typed NULLs, and drops
+    the extra — so the standing pipeline (unions, writers, dedup
+    indexes keyed on the canonical order) runs unchanged. Map-only."""
+    from ..sources.readers import conform_schema
+
+    d = spread(T(spark, sf_dir, "documents"))
+    drifted = d.select(
+        F.col("doc_id").cast("int").alias("doc_id"),
+        "text",
+        "source",
+        "n_chars",
+        F.lit("gen7").alias("crawl_gen"),
+    )
+    return conform_schema(
+        drifted,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )

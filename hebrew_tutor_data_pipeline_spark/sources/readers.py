@@ -224,3 +224,40 @@ def read_json_with_quarantine(
         .option("columnNameOfCorruptRecord", corrupt_col)
         .json(path)
     )
+
+
+def conform_schema(df: DataFrame, target, on_extra: str = "drop") -> DataFrame:
+    """Project a frame onto a target schema — the ingest-time guard for
+    schema drift across crawl/snapshot generations (a field added in
+    gen N+1, dropped in gen N+2, or re-typed must not break the
+    standing pipeline).
+
+    - columns missing from ``df`` materialize as typed NULLs;
+    - present columns cast to the target type (Spark ANSI-safe ``cast``
+      — a narrowing that cannot represent a value fails the job rather
+      than silently corrupting, which is the posture a curation
+      pipeline wants);
+    - extra columns are dropped (``on_extra='drop'``) or rejected
+      (``on_extra='error'``).
+
+    ``target`` is a ``StructType`` or a DDL string ("a long, b string").
+    Column order follows the target, so downstream positional consumers
+    (unions, writers) are stable across generations. Map-only — no
+    shuffle, no data movement beyond the projection.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    if isinstance(target, str):
+        target = StructType.fromDDL(target)
+    have = {f.name: f for f in df.schema.fields}
+    extras = [c for c in df.columns if c not in {f.name for f in target.fields}]
+    if extras and on_extra == "error":
+        raise ValueError(f"unexpected columns for target schema: {extras}")
+    cols = []
+    for f in target.fields:
+        if f.name in have:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)

@@ -88,6 +88,7 @@ PARITY_SUBSET = [
     "bpe_merge_rounds",
     "dedup_recall_report",
     "region_revenue",
+    "schema_drift_conform",
     # rotated OUT for the fifth wave — still gated here
     "chapter_filenames",
     "suppliers_shipping_1995h1",

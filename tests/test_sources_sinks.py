@@ -477,3 +477,36 @@ class TestQuarantineIngest:
         bad_rows = bad.collect()
         assert len(bad_rows) == 2  # both bad lines kept, raw text intact
         assert "TOTAL GARBAGE LINE" in {r["_corrupt_record"] for r in bad_rows}
+
+
+class TestConformSchema:
+    def test_missing_extra_and_cast(self, spark):
+        from hebrew_tutor_data_pipeline_spark.sources.readers import conform_schema
+
+        df = spark.createDataFrame(
+            [(1, "x", "junk")], "a int, b string, zz string"
+        )
+        out = conform_schema(df, "a bigint, b string, c double")
+        assert out.columns == ["a", "b", "c"]
+        row = out.first()
+        assert row["a"] == 1 and isinstance(row["a"], int)
+        assert row["c"] is None
+        assert dict(out.dtypes)["a"] == "bigint"
+        assert dict(out.dtypes)["c"] == "double"
+
+    def test_extra_error_mode(self, spark):
+        import pytest as _pytest
+
+        from hebrew_tutor_data_pipeline_spark.sources.readers import conform_schema
+
+        df = spark.createDataFrame([(1, "y")], "a int, zz string")
+        with _pytest.raises(ValueError, match="zz"):
+            conform_schema(df, "a bigint", on_extra="error")
+
+    def test_column_order_follows_target(self, spark):
+        from hebrew_tutor_data_pipeline_spark.sources.readers import conform_schema
+
+        df = spark.createDataFrame([("t", 5)], "b string, a int")
+        out = conform_schema(df, "a bigint, b string")
+        assert out.columns == ["a", "b"]
+        assert tuple(out.first()) == (5, "t")
