@@ -510,3 +510,17 @@ class TestConformSchema:
         out = conform_schema(df, "a bigint, b string")
         assert out.columns == ["a", "b"]
         assert tuple(out.first()) == (5, "t")
+
+    def test_identity_and_idempotence(self, spark):
+        from hebrew_tutor_data_pipeline_spark.sources.readers import (
+            conform_schema,
+            load_table,
+        )
+
+        d = load_table(spark, "/root/testdata/sf0.001", "documents")
+        ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in d.schema.fields)
+        once = conform_schema(d, ddl)
+        twice = conform_schema(once, ddl)
+        assert once.schema == d.schema == twice.schema
+        assert sorted(map(tuple, once.collect())) == sorted(map(tuple, d.collect()))
+        assert sorted(map(tuple, twice.collect())) == sorted(map(tuple, d.collect()))
