@@ -2592,7 +2592,9 @@ def schema_drift_conform(spark: SparkSession, sf_dir: str) -> DataFrame:
     indexes keyed on the canonical order) runs unchanged. Map-only."""
     from ..sources.readers import conform_schema
 
-    d = spread(T(spark, sf_dir, "documents"))
+    # no spread(): conformance is a cast-only projection — the documented
+    # map-only/no-shuffle plan shape must actually hold
+    d = T(spark, sf_dir, "documents")
     drifted = d.select(
         F.col("doc_id").cast("int").alias("doc_id"),
         "text",

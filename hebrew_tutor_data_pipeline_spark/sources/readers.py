@@ -233,31 +233,41 @@ def conform_schema(df: DataFrame, target, on_extra: str = "drop") -> DataFrame:
     standing pipeline).
 
     - columns missing from ``df`` materialize as typed NULLs;
-    - present columns cast to the target type (Spark ANSI-safe ``cast``
-      — a narrowing that cannot represent a value fails the job rather
-      than silently corrupting, which is the posture a curation
-      pipeline wants);
+    - present columns cast to the target type (cast semantics follow
+      the session's ``spark.sql.ansi.enabled`` — run ingest with ANSI
+      on so a narrowing that cannot represent a value FAILS the job;
+      with ANSI off Spark's cast yields NULLs, as everywhere else);
     - extra columns are dropped (``on_extra='drop'``) or rejected
       (``on_extra='error'``).
 
+    Name matching is CASE-INSENSITIVE (Spark's own default resolution —
+    a generation delivering ``Doc_ID`` must conform onto ``doc_id``,
+    not silently null it out) and dotted/special column names are
+    addressed positionally, never parsed as struct paths.
+
     ``target`` is a ``StructType`` or a DDL string ("a long, b string").
-    Column order follows the target, so downstream positional consumers
-    (unions, writers) are stable across generations. Map-only — no
-    shuffle, no data movement beyond the projection.
+    Column order and spelling follow the target, so downstream
+    positional consumers (unions, writers) are stable across
+    generations. Map-only — no shuffle, no data movement beyond the
+    projection.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
+    if on_extra not in ("drop", "error"):
+        raise ValueError(f"on_extra must be 'drop' or 'error', got {on_extra!r}")
     if isinstance(target, str):
         target = StructType.fromDDL(target)
-    have = {f.name: f for f in df.schema.fields}
-    extras = [c for c in df.columns if c not in {f.name for f in target.fields}]
+    have = {name.lower(): name for name in df.columns}
+    want = {f.name.lower() for f in target.fields}
+    extras = [c for c in df.columns if c.lower() not in want]
     if extras and on_extra == "error":
         raise ValueError(f"unexpected columns for target schema: {extras}")
     cols = []
     for f in target.fields:
-        if f.name in have:
-            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        src = have.get(f.name.lower())
+        if src is not None:
+            cols.append(df[src].cast(f.dataType).alias(f.name))
         else:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
     return df.select(*cols)

@@ -524,3 +524,24 @@ class TestConformSchema:
         assert once.schema == d.schema == twice.schema
         assert sorted(map(tuple, once.collect())) == sorted(map(tuple, d.collect()))
         assert sorted(map(tuple, twice.collect())) == sorted(map(tuple, d.collect()))
+
+    def test_case_insensitive_match_and_dotted_names(self, spark):
+        from hebrew_tutor_data_pipeline_spark.sources.readers import conform_schema
+
+        df = spark.createDataFrame([(7, "u")], ["Doc_ID", "`meta.url`"])
+        df = df.toDF("Doc_ID", "meta.url")
+        out = conform_schema(df, "doc_id bigint, b string")
+        assert out.columns == ["doc_id", "b"]
+        assert tuple(out.first()) == (7, None)
+        # dotted extra column must not be parsed as a struct path
+        out2 = conform_schema(df, "doc_id bigint")
+        assert tuple(out2.first()) == (7,)
+
+    def test_on_extra_validation(self, spark):
+        import pytest as _pytest
+
+        from hebrew_tutor_data_pipeline_spark.sources.readers import conform_schema
+
+        df = spark.createDataFrame([(1,)], ["a"])
+        with _pytest.raises(ValueError, match="on_extra"):
+            conform_schema(df, "a bigint", on_extra="raise")
