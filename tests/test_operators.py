@@ -1383,3 +1383,62 @@ class TestBpeMerges:
         ra = [tuple(r) for r in bpe_merges(a, "id", "text", rounds=3).collect()]
         rb = [tuple(r) for r in bpe_merges(a.repartition(13), "id", "text", rounds=3).collect()]
         assert ra == rb and len(ra) == 3
+
+
+class TestMixturePythonReplay:
+    @staticmethod
+    def _py_mixture(rows, alpha, target_frac, allow_upsample):
+        """Exact Python replay of mixture_plan: polynomial salted hash,
+        temperature weights, half-away ppm rounding, acceptance/copies.
+        Inputs must keep rates away from integer ppm boundaries (use
+        non-uniform group sizes) — then 1-ulp float-association noise
+        cannot flip any rounded value."""
+        import math
+        from collections import Counter
+
+        M, B = 2_147_483_647, 31
+
+        def th(s: str) -> int:
+            h = 0
+            for c in s:
+                h = (h * B + ord(c)) % M
+            return h
+
+        counts = Counter(g for _, g in rows)
+        z = sum(c ** alpha for c in counts.values())
+        n = sum(counts.values())
+        out = {}
+        for g, c in counts.items():
+            w = c ** alpha / z
+            raw = w * (target_frac * n) / c
+            if not allow_upsample:
+                raw = min(1.0, raw)
+            rate_ppm = math.floor(raw * 1_000_000 + 0.5)  # half-away
+            weight = math.floor(w * 1_000_000 + 0.5) / 1_000_000
+            acc = 0
+            for i, gg in rows:
+                if gg != g:
+                    continue
+                ah = th(f"mix|{i}") % 1_000_000
+                if allow_upsample:
+                    acc += rate_ppm // 1_000_000 + (1 if ah < rate_ppm % 1_000_000 else 0)
+                else:
+                    acc += 1 if ah < rate_ppm else 0
+            out[g] = (c, weight, rate_ppm, acc)
+        return out
+
+    def test_both_modes_match_python_exactly(self, spark):
+        from hebrew_tutor_data_pipeline_spark.operators.sampling import mixture_plan
+
+        rows = [(i, "big" if i < 700 else ("mid" if i < 930 else "small"))
+                for i in range(1000)]
+        df = spark.createDataFrame(rows, ["id", "src"])
+        for up in (False, True):
+            got = {
+                r["group"]: (r["n_docs"], r["weight"], r["rate_ppm"], r["n_accepted"])
+                for r in mixture_plan(
+                    df, "id", "src", alpha=0.3, target_frac=0.7, allow_upsample=up
+                ).collect()
+            }
+            want = self._py_mixture(rows, 0.3, 0.7, up)
+            assert got == want, (up, got, want)
