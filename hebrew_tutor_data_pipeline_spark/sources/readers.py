@@ -232,6 +232,12 @@ def conform_schema(df: DataFrame, target, on_extra: str = "drop") -> DataFrame:
     gen N+1, dropped in gen N+2, or re-typed must not break the
     standing pipeline).
 
+    Reference counterpart: the reference tolerates shape drift with
+    per-record defensive ``.get(...)`` chains
+    (`fixed_hebrew_aligner.py:397-420` on drifting service-response
+    JSON); at corpus scale conformance must be a declared projection,
+    not per-record code.
+
     - columns missing from ``df`` materialize as typed NULLs;
     - present columns cast to the target type (cast semantics follow
       the session's ``spark.sql.ansi.enabled`` — run ingest with ANSI
