@@ -558,13 +558,19 @@ def embedding_outliers(
         F.col("centroid_cos").asc(), F.col("id").asc()
     )
     wc = Window.partitionBy("cell")
-    return scored.select(
-        "id",
-        "cell",
-        "centroid_cos",
-        F.row_number().over(w).alias("cell_rank"),
-    ).withColumn(
-        "is_outlier",
-        F.col("cell_rank")
-        <= F.floor((F.count("*").over(wc) + (denom - 1)) / F.lit(denom)),
+    return (
+        scored.select(
+            "id",
+            "cell",
+            "centroid_cos",
+            F.row_number().over(w).alias("cell_rank"),
+        )
+        .withColumn("_n", F.count("*").over(wc))
+        # ceil(n/denom) via BIGINT `div` — floor((n+d-1)/d) over DOUBLE is
+        # exact only while n+d-1 < 2^53; the integer chain holds at any n.
+        .withColumn(
+            "is_outlier",
+            F.col("cell_rank") <= F.expr(f"(_n + {denom - 1}) div {denom}"),
+        )
+        .drop("_n")
     )

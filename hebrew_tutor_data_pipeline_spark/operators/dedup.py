@@ -145,12 +145,15 @@ def ngram_jaccard_pairs(
     that stays meaningful as the corpus grows — an absolute cap that
     prunes nothing at SF 0.01 silently prunes everything at 100×.
     """
+    frac_cap = None
     if isinstance(max_shingle_freq, float):
         if not 0.0 < max_shingle_freq < 1.0:
             raise ValueError("fractional max_shingle_freq must be in (0, 1)")
-        import math
-
-        max_shingle_freq = math.ceil(max_shingle_freq * df.count())
+        # Resolved IN-PLAN below (1-row broadcast aggregate), never via an
+        # eager df.count(): at 100 TB the driver-side count is a second
+        # full corpus scan run as a separate job before the real one.
+        frac_cap = max_shingle_freq
+        max_shingle_freq = None
     # Posting generation is an Arrow-batched pandas stage, not the HOF
     # shingle pipeline: transform(sequence, slice+array_join) is
     # interpreted per shingle and measured ~6× slower than plain Python
@@ -196,20 +199,40 @@ def ngram_jaccard_pairs(
             ]
         ),
     )
-    if max_shingle_freq is not None:
+    if max_shingle_freq is not None or frac_cap is not None:
         # Document-frequency prune as a windowed count, NOT a groupBy +
         # join back: the window keeps the pruned postings in ONE subtree
-        # partitioned by shingle, so (a) the pandas posting stage runs
-        # once — the self-join's two children become identical exchanges
-        # and ReuseExchange fires — and (b) the join below re-uses the
-        # window's hash partitioning instead of adding its own shuffle.
+        # partitioned by shingle, so the join below re-uses the window's
+        # hash partitioning instead of adding its own shuffle. (The two
+        # self-join children do NOT collapse into one ReusedExchange —
+        # MapInPandas nodes don't canonicalize equal after self-join
+        # deduplication — so the posting stage runs once per side; it is
+        # map-only, so this doubles token-split CPU, not shuffle volume.)
         from pyspark.sql import Window
 
+        if frac_cap is not None:
+            # ceil(frac × N) with N derived inside the plan: a 1-row
+            # aggregate over df crossJoined (broadcast) onto the
+            # postings BELOW the window — the same pattern
+            # corpus_mixture_plan uses (operators/sampling.py) and the
+            # DuckDB oracle's scalar subquery. F.ceil(lit(frac) * count)
+            # performs the identical double multiply + ceil as
+            # math.ceil(frac * n). Attaching the cap under the window
+            # keeps the window's shingle exchange as the one the
+            # self-join reuses (above it, BNLJ output partitioning would
+            # force a fresh exchange per join side).
+            cap = df.select(
+                F.ceil(F.lit(frac_cap) * F.count("*")).alias("_cap")
+            )
+            posting = posting.crossJoin(F.broadcast(cap))
+            cap_pred = F.col("_df") <= F.col("_cap")
+        else:
+            cap_pred = F.col("_df") <= max_shingle_freq
         posting = (
             posting.withColumn(
                 "_df", F.count("*").over(Window.partitionBy("shingle"))
             )
-            .filter(F.col("_df") <= max_shingle_freq)
+            .filter(cap_pred)
             .select("id", "nsh", "shingle")
         )
     # Pin the self-join to sort-merge: a posting table never broadcasts

@@ -787,7 +787,21 @@ def ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and hyperparameters, so it is memoized per process — the same move a
 # production deployment makes by persisting the codebook as a model
 # artifact instead of re-running Lloyd per query.
+#
+# PROCESS-LIFETIME ASSUMPTION: the cache key is (sf_dir, k, iters), so a
+# process that REGENERATES the parquet under an sf_dir it already trained
+# on would silently reuse the stale codebook. The driver never does this
+# (testdata is regenerated between processes, not within one), but any
+# harness that rewrites embeddings in-place must call
+# ``clear_codebook_cache()`` between generations.
 _CODEBOOK_CACHE: dict[tuple, list] = {}
+
+
+def clear_codebook_cache() -> None:
+    """Drop every memoized k-means codebook (see the process-lifetime
+    note on ``_CODEBOOK_CACHE``); the next query retrains from the
+    current table bytes."""
+    _CODEBOOK_CACHE.clear()
 
 
 def _embeddings_codebook(spark: SparkSession, sf_dir: str, k: int = 16, iters: int = 2):
@@ -2135,7 +2149,7 @@ ranked AS (
     FROM scored
 )
 SELECT id, cell, centroid_cos, cell_rank,
-       cell_rank <= floor((n + 19) / 20) AS is_outlier
+       cell_rank <= (n + 19) // 20 AS is_outlier
 FROM ranked
 """,
     tags=("embedding", "outlier", "quality", "kmeans"),

@@ -264,8 +264,21 @@ def conform_schema(df: DataFrame, target, on_extra: str = "drop") -> DataFrame:
         raise ValueError(f"on_extra must be 'drop' or 'error', got {on_extra!r}")
     if isinstance(target, str):
         target = StructType.fromDDL(target)
-    have = {name.lower(): name for name in df.columns}
     want = {f.name.lower() for f in target.fields}
+    # Source columns differing only by case are an AMBIGUOUS match for a
+    # target field — dict last-wins would pick one arbitrarily and the
+    # loser would vanish unreported. Mirror Spark's own
+    # ambiguous-reference error instead of guessing.
+    by_lower: dict[str, list[str]] = {}
+    for name in df.columns:
+        by_lower.setdefault(name.lower(), []).append(name)
+    ambiguous = {k: v for k, v in by_lower.items() if len(v) > 1 and k in want}
+    if ambiguous:
+        raise ValueError(
+            "ambiguous case-insensitive match for target column(s): "
+            + "; ".join(f"{k!r} <- {v}" for k, v in sorted(ambiguous.items()))
+        )
+    have = {name.lower(): name for name in df.columns}
     extras = [c for c in df.columns if c.lower() not in want]
     if extras and on_extra == "error":
         raise ValueError(f"unexpected columns for target schema: {extras}")

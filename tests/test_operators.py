@@ -144,6 +144,40 @@ class TestDedup:
             else:
                 assert (a, b) not in got  # no shared shingle -> never joined
 
+    def test_jaccard_fractional_cap_runs_no_eager_job(self, spark):
+        # The fractional max_shingle_freq path must derive the document
+        # total INSIDE the plan (1-row broadcast aggregate), never via an
+        # eager df.count() — at 100 TB that is a second full corpus scan
+        # run as a separate job before the real one.
+        df = spark.createDataFrame(
+            [(i, f"tok{i} alpha beta gamma shared common words") for i in range(8)],
+            ["id", "text"],
+        )
+        tracker = spark.sparkContext.statusTracker()
+        before = len(tracker.getJobIdsForGroup(None))
+        plan = ngram_jaccard_pairs(
+            df, "id", "text", n=2, threshold=0.0, max_shingle_freq=0.5
+        )
+        assert len(tracker.getJobIdsForGroup(None)) == before, (
+            "plan construction launched a Spark job (eager count)"
+        )
+        # and the cap semantics match the eager formula: ceil(0.5*8)=4,
+        # so bigrams shared by >4 docs are pruned before the self-join
+        got = {(r["id_a"], r["id_b"]) for r in plan.collect()}
+        import itertools
+
+        # 'shared common'/'common words' etc. appear in all 8 docs (>4) —
+        # pruned; only the doc-unique bigrams remain, which never join.
+        assert got == set(), got
+        # an absolute cap of 8 keeps them: every pair shares the tail
+        loose = ngram_jaccard_pairs(
+            df, "id", "text", n=2, threshold=0.0, max_shingle_freq=8
+        )
+        got_loose = {(r["id_a"], r["id_b"]) for r in loose.collect()}
+        assert got_loose == {
+            (a, b) for a, b in itertools.combinations(range(8), 2)
+        }
+
     def test_minhash_lsh_finds_near_dups(self, spark):
         base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
         docs = [

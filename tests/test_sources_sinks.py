@@ -537,6 +537,29 @@ class TestConformSchema:
         out2 = conform_schema(df, "doc_id bigint")
         assert tuple(out2.first()) == (7,)
 
+    def test_case_collision_is_ambiguous(self, spark):
+        import pytest as _pytest
+
+        from hebrew_tutor_data_pipeline_spark.sources.readers import conform_schema
+
+        # Two source columns differing only by case both match the target
+        # field: dict last-wins would pick one arbitrarily and drop the
+        # other unreported — must raise, mirroring Spark's own
+        # ambiguous-reference error.
+        df = spark.createDataFrame([(1, 2)], ["doc_id", "DOC_ID"])
+        with _pytest.raises(ValueError, match="ambiguous"):
+            conform_schema(df, "doc_id bigint")
+        # ...even in on_extra='error' mode (previously the loser was
+        # neither selected nor reported as an extra)
+        with _pytest.raises(ValueError, match="ambiguous"):
+            conform_schema(df, "doc_id bigint", on_extra="error")
+        # colliding columns that are BOTH extras stay an extras problem
+        df2 = spark.createDataFrame([(1, 2, 3)], ["a", "Zz", "ZZ"])
+        out = conform_schema(df2, "a bigint")  # drop mode: fine
+        assert out.columns == ["a"]
+        with _pytest.raises(ValueError, match="Zz"):
+            conform_schema(df2, "a bigint", on_extra="error")
+
     def test_on_extra_validation(self, spark):
         import pytest as _pytest
 
