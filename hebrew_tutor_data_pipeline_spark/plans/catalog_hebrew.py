@@ -710,16 +710,186 @@ def chapter_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _trimmer_waveforms(spark: SparkSession, tree: str):
+    """Shared front of the trimmer pipeline (S2→S5→tile→quiet): glob
+    scan ≥1 KB → fake decode → tile the waveform 64× → quiet the first
+    ``q`` seconds to 1% so the intro detector has real work, with
+    ``q = 1 + size % 4`` PER FILE so the >1 s trim gate
+    (`scripts/hebrew_audio_trimmer.py:132-140`) genuinely fires both
+    ways across the fixture set. Returns (files, waveforms)."""
+    from ..operators.multimodal import decode_audio
+    from ..sources.readers import read_binary_files
+
+    files = read_binary_files(spark, tree, glob="*.mp3").filter(
+        F.col("length") >= 1024
+    )
+    wf = (
+        decode_audio(files)
+        .join(files.select("path", "length"), "path")
+        .select(
+            "path",
+            "length",
+            "sample_rate",
+            (F.lit(1) + F.col("length") % 4).alias("q"),
+            F.flatten(F.array_repeat(F.col("samples"), 64)).alias("samples"),
+        )
+        .withColumn(
+            "samples",
+            F.expr(
+                "transform(samples, (x, i) ->"
+                " IF(i < q * sample_rate, x * 0.01d, x))"
+            ),
+        )
+    )
+    return files, wf
+
+
+def _trimmer_analysis_oracle() -> str:
+    """DuckDB twin of the trimmer's computational core. The fixture tree
+    is committed and deterministic, so the per-file fake-decode dims
+    (md5-derived frequency, sample count, quiet seconds — the SAME
+    formulas ``operators.multimodal._fake_waveform`` applies on the
+    executors) are computed here at oracle-build time and inlined as a
+    VALUES dim; everything downstream — float32 sine truncation, 1 s
+    tumbling RMS, skip-2 baseline threshold, first-over-threshold,
+    buffer/clamp/min-trim gate, proportional byte trim
+    (`scripts/hebrew_audio_trimmer.py:105-153,464`) — replays in SQL."""
+    import hashlib
+
+    dims = []
+    for p in sorted(Path(FIXTURE_AUDIO_TREE).glob("*/*.mp3")):
+        payload = p.read_bytes()
+        if len(payload) < 1024:
+            continue
+        digest = hashlib.md5(payload).digest()
+        freq = 100 + digest[0]
+        n = max(160, int(len(payload) / 1024 * 0.05 * 16000))
+        q = 1 + len(payload) % 4
+        dims.append((p.name.replace("'", "''"), len(payload), freq, n, q))
+    vals = ",\n  ".join(
+        f"('{f}', {s}, {fr}, {n}, {q})" for f, s, fr, n, q in dims
+    )
+    return f"""
+WITH dims(filename, size, freq, n, q) AS (VALUES
+  {vals}),
+idx AS (
+  SELECT filename, size, freq, n, q, unnest(range(0, 64 * n)) AS i FROM dims),
+samp AS (
+  SELECT filename, size, q, i,
+         CASE WHEN i < q * 16000
+              THEN CAST(CAST(sin(2 * pi() * freq * (i % n) / 16000) AS REAL) AS DOUBLE) * 0.01
+              ELSE CAST(CAST(sin(2 * pi() * freq * (i % n) / 16000) AS REAL) AS DOUBLE) END AS x
+  FROM idx),
+segs AS (
+  SELECT filename, any_value(size) AS size,
+         CAST(i // 16000 AS INTEGER) AS seg_idx,
+         sqrt(avg(x * x)) AS rms_raw, count(*) AS ns
+  FROM samp GROUP BY filename, seg_idx),
+seg2 AS (
+  SELECT *, seg_idx * 1.0 AS start_time,
+         seg_idx * 1.0 + ns / 16000 AS end_time
+  FROM segs),
+thr AS (
+  SELECT filename, 0.3 * avg(rms_raw) AS threshold_raw
+  FROM seg2 WHERE seg_idx >= 2 GROUP BY filename),
+fl AS (
+  SELECT s.filename,
+         min(CASE WHEN s.rms_raw > t.threshold_raw THEN s.start_time END)
+             AS first_loud_start,
+         max(s.end_time) AS duration
+  FROM seg2 s JOIN thr t USING (filename) GROUP BY s.filename),
+sg AS (
+  SELECT filename, first_loud_start, duration,
+         greatest(first_loud_start - 0.25, 0.0) AS suggested_raw
+  FROM fl)
+SELECT s.filename, s.seg_idx,
+       round(s.rms_raw, 6) AS rms,
+       s.start_time,
+       round(s.end_time, 6) AS end_time,
+       round(t.threshold_raw, 6) AS threshold,
+       g.first_loud_start,
+       round(g.suggested_raw, 2) AS suggested_trim,
+       g.suggested_raw > 1.0 AS should_trim,
+       CASE WHEN g.suggested_raw > 1.0
+            THEN CAST(floor(s.size * g.suggested_raw / g.duration) AS BIGINT)
+            ELSE 0 END AS trim_bytes
+FROM seg2 s JOIN thr t USING (filename) JOIN sg g USING (filename)
+"""
+
+
+@_register(
+    "trimmer_intro_analysis",
+    # The trimmer's ENTIRE computational core under the value-hash gate
+    # (the e2e entry below keeps only the inherently uncheckable byte-
+    # overwrite side effect rows-only). Cross-engine float posture: the
+    # sine argument is evaluated with the identical left-assoc op chain,
+    # truncated to float32 exactly where the Arrow boundary truncates,
+    # and every aggregate-derived output (rms, threshold) is rounded
+    # 6 dp; the decisive comparisons (rms > threshold, suggested > 1 s)
+    # sit orders of magnitude from their boundaries by construction
+    # (quiet segments are 1% of loud ones).
+    oracle=None if not _FIXTURES_OK else _trimmer_analysis_oracle(),
+    tags=("S2", "S5", "A7", "A8", "W1", "P5", "F8", "U4"),
+    bench=True,
+)
+def trimmer_intro_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio trimmer's analysis stage as ONE pure plan
+    (`scripts/hebrew_audio_trimmer.py:105-153`): S2 glob scan → S5 fake
+    decode → 64× tile + per-file intro quieting → A7 1 s tumbling RMS
+    segments (U4) → A8 skip-2 baseline threshold → W1 first segment over
+    threshold → P5 buffer/clamp/min-trim gate → F8 proportional byte
+    trim size. One row per (file, segment) carrying the per-file
+    verdict, so the value hash pins every intermediate the side-
+    effecting twin consumes."""
+    from ..operators import audio as audio_ops
+
+    files, wf = _trimmer_waveforms(spark, FIXTURE_AUDIO_TREE)
+    segs = audio_ops.rms_energy_segments(wf, segment_seconds=1.0)
+    thr = audio_ops.intro_threshold(segs, skip_segments=2, factor=0.3)
+    sugg = audio_ops.suggest_intro_trim(
+        segs, skip_segments=2, factor=0.3, buffer_seconds=0.25, min_trim=1.0
+    )
+    dur = segs.groupBy("path").agg(F.max("end_time").alias("duration"))
+    return (
+        segs.join(F.broadcast(thr), "path")
+        .join(F.broadcast(sugg), "path")
+        .join(F.broadcast(dur), "path")
+        .join(F.broadcast(files.select("path", "length")), "path")
+        .select(
+            F.regexp_extract("path", r"([^/]+)$", 1).alias("filename"),
+            "seg_idx",
+            F.round("rms_energy", 6).alias("rms"),
+            "start_time",
+            F.round("end_time", 6).alias("end_time"),
+            F.round("threshold", 6).alias("threshold"),
+            "first_loud_start",
+            F.round("suggested_trim", 2).alias("suggested_trim"),
+            "should_trim",
+            F.when(
+                F.col("should_trim"),
+                F.floor(
+                    F.col("length") * F.col("suggested_trim") / F.col("duration")
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("trim_bytes"),
+        )
+    )
+
+
 @_register(
     "trimmer_pipeline_e2e",
-    oracle=None,  # side-effect sink pipeline; deterministic rows-only
+    oracle=None,  # byte-overwrite side effects; analysis core is value-
+    # hash-gated by trimmer_intro_analysis above
     tags=("S2", "S5", "A7", "A8", "W1", "P5", "S10", "F8"),
 )
 def trimmer_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's entry point 2, the audio trimmer
     (`scripts/hebrew_audio_trimmer.py` batch mode), composed end-to-end:
     S2 glob scan → S5 decode (fake codec; waveform tiled 64× and its
-    first 3 s quieted to 1% so the intro detector has real work) → A7
+    first 1–4 s — per-file, see ``_trimmer_waveforms`` — quieted to 1%
+    so the intro detector has real work) → A7
     tumbling RMS segments → A8 baseline threshold with intro skip → W1
     first-over-threshold + P5 >1 s gate → proportional byte trim → S10
     overwrite-with-backup → re-scan → restore-from-backup → re-scan.
@@ -743,7 +913,6 @@ def trimmer_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators import audio as audio_ops
     from ..operators.binary_sink import overwrite_with_backup, restore_from_backup
-    from ..operators.multimodal import decode_audio
     from ..sources.readers import read_binary_files
 
     app = spark.sparkContext.applicationId
@@ -760,19 +929,9 @@ def trimmer_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("length") >= 1024
         )
 
-    files = scan()
-    wf = decode_audio(files).select(
-        "path",
-        "sample_rate",
-        F.flatten(F.array_repeat(F.col("samples"), 64)).alias("samples"),
-    )
-    wf = wf.withColumn(
-        "samples",
-        F.expr(
-            "transform(samples, (x, i) ->"
-            " IF(i < CAST(3 * sample_rate AS INT), x * 0.01d, x))"
-        ),
-    )
+    # shared decode/tile/quiet front — the exact frames the value-hash-
+    # gated trimmer_intro_analysis pins
+    files, wf = _trimmer_waveforms(spark, str(scratch))
     # Persist the per-second RMS segments (rows = files × seconds —
     # tiny vs the waveforms): every downstream consumer (threshold,
     # first-loud, duration, report) reads the cache, so the decode +

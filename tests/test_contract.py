@@ -17,85 +17,91 @@ from tools.parity import TABLES, table_hash  # noqa: E402
 
 SF = "/root/testdata/sf0.001"
 
-# Fast representative subset for per-commit runs; tools/parity.py covers all.
-# Mirrors the driver's 50-entry window: every family that window checks
-# has one representative here, so a breakage the driver would flag also
-# fails pytest (the r03 NTZ regression failed only 1 of 2 broken queries
-# because progress_running_eta was missing from this list).
+# Per-commit parity gate, computed in LOCKSTEP with the driver-window
+# rotation (plans/__init__.py): pytest hash-gates at sf0.001 exactly the
+# oracled entries the driver will NOT check this round (out-of-window),
+# plus any never-driver-validated entries that just rotated in — so
+# every oracled query is gated somewhere at every commit. (The r03 NTZ
+# regression slipped because the then-hand-maintained list missed
+# progress_running_eta; a computed complement cannot miss.)
+from hebrew_tutor_data_pipeline_spark.plans import (  # noqa: E402
+    CATALOG,
+    driver_window,
+    load_last_green,
+)
+
+_window = set(driver_window())
+_green_ever = set(load_last_green())
 PARITY_SUBSET = [
-    "pricing_summary",
-    "rollup_region_nation",
-    "alloc_order_value",
-    "tumbling_hour_stats",
-    "asof_click_purchase_tol",  # supersedes the tolerance-free entry in-window
-    "user_sessions_30min",
-    "progress_running_eta",
-    "upsert_last_event_state",
-    "orders_containing_shipdate",
-    "dedup_exact_keepers",
-    "simhash_fingerprints",
-    "ann_bruteforce_top10",
-    "hebrew_normalize",
-    # previously driver-unchecked families (rotated into the window r04)
-    "transcribe_chapter",
-    "nfc_normalize_corpus",
-    "local_first_audio",
-    "nation_code_fallback",
-    "user_first_last_event",
-    "lineitem_unit_math",
-    "part_name_similarity",
-    "corpus_word_spread",
-    "doc_vowel_class_map",
-    "alignment_sink_roundtrip",
-    # rotated OUT of the driver window r04 — pytest keeps gating them here
-    "missing_order_days",
-    "json_extract_defaults",
-    "sql_segment_revenue",
-    "clicks_in_purchase_windows",
-    "skewed_event_profile",
-    "simhash_hamming_pairs",
-    # new r04 curation entries, rotated INTO the driver window
-    "winnow_fingerprints",
-    "dedup_clusters",
-    "doc_split_sample",
-    "doc_pii_redact",
-    "benchmark_contamination",
-    "gopher_quality_flags",
-    "token_pack_plan",
-    "ann_pq_top10",
-    "curation_funnel",
-    "incremental_simhash_dedup",
-    # new r04 additions (in-window)
-    "semantic_dedup_flags",
-    "doc_lm_perplexity",
-    "duplicate_token_spans",
-    "corpus_mixture_plan",
-    # rotated OUT of the driver window late r04 — pytest keeps gating it
-    "jaccard_token_pairs",
-    "minhash_lsh_candidates",
-    # new late-r04 retrieval entry (in-window)
-    "bm25_keyword_topk",
-    # rotated OUT of the driver window for the fifth wave — still gated here
-    "doc_text_stats",
-    # fifth-wave entries (in-window)
-    "dsir_importance_select",
-    "corpus_snapshot_diff",
-    "embedding_outlier_scores",
-    "bm25_prf_rerank",
-    "incremental_curation_delta",
-    "ann_recall_report",
-    "corpus_mixture_upsample",
-    "bpe_merge_rounds",
-    "dedup_recall_report",
-    "region_revenue",
-    "schema_drift_conform",
-    # rotated OUT for the fifth wave — still gated here
-    "chapter_filenames",
-    "suppliers_shipping_1995h1",
-    "customers_quiet_1995",
-    "first_event_over_threshold",
-    "top5_recent_events_per_user",
+    n
+    for n, s in CATALOG.items()
+    if s.oracle is not None and (n not in _window or n not in _green_ever)
 ]
+
+
+class TestRotation:
+    """The computed driver-window rotation (plans/__init__.py) replaces
+    the r01–r04 hand-maintained _DEMOTED tuple; these pin its contract."""
+
+    def test_every_oracled_entry_enters_window_within_ceil_n_over_w(self):
+        import math
+
+        from hebrew_tutor_data_pipeline_spark.plans import (
+            WINDOW_SIZE,
+            load_last_green,
+            rotation_order,
+        )
+
+        names = list(CATALOG)
+        has_oracle = {n: s.oracle is not None for n, s in CATALOG.items()}
+        oracled = {n for n in names if has_oracle[n]}
+        # start from the COMMITTED recorded state, then simulate green rounds
+        last_green = dict(load_last_green())
+        rnd = max(last_green.values(), default=0)
+        seen: set[str] = set()
+        for _ in range(math.ceil(len(oracled) / WINDOW_SIZE)):
+            rnd += 1
+            window = rotation_order(names, has_oracle, last_green)[:WINDOW_SIZE]
+            if len(oracled) >= WINDOW_SIZE:
+                assert all(has_oracle[n] for n in window), (
+                    "a rows-only entry occupies a hash-checkable slot"
+                )
+            for n in window:
+                last_green[n] = rnd
+                seen.add(n)
+        assert seen >= oracled, sorted(oracled - seen)
+
+    def test_failed_entry_returns_next_round(self):
+        from hebrew_tutor_data_pipeline_spark.plans import rotation_order
+
+        names = [f"q{i:03d}" for i in range(120)]
+        has_oracle = dict.fromkeys(names, True)
+        win1 = rotation_order(names, has_oracle, {})[:50]
+        failed = win1[7]
+        lg = {n: 1 for n in win1 if n != failed}
+        win2 = rotation_order(names, has_oracle, lg)[:50]
+        assert failed in win2  # keeps its never-green priority
+        assert all(n not in win2 for n in win1 if n != failed)
+
+    def test_order_is_deterministic_and_rows_only_last(self):
+        from hebrew_tutor_data_pipeline_spark.plans import rotation_order
+
+        names = [f"q{i:03d}" for i in range(60)]
+        has_oracle = {n: n != "q005" for n in names}
+        lg = {"q010": 2, "q001": 1}
+        a = rotation_order(list(names), has_oracle, dict(lg))
+        # ties break on position in the given (registration-order) list,
+        # so identical inputs must reproduce the order exactly
+        assert a == rotation_order(list(names), has_oracle, dict(lg))
+        assert a[-1] == "q005"  # rows-only sorts behind every oracled entry
+        assert a[-3:-1] == ["q001", "q010"]  # green entries behind never-green
+
+    def test_live_window_is_fifty_oracled(self):
+        from hebrew_tutor_data_pipeline_spark.plans import WINDOW_SIZE, driver_window
+
+        win = driver_window()
+        assert len(win) == WINDOW_SIZE
+        assert all(CATALOG[n].oracle is not None for n in win)
 
 
 def test_entry_smoke(spark):
