@@ -19,6 +19,7 @@ driver records the weaker rows-only check, as the contract allows.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -573,6 +574,112 @@ def tumbling_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("value"), 4).alias("avg_value"),
         )
     )
+
+
+@_register(
+    "streaming_tumbling_hour_stats",
+    # Twin of the streaming aggregation: with the whole table replayed
+    # through the availableNow trigger, the watermark never expires a
+    # window before the final complete-mode batch, so the streaming
+    # result equals the batch group-by exactly.
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value,
+       round(round(sum(value), 4) / count(*), 6) AS avg_value
+FROM events
+GROUP BY 1, 2, 3
+""",
+    tags=("T1", "T2", "T4", "A7"),
+    bench=True,
+)
+def streaming_tumbling_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/T2/T4 executed UNDER Structured Streaming, not merely shaped
+    for it: a file-source ``readStream`` over the events parquet →
+    watermark + tumbling-window aggregate (streaming.windows, the T2
+    operator) → ``foreachBatch`` writing each complete-mode batch to a
+    parquet sink via idempotent overwrite → the committed sink read back
+    as the result frame. Mirrors the reference's polling loop feeding
+    its progress aggregator (`hebrew_alignment_tool.py:230-231`,
+    `scripts/hebrew_audio_trimmer.py:113-124`) as a streaming pipeline.
+
+    Scale posture: the harness uses complete-mode because the sink must
+    be a deterministic value-hashable frame and the per-run state is
+    only (#hours × #event_types) rows; the unbounded-production shape —
+    append mode, watermark-evicted state, idempotent per-window sink —
+    is the same plan with outputMode("append") and is exercised by
+    tests/test_streaming.py. ts normalization matches load_table's
+    policy (nanos→micros or NTZ→LTZ) so stream and batch share one time
+    domain.
+    """
+    import shutil
+    import tempfile
+    from pathlib import Path as _Path
+
+    from ..streaming.windows import tumbling_window_stats
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ts_type = dict(stream.dtypes)["ts"]
+    if ts_type == "bigint":  # parquet TIMESTAMP(NANOS) via nanosAsLong
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("`ts` div 1000"))
+        )
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = tumbling_window_stats(
+        stream,
+        ts_col="ts",
+        window_duration="1 hour",
+        watermark_delay="10 minutes",
+        key_cols=("event_type",),
+        value_col="value",
+    ).withColumn(
+        # avg derived from the 4dp-agreed sum instead of a second
+        # float aggregation: round(avg,6) flips 1 ulp across engines
+        # at sf0.1 (incremental streaming-state summation order), while
+        # round(sum,4)/n is engine-exact by construction.
+        "avg_value",
+        F.round(F.col("sum_value") / F.col("n_events"), 6),
+    )
+
+    scratch = (
+        _Path(tempfile.gettempdir())
+        / f"htdp_stream_tumbling_{spark.sparkContext.applicationId}"
+        / str(abs(hash(sf_dir)) % 10**8)
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    out = str(scratch / "out")
+    ckpt = str(scratch / "ckpt")
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Complete-mode: every batch carries the full aggregate, so an
+        # overwrite leaves the sink holding exactly the final state no
+        # matter how availableNow splits the file list into batches.
+        batch_df.write.mode("overwrite").parquet(out)
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .queryName("tumbling_hour_stats_stream")
+        .foreachBatch(_write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(600):
+            raise TimeoutError("streaming_tumbling_hour_stats: stream did not finish")
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)  # output stays readable
+    return spark.read.parquet(out)
 
 
 @_register(
