@@ -922,6 +922,7 @@ def connected_components(
     dst: str = "dst",
     max_iterations: int = 30,
     dedupe_edges: bool = True,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Connected components of an undirected edge list → (node, component),
     where component is the smallest node id reachable from node. Nodes
@@ -958,9 +959,14 @@ def connected_components(
         # pairs (banded LSH join) can skip this full-edge-set shuffle;
         # heavily duplicated inputs should keep it to shrink round 1.
         e = e.distinct()
+    if reliable_checkpoint and edges.sparkSession.sparkContext.getCheckpointDir() is None:
+        raise ValueError(
+            "reliable_checkpoint=True requires sparkContext.setCheckpointDir(...)"
+        )
     prev_sig = None
     for _ in range(max_iterations):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e = _small_star(_large_star(e))
+        e = e.checkpoint(eager=True) if reliable_checkpoint else e.localCheckpoint(eager=True)
         # 64-bit-hash checksum + count: a fixpoint keeps both identical.
         sig = tuple(
             e.agg(

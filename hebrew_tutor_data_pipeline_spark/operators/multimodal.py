@@ -400,9 +400,14 @@ def _pdf_extract_pages(payload: bytes) -> list[tuple[bytes, str]]:
         return data
 
     def texts_of(stream: bytes) -> str:
-        # (…) Tj and [(…) kern (…)] TJ, extracted in STREAM ORDER (real
-        # PDFs freely interleave the two operators; collecting per-kind
-        # would scramble the page text and the nikud map derived from it)
+        # (…) Tj, <hex> Tj and [(…) kern <hex> …] TJ, extracted in STREAM
+        # ORDER (real PDFs freely interleave the operators; collecting
+        # per-kind would scramble the page text and the nikud map derived
+        # from it). Hex strings with a UTF-16BE BOM decode as the PDF
+        # text-string encoding (ISO 32000-1 §7.9.2.2); BOM-less hex
+        # decodes latin-1 byte-per-code like literal strings.
+        import unicodedata
+
         def unescape(s: bytes) -> str:
             s = re.sub(rb"\\([0-7]{1,3})", lambda m: bytes([int(m.group(1), 8)]), s)
             for a, b in ((b"\\n", b"\n"), (b"\\r", b"\r"), (b"\\t", b"\t"),
@@ -410,21 +415,38 @@ def _pdf_extract_pages(payload: bytes) -> list[tuple[bytes, str]]:
                 s = s.replace(a, b)
             return s.decode("latin-1")
 
+        def unhex(s: bytes) -> str:
+            raw = bytes.fromhex(s.decode("ascii"))
+            if raw.startswith(b"\xfe\xff"):
+                return raw[2:].decode("utf-16-be", errors="replace")
+            return raw.decode("latin-1")
+
         parts: list[str] = []
         show_op = re.compile(
-            rb"\(((?:\\.|[^\\()])*)\)\s*Tj|\[((?:\\.|[^\]])*)\]\s*TJ"
+            rb"\(((?:\\.|[^\\()])*)\)\s*Tj"
+            rb"|<([0-9A-Fa-f\s]*)>\s*Tj"
+            rb"|\[((?:\\.|[^\]])*)\]\s*TJ"
         )
+        run_str = re.compile(rb"\(((?:\\.|[^\\()])*)\)|<([0-9A-Fa-f\s]*)>")
         for m in show_op.finditer(stream):
             if m.group(1) is not None:
                 parts.append(unescape(m.group(1)))
+            elif m.group(2) is not None:
+                parts.append(unhex(m.group(2)))
             else:
                 run = "".join(
-                    unescape(s.group(1))
-                    for s in re.finditer(rb"\(((?:\\.|[^\\()])*)\)", m.group(2))
+                    unescape(s.group(1)) if s.group(1) is not None else unhex(s.group(2))
+                    for s in run_str.finditer(m.group(3))
                 )
                 if run:
                     parts.append(run)
-        return " ".join(p.strip() for p in parts if p.strip())
+        # The reference NFC-normalizes immediately after OCR
+        # (`scripts/convert_hebrew_grammar_pdf.py:120`); normalizing at
+        # the extraction boundary keeps every downstream consumer (and
+        # the oracle replay) in one canonical form.
+        return unicodedata.normalize(
+            "NFC", " ".join(p.strip() for p in parts if p.strip())
+        )
 
     pages: list[tuple[bytes, str]] = []
     for num in sorted(objs):

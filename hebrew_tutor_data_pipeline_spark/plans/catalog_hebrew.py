@@ -1242,6 +1242,149 @@ except OSError:
     _DIGEST_VALUES = ""
 
 
+FIXTURE_PDF_TREE = str(
+    Path(__file__).resolve().parents[2] / "tests" / "fixtures" / "pdf_tree"
+)
+
+#: Rule-based NER gazetteer over UNDIACRITIZED Hebrew forms — the
+#: deterministic stand-in for the reference's dictabert-ner model slot
+#: (`scripts/convert_hebrew_grammar_pdf.py:89-92`): biblical book names
+#: and the grammar terms the converted PDF teaches. Domain facts, like
+#: the book-code seed dim (SURVEY §7.3). 'סגול' is a deliberate
+#: no-match probe (absent from every fixture page).
+PDF_NER_GAZETTEER: tuple[tuple[str, str], ...] = (
+    ("בראשית", "BOOK"),
+    ("שמות", "BOOK"),
+    ("תהלים", "BOOK"),
+    ("דגש", "TERM"),
+    ("שוא", "TERM"),
+    ("קמץ", "TERM"),
+    ("פתח", "TERM"),
+    ("סגול", "TERM"),
+)
+
+_PDF_TOKEN_RE = "[A-Za-z0-9֐-׿]+"
+_PDF_HEBREW_RE = "[א-ת]"
+_PDF_NIKUD_RE = "[ְ-ׇ]"
+_PDF_DAGESH = "ּ"
+
+
+def _pdf_nlp_oracle() -> str:
+    """DuckDB twin of pdf_nlp_entities. The extraction boundary (the
+    codec: objects → inflated streams → Tj/TJ/hex text, NFC) replays at
+    oracle-build time with the SAME stdlib parser the executors run over
+    the same committed bytes and is inlined as a VALUES dim — the
+    trimmer-oracle pattern; every NLP step downstream (tokenize,
+    Hebrew-token filter, nikud/dagesh char classes, undiacritized
+    gazetteer match) runs in SQL."""
+    from ..operators.multimodal import _pdf_extract_pages
+
+    rows = []
+    for p in sorted(Path(FIXTURE_PDF_TREE).glob("*.pdf")):
+        for i, (_stream, text) in enumerate(_pdf_extract_pages(p.read_bytes()), 1):
+            rows.append((p.name, i, text.replace("'", "''")))
+    if not rows:
+        raise OSError("no committed PDF fixtures found")
+    vals = ",\n  ".join(f"('{f}', {i}, '{t}')" for f, i, t in rows)
+    gaz = ", ".join(f"('{e}', '{l}')" for e, l in PDF_NER_GAZETTEER)
+    return f"""
+WITH pages(filename, page_number, text) AS (VALUES
+  {vals}),
+gaz(entity, label) AS (VALUES {gaz}),
+tok AS (
+  SELECT filename, page_number, text,
+         regexp_extract_all(text, '{_PDF_TOKEN_RE}') AS tokens
+  FROM pages),
+tok2 AS (
+  SELECT *, list_filter(tokens, t -> regexp_matches(t, '{_PDF_HEBREW_RE}')) AS hebrew
+  FROM tok),
+stats AS (
+  SELECT filename, CAST(page_number AS INTEGER) AS page_number,
+         CAST(len(tokens) AS INTEGER) AS n_tokens,
+         CAST(len(hebrew) AS INTEGER) AS n_hebrew_tokens,
+         CAST(len(regexp_extract_all(text, '{_PDF_NIKUD_RE}')) AS INTEGER) AS nikud_chars,
+         CAST(len(regexp_extract_all(text, '{_PDF_DAGESH}')) AS INTEGER) AS dagesh_chars,
+         -- array_to_string([]) is NULL in DuckDB (Spark: ''), hence coalesce
+         CAST(coalesce(length(array_to_string(hebrew, ' ')), 0) AS INTEGER) AS clean_len
+  FROM tok2),
+ment AS (
+  SELECT filename, CAST(page_number AS INTEGER) AS page_number,
+         regexp_replace(unnest(hebrew), '{_PDF_NIKUD_RE}', '', 'g') AS bare
+  FROM tok2),
+ents AS (
+  SELECT filename, page_number, entity, label, count(*) AS n_mentions
+  FROM ment JOIN gaz ON bare = entity
+  GROUP BY 1, 2, 3, 4)
+SELECT s.*, e.entity, e.label, e.n_mentions
+FROM stats s LEFT JOIN ents e USING (filename, page_number)
+"""
+
+
+@_register(
+    "pdf_nlp_entities",
+    oracle=None if not _FIXTURES_OK else _pdf_nlp_oracle(),
+    tags=("S11", "S12", "U7", "F16", "F17"),
+)
+def pdf_nlp_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11/S12/U7 with REAL semantics end-to-end: binary scan of the
+    committed PDF fixtures → stdlib page/text extraction (inflated
+    content streams, Tj/TJ/hex show-strings, NFC — ``fake=False``) →
+    the reference's Hebrew NLP chain as PURE built-in expressions, no
+    Python in the hot path: tokenize, keep Hebrew tokens for the clean
+    text (`convert_hebrew_grammar_pdf.py:96-99`), nikud/dagesh
+    char-class counts over the normalized text (ibid:121-124 — the
+    INTENDED range semantics; the reference's `c in '\\u05B0-\\u05C7'`
+    literally tests membership in a 3-char string), and rule-based
+    gazetteer NER over undiacritized tokens (the dictabert-ner model
+    slot, ibid:89-92). One row per (page × matched entity), pages
+    without entities kept with NULL entity — the value hash pins page
+    stats AND the NER surface together.
+
+    Scale posture: extraction is one Arrow-batched mapInPandas over the
+    binaries (the unavoidable codec boundary); everything after is
+    map-only JVM expressions plus one broadcast join against the tiny
+    gazetteer dim and one (page,entity) partial-agg — no corpus-sized
+    shuffle at any width."""
+    from ..operators.multimodal import pdf_pages
+    from ..sources.readers import read_binary_files
+
+    files = read_binary_files(spark, FIXTURE_PDF_TREE, glob="*.pdf")
+    pages = pdf_pages(files, fake=False).select(
+        F.regexp_extract("path", r"([^/]+)$", 1).alias("filename"),
+        "page_number",
+        "text",
+    )
+    tok = pages.withColumn(
+        "tokens", F.regexp_extract_all("text", F.lit(_PDF_TOKEN_RE), F.lit(0))
+    ).withColumn(
+        "hebrew", F.filter("tokens", lambda t: t.rlike(_PDF_HEBREW_RE))
+    )
+    stats = tok.select(
+        "filename",
+        "page_number",
+        F.size("tokens").alias("n_tokens"),
+        F.size("hebrew").alias("n_hebrew_tokens"),
+        F.regexp_count("text", F.lit(_PDF_NIKUD_RE)).alias("nikud_chars"),
+        F.regexp_count("text", F.lit(_PDF_DAGESH)).alias("dagesh_chars"),
+        F.length(F.array_join("hebrew", " ")).alias("clean_len"),
+    )
+    gaz = F.broadcast(
+        tok.sparkSession.createDataFrame(
+            list(PDF_NER_GAZETTEER), ["entity", "label"]
+        )
+    )
+    ents = (
+        tok.select(
+            "filename", "page_number", F.explode("hebrew").alias("tok")
+        )
+        .withColumn("bare", F.regexp_replace("tok", _PDF_NIKUD_RE, ""))
+        .join(gaz, F.col("bare") == F.col("entity"))
+        .groupBy("filename", "page_number", "entity", "label")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+    )
+    return stats.join(ents, ["filename", "page_number"], "left")
+
+
 @_register(
     "pdf_page_scan",
     # The fake pager is digest-DERIVED but digest-DETERMINISTIC:
