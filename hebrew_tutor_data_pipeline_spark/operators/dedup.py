@@ -131,6 +131,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_shingle_freq: int | float | None = None,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """All document pairs with n-gram Jaccard similarity ≥ threshold.
 
@@ -144,6 +145,18 @@ def ngram_jaccard_pairs(
     the corpus size (resolved with one count job), which is the form
     that stays meaningful as the corpus grows — an absolute cap that
     prunes nothing at SF 0.01 silently prunes everything at 100×.
+
+    ``max_shingle_df`` is an ADDITIONAL absolute cap combined as
+    least(fraction·N, max_shingle_df). The r06 scale measurements
+    showed why both are needed: with a fractional cap alone, per-shingle
+    join work is Σ df² and df ∝ n for every shingle below the fraction
+    whenever the vocabulary does not grow with the corpus — measured
+    superlinear (t ∝ n^~1.8) on the self-similar x1→x100 family. The
+    absolute cap bounds per-shingle work at df²; shingles above it are
+    exactly the uninformative ones (a pair that is genuinely ≥0.5
+    Jaccard still meets on its many LOW-df shingles). The LSH tier
+    remains the candidate generator of record at corpus scale; this cap
+    makes the exact posting join itself shuffle-bounded.
     """
     frac_cap = None
     if isinstance(max_shingle_freq, float):
@@ -199,7 +212,7 @@ def ngram_jaccard_pairs(
             ]
         ),
     )
-    if max_shingle_freq is not None or frac_cap is not None:
+    if max_shingle_freq is not None or frac_cap is not None or max_shingle_df is not None:
         # Document-frequency prune as a windowed count, NOT a groupBy +
         # join back: the window keeps the pruned postings in ONE subtree
         # partitioned by shingle, so the join below re-uses the window's
@@ -210,6 +223,7 @@ def ngram_jaccard_pairs(
         # map-only, so this doubles token-split CPU, not shuffle volume.)
         from pyspark.sql import Window
 
+        caps = []
         if frac_cap is not None:
             # ceil(frac × N) with N derived inside the plan: a 1-row
             # aggregate over df crossJoined (broadcast) onto the
@@ -225,9 +239,14 @@ def ngram_jaccard_pairs(
                 F.ceil(F.lit(frac_cap) * F.count("*")).alias("_cap")
             )
             posting = posting.crossJoin(F.broadcast(cap))
-            cap_pred = F.col("_df") <= F.col("_cap")
-        else:
-            cap_pred = F.col("_df") <= max_shingle_freq
+            caps.append(F.col("_cap"))
+        if max_shingle_freq is not None:
+            caps.append(F.lit(max_shingle_freq))
+        if max_shingle_df is not None:
+            caps.append(F.lit(max_shingle_df))
+        cap_pred = F.col("_df") <= (
+            caps[0] if len(caps) == 1 else F.least(*caps)
+        )
         posting = (
             posting.withColumn(
                 "_df", F.count("*").over(Window.partitionBy("shingle"))
@@ -944,9 +963,19 @@ def connected_components(
     round — and the edge set contracts to rooted stars in O(log n) rounds
     even on chain graphs, where naive min-label propagation needs
     O(diameter) rounds. Lineage is truncated each round with
-    localCheckpoint; a cluster deployment with preemptible executors
-    should call ``sparkContext.setCheckpointDir`` and swap in reliable
-    ``checkpoint()``.
+    localCheckpoint, and — the ML PeriodicCheckpointer discipline — the
+    PREVIOUS round's checkpoint blocks are unpersisted as soon as the
+    new round has materialized: the r06 ×30 scale run proved that
+    accumulated round checkpoints otherwise fill the protected storage
+    region until execution memory starves (SparkOutOfMemoryError
+    UNABLE_TO_ACQUIRE_MEMORY), a leak invisible at sf0.1. A cluster
+    deployment with preemptible executors should call
+    ``sparkContext.setCheckpointDir`` and pass ``reliable_checkpoint=
+    True`` for reliable ``checkpoint()`` (replay from the checkpoint
+    store instead of recompute; old round FILES are garbage-collected
+    by the ContextCleaner when
+    ``spark.cleaner.referenceTracking.cleanCheckpoints`` is on, and are
+    disk-resident either way, so they cannot starve execution memory).
     """
     e = (
         edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
@@ -963,10 +992,42 @@ def connected_components(
         raise ValueError(
             "reliable_checkpoint=True requires sparkContext.setCheckpointDir(...)"
         )
+    sc = edges.sparkSession.sparkContext
+
+    def _persisted_rdds() -> dict:
+        """id → JVM RDD handle for every persisted RDD (py4j walk of
+        SparkContext.getPersistentRDDs). Best-effort: cleanup must never
+        fail the algorithm, so callers guard with try/except."""
+        out = {}
+        it = sc._jsc.sc().getPersistentRDDs().iterator()
+        while it.hasNext():
+            t = it.next()
+            out[t._1()] = t._2()
+        return out
+
+    try:
+        baseline_ids = set(_persisted_rdds())
+    except Exception:  # noqa: BLE001 — observability only
+        baseline_ids = set()
+    prev_round_ids: set = set()
     prev_sig = None
-    for _ in range(max_iterations):
+    for rounds in range(1, max_iterations + 1):
         e = _small_star(_large_star(e))
         e = e.checkpoint(eager=True) if reliable_checkpoint else e.localCheckpoint(eager=True)
+        if not reliable_checkpoint:
+            # This round is materialized (eager=True) — the previous
+            # round's blocks are now unreachable by any plan and must be
+            # dropped, or ~log n rounds of edge sets pile up in the
+            # storage region (local-checkpoint blocks are not safely
+            # evictable: their lineage is truncated).
+            try:
+                cur = _persisted_rdds()
+                for rid in prev_round_ids:
+                    if rid in cur:
+                        cur[rid].unpersist(False)
+                prev_round_ids = set(cur) - baseline_ids - prev_round_ids
+            except Exception:  # noqa: BLE001 — leak is better than crash
+                prev_round_ids = set()
         # 64-bit-hash checksum + count: a fixpoint keeps both identical.
         sig = tuple(
             e.agg(
@@ -975,6 +1036,9 @@ def connected_components(
             ).first()
         )
         if sig == prev_sig:
+            # observability hook for the O(log n) convergence claim —
+            # read by tools/scale_bench.py after each run
+            connected_components.last_rounds = rounds
             break
         prev_sig = sig
     else:

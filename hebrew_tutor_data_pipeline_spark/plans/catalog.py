@@ -19,7 +19,6 @@ driver records the weaker rows-only check, as the contract allows.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -614,28 +613,14 @@ def streaming_tumbling_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     policy (nanos→micros or NTZ→LTZ) so stream and batch share one time
     domain.
     """
-    import shutil
-    import tempfile
-    from pathlib import Path as _Path
-
+    from ..streaming.sources import (
+        events_parquet_stream,
+        run_available_now_to_parquet,
+    )
     from ..streaming.windows import tumbling_window_stats
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    ts_type = dict(stream.dtypes)["ts"]
-    if ts_type == "bigint":  # parquet TIMESTAMP(NANOS) via nanosAsLong
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("`ts` div 1000"))
-        )
-    elif ts_type == "timestamp_ntz":
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     agg = tumbling_window_stats(
-        stream,
+        events_parquet_stream(spark, sf_dir),
         ts_col="ts",
         window_duration="1 hour",
         watermark_delay="10 minutes",
@@ -649,37 +634,57 @@ def streaming_tumbling_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         "avg_value",
         F.round(F.col("sum_value") / F.col("n_events"), 6),
     )
-
-    scratch = (
-        _Path(tempfile.gettempdir())
-        / f"htdp_stream_tumbling_{spark.sparkContext.applicationId}"
-        / str(abs(hash(sf_dir)) % 10**8)
+    return run_available_now_to_parquet(
+        agg,
+        scratch_key=str(abs(hash(sf_dir)) % 10**8),
+        output_mode="complete",
+        query_name="tumbling_hour_stats_stream",
     )
-    shutil.rmtree(scratch, ignore_errors=True)
-    out = str(scratch / "out")
-    ckpt = str(scratch / "ckpt")
 
-    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # Complete-mode: every batch carries the full aggregate, so an
-        # overwrite leaves the sink holding exactly the final state no
-        # matter how availableNow splits the file list into batches.
-        batch_df.write.mode("overwrite").parquet(out)
 
-    q = (
-        agg.writeStream.outputMode("complete")
-        .queryName("tumbling_hour_stats_stream")
-        .foreachBatch(_write_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+@_register(
+    "streaming_dedup_events",
+    # With the table replayed through availableNow, every re-delivery of
+    # a key lands within the 10-minute watermark of its original (same
+    # truncated minute ⇒ event times ≤1 min apart), so the streaming
+    # dedup keeps exactly one row per key — the batch DISTINCT.
+    oracle="""
+SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS minute
+FROM events
+""",
+    tags=("T1", "T4", "dedup"),
+)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup executed UNDER Structured Streaming:
+    file-source readStream over events → ``dropDuplicatesWithinWatermark``
+    on (user_id, event_type, minute) → append-mode foreachBatch parquet
+    sink, read back after completion. The reference's `processed_files`
+    resume skip-set (`fixed_hebrew_aligner.py`) as a stream with BOUNDED
+    state: keys are remembered only for the 10-minute watermark delay,
+    so state is (arrival rate × delay) on an unbounded ingest, not
+    every-key-ever. Output projects the key alone — the one frame shape
+    whose value hash is independent of intra-batch arrival order."""
+    from ..streaming.dedup import dedup_within_watermark
+    from ..streaming.sources import (
+        events_parquet_stream,
+        run_available_now_to_parquet,
     )
-    try:
-        if not q.awaitTermination(600):
-            raise TimeoutError("streaming_tumbling_hour_stats: stream did not finish")
-    finally:
-        q.stop()
-        shutil.rmtree(ckpt, ignore_errors=True)  # output stays readable
-    return spark.read.parquet(out)
+
+    stream = events_parquet_stream(spark, sf_dir)
+    keyed = stream.select(
+        "user_id",
+        "event_type",
+        F.date_trunc("minute", F.col("ts")).alias("minute"),
+    ).withColumn("ts", F.col("minute"))
+    deduped = dedup_within_watermark(
+        keyed, ["user_id", "event_type", "minute"], ts_col="ts", delay="10 minutes"
+    ).select("user_id", "event_type", "minute")
+    return run_available_now_to_parquet(
+        deduped,
+        scratch_key=str(abs(hash(sf_dir)) % 10**8),
+        output_mode="append",
+        query_name="dedup_events_stream",
+    )
 
 
 @_register(

@@ -306,9 +306,11 @@ def dedup_exact_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", F.md5(F.col("text")).alias("digest"))
 
 
-@_register(
-    "jaccard_token_pairs",
-    oracle="""
+def _jaccard_oracle(cap_sql: str) -> str:
+    """Posting-join Jaccard oracle, parameterized ONLY on the df-cap
+    expression so the fractional and least(frac, abs) variants replay
+    the identical shingling/join/denominator arithmetic."""
+    return f"""
 WITH d AS (
     SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
                         ELSE string_split_regex(trim(text), '\\s+') END AS t
@@ -331,7 +333,7 @@ WITH d AS (
 ), p AS (
     SELECT p0.doc_id, p0.tok FROM p0
     JOIN f ON f.tok = p0.tok
-          AND f.df <= ceil(0.08 * (SELECT count(*) FROM documents))
+          AND f.df <= {cap_sql}
 ), i AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
     FROM p a JOIN p b ON a.tok = b.tok AND a.doc_id < b.doc_id
@@ -343,7 +345,12 @@ FROM i
 JOIN s sa ON sa.doc_id = id_a
 JOIN s sb ON sb.doc_id = id_b
 WHERE round(inter / (sa.nsh + sb.nsh - inter), 6) >= 0.5
-""",
+"""
+
+
+@_register(
+    "jaccard_token_pairs",
+    oracle=_jaccard_oracle("ceil(0.08 * (SELECT count(*) FROM documents))"),
     tags=("dedup", "jaccard"),
     bench=True,
 )
@@ -360,6 +367,40 @@ def jaccard_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(T(spark, sf_dir, "documents"))
     return dedup.ngram_jaccard_pairs(
         d, "doc_id", "text", n=3, threshold=0.5, max_shingle_freq=0.08
+    )
+
+
+@_register(
+    "jaccard_token_pairs_capped",
+    # least(frac·N, 30): the absolute arm BINDS at sf0.01 (frac·N = 48),
+    # so the driver gate checks the combined-cap semantics, not a no-op.
+    oracle=_jaccard_oracle(
+        "least(ceil(0.08 * (SELECT count(*) FROM documents)), 30)"
+    ),
+    tags=("dedup", "jaccard", "scale"),
+    bench=True,
+)
+def jaccard_token_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-TIER posting-join form: fractional df-prune combined
+    with an absolute df cap, least(0.08·N, 30). The r06 scale runs
+    measured the fractional-only form superlinear (t ∝ n^~1.8 on the
+    self-similar x1→x100 family): per-shingle join work is Σ df², and
+    every shingle below the fraction has df ∝ n whenever vocabulary
+    doesn't grow with the corpus. The absolute cap bounds per-shingle
+    work; dropped shingles are the highest-df (least informative) ones,
+    and a truly-similar pair still meets on its many low-df shingles —
+    the same df-capping practice as published suffix-array/posting dedup
+    pipelines (Lee et al. 2022). Recall vs the uncapped form is
+    measurable with the dedup_recall_report harness pattern."""
+    d = spread(T(spark, sf_dir, "documents"))
+    return dedup.ngram_jaccard_pairs(
+        d,
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.5,
+        max_shingle_freq=0.08,
+        max_shingle_df=30,
     )
 
 

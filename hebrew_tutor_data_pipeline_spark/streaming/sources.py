@@ -57,3 +57,79 @@ def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
         .load()
         .select(F.col("timestamp").alias("ts"), F.col("value"))
     )
+
+
+def events_parquet_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic events parquet as a file-source stream, with the
+    SAME ts-domain normalization policy as ``sources.readers.load_table``
+    (parquet TIMESTAMP(NANOS)→micros via nanosAsLong, NTZ→LTZ) so
+    streaming and batch plans share one time domain. Schema comes from a
+    batch metadata probe — file sources cannot infer on unbounded input."""
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":  # parquet TIMESTAMP(NANOS) via nanosAsLong
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
+def run_available_now_to_parquet(
+    df: DataFrame,
+    scratch_key: str,
+    output_mode: str,
+    query_name: str,
+    timeout_seconds: int = 600,
+) -> DataFrame:
+    """Execute a streaming frame with the availableNow trigger into a
+    parquet sink via foreachBatch and return the committed result as a
+    batch frame.
+
+    Sink discipline per mode: ``complete`` batches carry the full
+    aggregate → idempotent OVERWRITE (final state survives any batch
+    split); ``append`` batches carry only new rows → APPEND (batches
+    union). The checkpoint is deleted after completion, the output dir
+    stays readable for the session (the returned frame is lazy). A
+    production deployment swaps the sink body for its real writer; the
+    plan above it is unchanged."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    spark = df.sparkSession
+    scratch = (
+        Path(tempfile.gettempdir())
+        / f"htdp_stream_{query_name}_{spark.sparkContext.applicationId}"
+        / scratch_key
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    out = str(scratch / "out")
+    ckpt = str(scratch / "ckpt")
+    write_mode = "overwrite" if output_mode == "complete" else "append"
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode(write_mode).parquet(out)
+
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .queryName(query_name)
+        .foreachBatch(_write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_seconds):
+            raise TimeoutError(f"{query_name}: stream did not finish")
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.read.parquet(out)

@@ -178,6 +178,39 @@ class TestDedup:
             (a, b) for a, b in itertools.combinations(range(8), 2)
         }
 
+    def test_jaccard_combined_abs_cap_binds(self, spark):
+        # least(frac·N, abs): the absolute arm bounds per-shingle join
+        # work Σ df² at scale (r06 measured the fractional-only form
+        # superlinear on a fixed-vocab corpus). Semantics: 40 spam docs
+        # identical to one super-common trigram pair ONLY through it —
+        # capped, that shingle's df (42) exceeds the abs cap (10) and
+        # the spam clique vanishes; a genuinely-similar pair still meets
+        # on its many low-df shingles (denominator set sizes unpruned).
+        spam = [(100 + i, "x y z") for i in range(40)]
+        near = [
+            (1, "x y z a b c d e f g h one"),
+            (2, "x y z a b c d e f g h two"),
+        ]
+        df = spark.createDataFrame(near + spam, ["id", "text"])
+        uncapped = {
+            (r["id_a"], r["id_b"])
+            for r in ngram_jaccard_pairs(
+                df, "id", "text", n=3, threshold=0.5, max_shingle_freq=0.99
+            ).collect()
+        }
+        assert (100, 101) in uncapped and len(uncapped) > 700  # spam clique
+        capped = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(
+                df, "id", "text", n=3, threshold=0.5,
+                max_shingle_freq=0.99, max_shingle_df=10,
+            ).collect()
+        }
+        assert set(capped) == {(1, 2)}
+        # 10 trigrams each, 9 shared; 'x y z' (df=42) is pruned, so the
+        # kept intersection is 8: J = 8 / (10 + 10 - 8)
+        assert math.isclose(capped[(1, 2)], round(8 / (10 + 10 - 8), 6))
+
     def test_minhash_lsh_finds_near_dups(self, spark):
         base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
         docs = [

@@ -520,3 +520,61 @@ class TestStreamingIncrementalLookup:
             ).collect()
         }
         assert got == want and len(got) > 0
+
+
+class TestCatalogStreamingEntries:
+    """The driver-visible streaming rows (T1–T5 executed under
+    Structured Streaming inside the catalog, not merely tested here):
+    the streaming result must equal its batch twin exactly."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_streaming_tumbling_equals_batch(self, spark):
+        from hebrew_tutor_data_pipeline_spark.plans.catalog import (
+            streaming_tumbling_hour_stats,
+        )
+
+        got = streaming_tumbling_hour_stats(spark, self.SF)
+        ev = load_table(spark, self.SF, "events")
+        want = (
+            ev.groupBy(
+                F.date_trunc("hour", "ts").alias("window_start"),
+                F.col("event_type"),
+            )
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+            .withColumn("avg_value", F.round(F.col("sum_value") / F.col("n_events"), 6))
+            .withColumn(
+                "window_end", F.col("window_start") + F.expr("INTERVAL 1 HOUR")
+            )
+        )
+        cols = ["window_start", "window_end", "event_type", "n_events", "sum_value", "avg_value"]
+        assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+            map(tuple, want.select(*cols).collect())
+        )
+
+    def test_streaming_dedup_equals_batch_distinct(self, spark):
+        from hebrew_tutor_data_pipeline_spark.plans.catalog import (
+            streaming_dedup_events,
+        )
+
+        got = streaming_dedup_events(spark, self.SF)
+        ev = load_table(spark, self.SF, "events")
+        want = ev.select(
+            "user_id", "event_type", F.date_trunc("minute", "ts").alias("minute")
+        ).distinct()
+        assert got.count() == want.count()
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    def test_reruns_are_idempotent(self, spark):
+        # the append-mode sink must not double rows when the same entry
+        # runs twice in one session (scratch is recreated per call)
+        from hebrew_tutor_data_pipeline_spark.plans.catalog import (
+            streaming_dedup_events,
+        )
+
+        a = streaming_dedup_events(spark, self.SF).count()
+        b = streaming_dedup_events(spark, self.SF).count()
+        assert a == b

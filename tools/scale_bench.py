@@ -12,7 +12,8 @@ cannot be blamed on the data.
 
 Usage:
   python tools/scale_bench.py [--out bench_runs/rXX_scaling.json] \
-      [DIR ...]           # default: sf0.1 + /root/scale_data/x{3,10,30,100}
+      [--queries a,b,c] [DIR ...]
+  # defaults: the HEAVY tier at sf0.1 + /root/scale_data/x{1,3,10,30,100}
 """
 
 from __future__ import annotations
@@ -31,6 +32,7 @@ from hebrew_tutor_data_pipeline_spark.session import get_spark  # noqa: E402
 
 HEAVY = (
     "jaccard_token_pairs",
+    "jaccard_token_pairs_capped",
     "dedup_clusters",
     "duplicate_token_spans",
     "benchmark_contamination",
@@ -43,6 +45,53 @@ HEAVY = (
     "ann_pq_top10",
     "embedding_outlier_scores",
 )
+
+
+def _semantic_dedup_scaled_cells(spark, sf_dir: str):
+    """The scale-correct SemDeDup parameterization, run as an extra
+    probe beside the (fixed-k, oracle-matched) catalog entry: k grows
+    with the corpus to hold TARGET CELL SIZE ~250 constant, so
+    within-cell pair work is ∝ n — the catalog entry's fixed k=16 is
+    measured superlinear (within-cell pairs ∝ n²/k), which is SemDeDup's
+    documented cost model, and this probe demonstrates the knob that
+    makes it linear (Abbas et al. run 50k clusters at web scale for the
+    same reason)."""
+    from hebrew_tutor_data_pipeline_spark.operators import ann, dedup
+    from hebrew_tutor_data_pipeline_spark.sources.readers import (
+        load_table,
+        spread,
+    )
+
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    n = e.count()  # harness-side sizing probe, not part of the plan
+    k = max(16, n // 250)
+    cb = ann.kmeans_codebook(e, "vec_id", "embedding", k=k, iters=2)
+    return dedup.semantic_dedup(e, "vec_id", "embedding", codebook=cb, tau=0.35)
+
+
+#: extra probes: scale-correct parameterizations that cannot be a fixed
+#: catalog entry because their knobs must grow with the data
+PROBES = {"semantic_dedup_scaled_cells": _semantic_dedup_scaled_cells}
+
+
+def clear_persisted(spark) -> int:
+    """Drop EVERY persisted RDD (incl. localCheckpoint blocks, which
+    catalog.clearCache() does not touch) so one query's failure can't
+    leak storage into the next measurement — the r06 first run showed
+    x30 numbers inflated by blocks a failed query left behind."""
+    sc = spark.sparkContext
+    n = 0
+    try:
+        it = sc._jsc.sc().getPersistentRDDs().iterator()
+        handles = []
+        while it.hasNext():
+            handles.append(it.next()._2())
+        for h in handles:
+            h.unpersist(False)
+            n += 1
+    except Exception as exc:  # noqa: BLE001 — best-effort hygiene
+        print(f"# clear_persisted failed: {exc}", file=sys.stderr)
+    return n
 
 
 def stage_metrics(ui: str) -> dict[int, dict]:
@@ -91,8 +140,12 @@ def fit_exponent(points: list[tuple[float, float]]) -> float | None:
 def main() -> int:
     args = sys.argv[1:]
     out_path = "bench_runs/scaling_report.json"
+    queries = HEAVY
     if args and args[0] == "--out":
         out_path = args[1]
+        args = args[2:]
+    if args and args[0] == "--queries":
+        queries = tuple(args[1].split(","))
         args = args[2:]
     dirs = args or [
         "/root/testdata/sf0.1",
@@ -121,15 +174,23 @@ def main() -> int:
         n_docs = docs_count(spark, d)
         report["dirs"][label] = {"path": d, "n_docs": n_docs}
         seen = set(stage_metrics(ui)) if ui else set()
-        for name in HEAVY:
-            spec = CATALOG[name]
+        runnables = [(n, CATALOG[n].spark) for n in queries if n in CATALOG]
+        runnables += [
+            (n, fn)
+            for n, fn in PROBES.items()
+            if queries is HEAVY or n in queries
+        ]
+        for name, run_fn in runnables:
             t0 = time.perf_counter()
             try:
-                spec.spark(spark, d).write.format("noop").mode("overwrite").save()
+                run_fn(spark, d).write.format("noop").mode("overwrite").save()
                 sec = round(time.perf_counter() - t0, 3)
                 err = None
             except Exception as exc:  # noqa: BLE001 — isolate per query
                 sec, err = None, f"{type(exc).__name__}: {exc}"[:300]
+            leaked = clear_persisted(spark)
+            if leaked:
+                print(f"# {label} {name}: cleared {leaked} persisted RDDs", file=sys.stderr)
             rec: dict = {"sec": sec}
             if err:
                 rec["error"] = err
