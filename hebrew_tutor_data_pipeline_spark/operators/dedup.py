@@ -617,6 +617,15 @@ def simhash_near_dup_pairs(
     if bits % bands != 0:
         raise ValueError("bits must divide evenly into bands")
     fps = simhash(df, id_col, text_col, bits)
+    return _banded_hamming_pairs(fps, bits, bands, max_distance)
+
+
+def _banded_hamming_pairs(
+    fps: DataFrame, bits: int, bands: int, max_distance: int
+) -> DataFrame:
+    """Banded Hamming join over an (id, simhash) frame — the shared body
+    of simhash_near_dup_pairs (full corpus) and simhash_component_edges
+    (distinct fingerprints only)."""
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
     band_vals = F.array(
@@ -656,6 +665,46 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_distance)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming")
     )
+
+
+def simhash_component_edges(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 30,
+    bands: int = 2,
+    max_distance: int = 1,
+) -> DataFrame:
+    """Edge list whose CONNECTED COMPONENTS equal those of the full
+    pairwise Hamming ≤ d graph, at O(n + distinct-fp pairs) edges
+    instead of the full pair list.
+
+    Canonicalize by exact fingerprint first: per distinct fingerprint,
+    a STAR to the group's min id (those edges have Hamming 0 ≤ d by
+    definition); then the banded Hamming join runs over DISTINCT
+    fingerprints only. Any pair (x, y) with d(x, y) ≤ d is connected:
+    same fingerprint ⇒ via the star hub; different fingerprints ⇒ their
+    reps join in the banded pass and the stars complete the path. So
+    component structure is EXACT while the quadratic equal-fingerprint
+    cliques — the r06 scale-run killer, where statistically identical
+    documents collapse onto one fingerprint and a single (band, value)
+    bucket's pair aggregate exhausted executor memory at 150k docs —
+    cost n star edges instead of |clique|² pairs. This is the
+    clustering-tier generator; pair-semantics consumers
+    (simhash_hamming_pairs' exact pair list) keep simhash_near_dup_pairs.
+    """
+    fps = simhash(df, id_col, text_col, bits)
+    groups = fps.groupBy("simhash").agg(F.min("id").alias("rep"))
+    star = (
+        fps.join(groups, "simhash")
+        .where(F.col("id") != F.col("rep"))
+        .select(F.col("rep").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    reps = groups.select(F.col("rep").alias("id"), "simhash")
+    rep_pairs = _banded_hamming_pairs(reps, bits, bands, max_distance).select(
+        "id_a", "id_b"
+    )
+    return star.unionByName(rep_pairs)
 
 
 # ---------------------------------------------------------------------------

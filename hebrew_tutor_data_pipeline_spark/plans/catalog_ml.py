@@ -576,12 +576,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # birthday collisions of the tiny space (n^2/2^17), ballooning the
     # component graph; at 30 bits the d<=1 graph carries only real
     # near-dups and the star rounds converge on a sparse edge set.
-    pairs = dedup.simhash_near_dup_pairs(
+    # COMPONENT edges, not the full pair list: equal fingerprints link
+    # via a per-fingerprint star and only DISTINCT fingerprints enter
+    # the banded join — component-identical to the pairwise graph (the
+    # oracle's transitive closure proves it per run), but the r06 x30
+    # scale measurement showed the pairwise form OOMing inside one
+    # (band, value) bucket's |clique|² aggregate when statistically
+    # identical docs collapse onto one fingerprint.
+    edges = dedup.simhash_component_edges(
         d, "doc_id", "text", bits=30, bands=2, max_distance=1
     )
-    # the banded generator emits each pair once (first-agreeing-band
-    # rule), so the operator's entry dedup shuffle is skipped
-    cc = dedup.connected_components(pairs, "id_a", "id_b", dedupe_edges=False)
+    # star + rep edges are unique by construction, so the operator's
+    # entry dedup shuffle is skipped
+    cc = dedup.connected_components(edges, "id_a", "id_b", dedupe_edges=False)
     lab = (
         d.select("doc_id")
         .join(cc, F.col("doc_id") == cc["node"], "left")

@@ -172,3 +172,65 @@ class TestTranslitMapTotality:
         assert len(_TR_DST) == len(set(_TR_DST)) == len(_TR_SRC)  # injective
         assert all(ord(c) < 128 for c in _TR_DST)  # single-byte targets
         assert "'" not in _TR_DST and "\\" not in _TR_DST  # SQL-literal safe
+
+
+class TestSimhashComponentEdges:
+    """The clustering-tier edge generator must produce EXACTLY the same
+    connected components as the full pairwise Hamming graph — with
+    O(n) star edges for equal-fingerprint cliques instead of |clique|²
+    pairs (the r06 x30 OOM)."""
+
+    def test_components_match_pairwise_graph(self, spark):
+        import random
+
+        from hebrew_tutor_data_pipeline_spark.operators.dedup import (
+            connected_components,
+            simhash_component_edges,
+            simhash_near_dup_pairs,
+        )
+
+        rng = random.Random(7)
+        vocab = [f"w{i}" for i in range(12)]
+        # small vocab on purpose: many equal-fingerprint docs (the
+        # mega-clique case) plus genuine hamming-1 neighbors
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 30))))
+            for i in range(120)
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        kw = dict(bits=12, bands=2, max_distance=1)
+        pairs = simhash_near_dup_pairs(df, "doc_id", "text", **kw)
+        edges = simhash_component_edges(df, "doc_id", "text", **kw)
+
+        def comps(e):
+            lab = {
+                r["node"]: r["component"]
+                for r in connected_components(e, "id_a", "id_b").collect()
+            }
+            full = {i: lab.get(i, i) for i, _ in docs}
+            # canonicalize: partition as frozenset of frozensets
+            groups: dict = {}
+            for node, c in full.items():
+                groups.setdefault(c, set()).add(node)
+            return frozenset(frozenset(g) for g in groups.values())
+
+        assert comps(edges) == comps(pairs)
+
+    def test_star_edges_replace_clique(self, spark):
+        from hebrew_tutor_data_pipeline_spark.operators.dedup import (
+            simhash_component_edges,
+            simhash_near_dup_pairs,
+        )
+
+        # 50 identical docs: pairwise graph = 1225 pairs, component
+        # edges = 49 star edges
+        docs = [(i, "same text every time") for i in range(50)]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        n_pairs = simhash_near_dup_pairs(
+            df, "doc_id", "text", bits=12, bands=2, max_distance=1
+        ).count()
+        n_edges = simhash_component_edges(
+            df, "doc_id", "text", bits=12, bands=2, max_distance=1
+        ).count()
+        assert n_pairs == 50 * 49 // 2
+        assert n_edges == 49
