@@ -257,6 +257,34 @@ EXPECTATIONS: dict[str, list[tuple[bool, str, str]]] = {
         (True, "Window", "rank + cell count share one per-cell window shuffle"),
         (True, "!CartesianProduct", "no all-pairs plan"),
     ],
+    "jaccard_token_pairs_capped": [
+        (True, "SortMergeJoin|BroadcastHashJoin", "capped posting-list equi join"),
+        (True, "Window", "df computed as a window so the self-join reuses the shingle exchange"),
+        (True, "least", "the combined least(frac·N, abs) cap is in-plan, no eager count"),
+        (True, "HashAggregate", "per-pair intersection via partial+final agg"),
+    ],
+    "pdf_nlp_entities": [
+        (True, "MapInPandas", "extraction is the ONLY Python stage (the codec boundary)"),
+        (True, "BroadcastHashJoin", "gazetteer NER dim broadcast onto exploded tokens"),
+        (True, "HashAggregate", "mention counts are partial+final hash aggregation"),
+        (True, "!BatchEvalPython", "tokenize/char-class/undiacritize stay JVM-side"),
+        (True, "!CartesianProduct", "no all-pairs plan"),
+    ],
+    "trimmer_intro_analysis": [
+        (True, "MapInPandas", "decode is the Arrow-batched codec stage"),
+        (True, "BroadcastHashJoin|BroadcastExchange", "per-file threshold/suggestion dims broadcast onto segments"),
+        (True, "HashAggregate", "RMS segments via partial+final agg"),
+    ],
+    # the two streaming entries RETURN the committed sink read-back; the
+    # windowed/dedup plans executed inside the foreachBatch stream. The
+    # parquet scan in the returned plan IS the sink-commit proof (same
+    # pattern as chapter_pipeline_e2e's S8 pin).
+    "streaming_tumbling_hour_stats": [
+        (True, "Scan parquet", "returned plan is the committed streaming sink read-back"),
+    ],
+    "streaming_dedup_events": [
+        (True, "Scan parquet", "returned plan is the committed streaming sink read-back"),
+    ],
 }
 
 
