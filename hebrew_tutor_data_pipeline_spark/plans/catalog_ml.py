@@ -690,7 +690,15 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan that survives 100 TB, now under the same value-hash gate as
     the exact tier (the oracle inlines the identical hyperplanes).
     Output is by construction a subset of ``embedding_near_dup_pairs``;
-    tests/test_operators.py measures its recall."""
+    tests/test_operators.py measures its recall.
+
+    Scale caveat (r06 measured): with FIXED bits, bucket population is
+    ∝ n and per-bucket verification ∝ n² — 2.8 s → 177 s from x10 to
+    x100 on the self-similar family. The production parameterization
+    grows bits with the corpus (bucket_bits ≈ log2(n/250), tables kept
+    at 8 for recall): measured n^0.10 / 7.8 s at x100
+    (tools/scale_bench.py `embedding_lsh_scaled_bits`,
+    bench_runs/r06_scaling_lsh_scaled.json)."""
     e = spread(T(spark, sf_dir, "embeddings"))
     return dedup.embedding_near_dup_pairs(
         e, "vec_id", "embedding", threshold=0.35, bucket_bits=_LSH_BITS,

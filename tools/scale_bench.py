@@ -69,9 +69,35 @@ def _semantic_dedup_scaled_cells(spark, sf_dir: str):
     return dedup.semantic_dedup(e, "vec_id", "embedding", codebook=cb, tau=0.35)
 
 
+def _embedding_lsh_scaled_bits(spark, sf_dir: str):
+    """Scale-correct SRP-LSH parameterization: hyperplane count grows
+    with the corpus (bucket_bits = ceil(log2(n/250)) → ~250-vector
+    buckets), keeping per-bucket verification work bounded while the 8
+    OR-ed tables preserve recall. The catalog entry's fixed 6 bits is
+    measured superlinear at x100 (bucket size ∝ n ⇒ per-bucket pairs
+    ∝ n²) — the knob, as with SemDeDup's k, must scale with the data."""
+    import math
+
+    from hebrew_tutor_data_pipeline_spark.operators import dedup
+    from hebrew_tutor_data_pipeline_spark.sources.readers import (
+        load_table,
+        spread,
+    )
+
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    n = e.count()  # harness-side sizing probe
+    bits = max(6, math.ceil(math.log2(max(n, 2) / 250)))
+    return dedup.embedding_near_dup_pairs(
+        e, "vec_id", "embedding", threshold=0.35, bucket_bits=bits, num_tables=8
+    )
+
+
 #: extra probes: scale-correct parameterizations that cannot be a fixed
 #: catalog entry because their knobs must grow with the data
-PROBES = {"semantic_dedup_scaled_cells": _semantic_dedup_scaled_cells}
+PROBES = {
+    "semantic_dedup_scaled_cells": _semantic_dedup_scaled_cells,
+    "embedding_lsh_scaled_bits": _embedding_lsh_scaled_bits,
+}
 
 
 def clear_persisted(spark) -> int:
