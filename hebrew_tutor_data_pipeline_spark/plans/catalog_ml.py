@@ -390,8 +390,16 @@ def jaccard_token_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     work; dropped shingles are the highest-df (least informative) ones,
     and a truly-similar pair still meets on its many low-df shingles —
     the same df-capping practice as published suffix-array/posting dedup
-    pipelines (Lee et al. 2022). Recall vs the uncapped form is
-    measurable with the dedup_recall_report harness pattern."""
+    pipelines (Lee et al. 2022).
+
+    Recall caveat (r06 MEASURED, tools/scale_recall.py): on a corpus
+    whose vocabulary does not grow with n, the df spectrum degenerates
+    — at 50k docs of the 31-word synthetic vocab NO trigram has
+    df ≤ 30, and the capped join's recall collapses to 0/2226 true
+    pairs. The cap is therefore a SKEW GUARD for heavy-tailed real
+    corpora, not a universal candidate tier; the candidate tier of
+    record at scale is MinHash-LSH banding (measured recall 0.996,
+    n^0.55, 60.6 s at x100 — scale_bench `minhash_candidate_tier`)."""
     d = spread(T(spark, sf_dir, "documents"))
     return dedup.ngram_jaccard_pairs(
         d,
