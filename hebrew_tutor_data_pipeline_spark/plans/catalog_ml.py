@@ -475,6 +475,72 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 16 bands × 2 rows over the same 32-hash family — the corpus-scale
+# banding (P[candidate] = 1-(1-J²)^16 ≈ 0.99 at J = 0.5)
+_MH16_BAND_CONDS = "\n       OR ".join(
+    "(" + " AND ".join(f"a.m{bi * 2 + j} = b.m{bi * 2 + j}" for j in range(2)) + ")"
+    for bi in range(16)
+)
+
+
+@_register(
+    "minhash_dedup_pairs_corpus",
+    # Full-corpus twin of the candidate tier of record: trigram
+    # shingles (short-doc single-shingle rule shared with the jaccard
+    # oracle), the SAME inlined 32-hash LCG family, 16×2 banding
+    # compared on raw tuples, exact-Jaccard verify at 0.5.
+    oracle=f"""
+WITH d AS (
+    SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                        ELSE string_split_regex(trim(text), '\\s+') END AS t
+    FROM documents
+), g AS (
+    SELECT doc_id,
+           CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+                WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                ELSE list_distinct([list_aggr(t[i:i+2], 'string_agg', ' ')
+                                    for i in range(1, len(t) - 1)]) END AS toks
+    FROM d
+), h AS (
+    SELECT doc_id, toks,
+           list_transform(toks, t2 -> {_sql_token_hash('t2')}) AS th
+    FROM g
+), m AS (
+    SELECT doc_id, toks,
+           {_MH_COLS}
+    FROM h
+), cand AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.toks AS ta, b.toks AS tb
+    FROM m a JOIN m b
+      ON a.doc_id < b.doc_id
+     AND ({_MH16_BAND_CONDS})
+)
+SELECT id_a, id_b,
+       round(len(list_intersect(ta, tb))
+             / (len(ta) + len(tb) - len(list_intersect(ta, tb))), 6) AS jaccard
+FROM cand
+WHERE round(len(list_intersect(ta, tb))
+            / (len(ta) + len(tb) - len(list_intersect(ta, tb))), 6) >= 0.5
+""",
+    tags=("dedup", "minhash", "lsh", "scale"),
+    bench=True,
+)
+def minhash_dedup_pairs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Jaccard CANDIDATE TIER OF RECORD at corpus scale, full-corpus
+    and value-hash gated (minhash_lsh_candidates keeps the 200-doc
+    panel / 8×4 banding for its own oracle): MinHash(32) + 16 bands × 2
+    rows + exact trigram-Jaccard verify at 0.5. r06 scale measurements:
+    recall 0.996 of the exhaustive posting join's pairs at x10, n^0.55,
+    60.6 s at x100 (500k docs) — where the exhaustive join OOMs and the
+    df-capped join's recall collapses on the fixed-vocab family
+    (bench_runs/r06_recall.json, r06_scaling_minhash_tier.json). Only
+    (band, bucket) keys shuffle; signatures are per-row HOF arithmetic."""
+    d = spread(T(spark, sf_dir, "documents"))
+    return dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=32, bands=16, threshold=0.5
+    )
+
+
 # Shared oracle fragment: documents → (doc_id, 16-bit simhash)
 def _simhash_fp_sql(bits: int = 16) -> str:
     """The simhash fingerprint CTE chain (sd → sh → fp) for a given
