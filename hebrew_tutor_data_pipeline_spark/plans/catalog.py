@@ -688,6 +688,71 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "streaming_terminal_job_status",
+    # With the whole table replayed in one availableNow batch, each
+    # key's updates arrive ts-sorted inside the stateful function:
+    # final_status is the latest-ts terminal update, n_updates counts
+    # every update the key ever saw. (user_id, ts) is unique in the
+    # synthetic events at every SF, so the replay is deterministic.
+    oracle="""
+WITH s AS (
+  SELECT CAST(user_id AS VARCHAR) AS job_id,
+         CASE event_type WHEN 'error' THEN 'Failed'
+                         WHEN 'purchase' THEN 'Succeeded'
+                         ELSE 'Running' END AS status,
+         ts
+  FROM events),
+n AS (SELECT job_id, count(*) AS n_updates FROM s GROUP BY 1),
+t AS (
+  SELECT job_id, max_by(status, ts) AS final_status
+  FROM s WHERE status IN ('Succeeded', 'Failed', 'Cancelled')
+  GROUP BY 1)
+SELECT t.job_id, t.final_status, n.n_updates
+FROM t JOIN n USING (job_id)
+""",
+    tags=("T3", "T1", "U6"),
+)
+def streaming_terminal_job_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 — the CUSTOM STATEFUL operator surface
+    (``applyInPandasWithState``) executed under a real stream inside the
+    catalog: the events table replayed as a job-status stream (user →
+    job, event_type mapped onto the reference's transcription-job states,
+    `fixed_hebrew_aligner.py:369-403`), per-key state tracking latest
+    status + update count, one row emitted when a job reaches a terminal
+    state, state dropped on emit. Completes the driver-visible streaming
+    trio: windowed aggregation (complete mode), watermark dedup
+    (append), and now arbitrary per-key state.
+
+    Scale posture: state is one (status, count) tuple per LIVE key,
+    dropped at terminal emit and bounded by the processing-time timeout
+    for abandoned keys — the unbounded-stream memory model the reference
+    approximates with its 60-attempt poll cap."""
+    from ..streaming.polling import terminal_jobs
+    from ..streaming.sources import (
+        events_parquet_stream,
+        run_available_now_to_parquet,
+    )
+
+    updates = events_parquet_stream(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("job_id"),
+        F.when(F.col("event_type") == "error", "Failed")
+        .when(F.col("event_type") == "purchase", "Succeeded")
+        .otherwise("Running")
+        .alias("status"),
+        "ts",
+    )
+    out = terminal_jobs(updates, job_col="job_id", status_col="status", ts_col="ts")
+    return run_available_now_to_parquet(
+        out,
+        scratch_key=str(abs(hash(sf_dir)) % 10**8),
+        output_mode="append",
+        query_name="terminal_job_status_stream",
+        # timeout-bearing state keeps the query alive; drain-and-stop
+        self_terminates=False,
+    )
+
+
+@_register(
     "event_type_shares",
     oracle="""
 WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type)

@@ -88,6 +88,7 @@ def run_available_now_to_parquet(
     output_mode: str,
     query_name: str,
     timeout_seconds: int = 600,
+    self_terminates: bool = True,
 ) -> DataFrame:
     """Execute a streaming frame with the availableNow trigger into a
     parquet sink via foreachBatch and return the committed result as a
@@ -127,8 +128,30 @@ def run_available_now_to_parquet(
         .start()
     )
     try:
-        if not q.awaitTermination(timeout_seconds):
-            raise TimeoutError(f"{query_name}: stream did not finish")
+        if self_terminates:
+            if not q.awaitTermination(timeout_seconds):
+                raise TimeoutError(f"{query_name}: stream did not finish")
+        else:
+            # Stateful operators holding processing-time timeouts never
+            # self-terminate even under availableNow — the engine keeps
+            # triggering batches so pending timeouts can fire (see
+            # tests/test_streaming.run_available_now). Drain: once a
+            # triggered batch consumed 0 input rows after the data
+            # batch, every data-driven emission has been committed and
+            # the query is stopped BEFORE any processing-time timeout
+            # could fire a nondeterministic late row.
+            import time as _time
+
+            deadline = _time.time() + timeout_seconds
+            drained = False
+            while _time.time() < deadline and q.isActive:
+                prog = q.lastProgress
+                if prog and prog.get("batchId", 0) > 0 and prog.get("numInputRows") == 0:
+                    drained = True
+                    break
+                _time.sleep(0.5)
+            if not drained and q.isActive:
+                raise TimeoutError(f"{query_name}: stream never drained")
     finally:
         q.stop()
         shutil.rmtree(ckpt, ignore_errors=True)

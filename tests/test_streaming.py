@@ -578,3 +578,33 @@ class TestCatalogStreamingEntries:
         a = streaming_dedup_events(spark, self.SF).count()
         b = streaming_dedup_events(spark, self.SF).count()
         assert a == b
+
+    def test_streaming_terminal_jobs_equals_batch(self, spark):
+        from hebrew_tutor_data_pipeline_spark.plans.catalog import (
+            streaming_terminal_job_status,
+        )
+
+        got = {
+            r["job_id"]: (r["final_status"], r["n_updates"])
+            for r in streaming_terminal_job_status(spark, self.SF).collect()
+        }
+        ev = load_table(spark, self.SF, "events").select(
+            F.col("user_id").cast("string").alias("job_id"),
+            F.when(F.col("event_type") == "error", "Failed")
+            .when(F.col("event_type") == "purchase", "Succeeded")
+            .otherwise("Running")
+            .alias("status"),
+            "ts",
+        )
+        n = ev.groupBy("job_id").count()
+        t = (
+            ev.filter(F.col("status").isin("Failed", "Succeeded"))
+            .groupBy("job_id")
+            .agg(F.max_by("status", "ts").alias("final_status"))
+        )
+        want = {
+            r["job_id"]: (r["final_status"], r["count"])
+            for r in t.join(n, "job_id").collect()
+        }
+        assert got == want
+        assert len(got) > 0
