@@ -28,6 +28,8 @@ rounding algorithms", STOC 2002) and its web-dedup application
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -984,6 +986,16 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
+#: Per-thread convergence observability for ``connected_components`` —
+#: ``cc_last_rounds()`` returns the round count of THIS thread's most
+#: recent converged call (None before any call on this thread).
+_cc_observability = threading.local()
+
+
+def cc_last_rounds() -> int | None:
+    return getattr(_cc_observability, "last_rounds", None)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -1043,22 +1055,19 @@ def connected_components(
         )
     sc = edges.sparkSession.sparkContext
 
-    def _persisted_rdds() -> dict:
-        """id → JVM RDD handle for every persisted RDD (py4j walk of
-        SparkContext.getPersistentRDDs). Best-effort: cleanup must never
-        fail the algorithm, so callers guard with try/except."""
-        out = {}
-        it = sc._jsc.sc().getPersistentRDDs().iterator()
-        while it.hasNext():
-            t = it.next()
-            out[t._1()] = t._2()
-        return out
+    def _checkpoint_rdd(df: DataFrame):
+        """The JVM RDD a just-localCheckpointed Dataset persisted: its
+        analyzed plan is the LogicalRDD wrapping exactly that RDD. A
+        positive handle per round (not a getPersistentRDDs diff) so a
+        concurrent job's persisted RDDs can never be misclassified as
+        ours and unpersisted out from under their owner. Best-effort:
+        cleanup must never fail the algorithm."""
+        try:
+            return df._jdf.queryExecution().analyzed().rdd()
+        except Exception:  # noqa: BLE001 — observability only
+            return None
 
-    try:
-        baseline_ids = set(_persisted_rdds())
-    except Exception:  # noqa: BLE001 — observability only
-        baseline_ids = set()
-    prev_round_ids: set = set()
+    prev_round_rdd = None
     prev_sig = None
     for rounds in range(1, max_iterations + 1):
         e = _small_star(_large_star(e))
@@ -1069,14 +1078,12 @@ def connected_components(
             # dropped, or ~log n rounds of edge sets pile up in the
             # storage region (local-checkpoint blocks are not safely
             # evictable: their lineage is truncated).
-            try:
-                cur = _persisted_rdds()
-                for rid in prev_round_ids:
-                    if rid in cur:
-                        cur[rid].unpersist(False)
-                prev_round_ids = set(cur) - baseline_ids - prev_round_ids
-            except Exception:  # noqa: BLE001 — leak is better than crash
-                prev_round_ids = set()
+            if prev_round_rdd is not None:
+                try:
+                    prev_round_rdd.unpersist(False)
+                except Exception:  # noqa: BLE001 — leak is better than crash
+                    pass
+            prev_round_rdd = _checkpoint_rdd(e)
         # 64-bit-hash checksum + count: a fixpoint keeps both identical.
         sig = tuple(
             e.agg(
@@ -1086,8 +1093,10 @@ def connected_components(
         )
         if sig == prev_sig:
             # observability hook for the O(log n) convergence claim —
-            # read by tools/scale_bench.py after each run
-            connected_components.last_rounds = rounds
+            # read by tools/scale_bench.py after each run. Thread-local
+            # (not a function attribute) so concurrent callers on the
+            # same SparkContext can't race each other's round counts.
+            _cc_observability.last_rounds = rounds
             break
         prev_sig = sig
     else:

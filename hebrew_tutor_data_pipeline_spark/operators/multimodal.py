@@ -416,7 +416,14 @@ def _pdf_extract_pages(payload: bytes) -> list[tuple[bytes, str]]:
             return s.decode("latin-1")
 
         def unhex(s: bytes) -> str:
-            raw = bytes.fromhex(s.decode("ascii"))
+            # ISO 32000-1 §7.3.4.3: whitespace inside hex strings is
+            # ignored and an odd digit count implies a trailing 0 — strip
+            # and pad explicitly (bytes.fromhex tolerates neither odd
+            # length nor, pre-3.11, embedded whitespace).
+            h = re.sub(rb"\s", b"", s)
+            if len(h) % 2:
+                h += b"0"
+            raw = bytes.fromhex(h.decode("ascii"))
             if raw.startswith(b"\xfe\xff"):
                 return raw[2:].decode("utf-16-be", errors="replace")
             return raw.decode("latin-1")

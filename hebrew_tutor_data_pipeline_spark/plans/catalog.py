@@ -616,6 +616,7 @@ def streaming_tumbling_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..streaming.sources import (
         events_parquet_stream,
         run_available_now_to_parquet,
+        scratch_key_for,
     )
     from ..streaming.windows import tumbling_window_stats
 
@@ -636,7 +637,7 @@ def streaming_tumbling_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     return run_available_now_to_parquet(
         agg,
-        scratch_key=str(abs(hash(sf_dir)) % 10**8),
+        scratch_key=scratch_key_for(sf_dir),
         output_mode="complete",
         query_name="tumbling_hour_stats_stream",
     )
@@ -668,6 +669,7 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.sources import (
         events_parquet_stream,
         run_available_now_to_parquet,
+        scratch_key_for,
     )
 
     stream = events_parquet_stream(spark, sf_dir)
@@ -681,7 +683,7 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "event_type", "minute")
     return run_available_now_to_parquet(
         deduped,
-        scratch_key=str(abs(hash(sf_dir)) % 10**8),
+        scratch_key=scratch_key_for(sf_dir),
         output_mode="append",
         query_name="dedup_events_stream",
     )
@@ -731,6 +733,7 @@ def streaming_terminal_job_status(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..streaming.sources import (
         events_parquet_stream,
         run_available_now_to_parquet,
+        scratch_key_for,
     )
 
     updates = events_parquet_stream(spark, sf_dir).select(
@@ -744,7 +747,7 @@ def streaming_terminal_job_status(spark: SparkSession, sf_dir: str) -> DataFrame
     out = terminal_jobs(updates, job_col="job_id", status_col="status", ts_col="ts")
     return run_available_now_to_parquet(
         out,
-        scratch_key=str(abs(hash(sf_dir)) % 10**8),
+        scratch_key=scratch_key_for(sf_dir),
         output_mode="append",
         query_name="terminal_job_status_stream",
         # timeout-bearing state keeps the query alive; drain-and-stop

@@ -1320,9 +1320,18 @@ FROM stats s LEFT JOIN ents e USING (filename, page_number)
 """
 
 
+# Gate the PDF oracle on ITS OWN fixtures (the committed pdf_tree), not on
+# _FIXTURES_OK (which only reflects the corpus JSON): import of `plans` must
+# survive a sparse checkout where one fixture family exists without the other.
+try:
+    _PDF_NLP_ORACLE: str | None = _pdf_nlp_oracle()
+except OSError:
+    _PDF_NLP_ORACLE = None
+
+
 @_register(
     "pdf_nlp_entities",
-    oracle=None if not _FIXTURES_OK else _pdf_nlp_oracle(),
+    oracle=_PDF_NLP_ORACLE,
     tags=("S11", "S12", "U7", "F16", "F17"),
 )
 def pdf_nlp_entities(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -82,6 +82,40 @@ def events_parquet_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
+def scratch_key_for(sf_dir: str) -> str:
+    """Deterministic per-dataset scratch key. NOT Python ``hash()`` —
+    that's PYTHONHASHSEED-salted, so every process would mint a fresh
+    scratch path and dead sessions would strand orphans in /tmp."""
+    import hashlib
+
+    return hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:12]
+
+
+_ORPHANS_SWEPT = False
+
+
+def _sweep_stale_scratch(app_id: str, max_age_seconds: float = 3600.0) -> None:
+    """Once per process, drop htdp_stream_* scratch trees left by DEAD
+    sessions: a different applicationId AND untouched for an hour (the
+    age guard keeps a concurrent live session's scratch safe)."""
+    global _ORPHANS_SWEPT
+    if _ORPHANS_SWEPT:
+        return
+    _ORPHANS_SWEPT = True
+    import shutil
+    import tempfile
+    import time
+    from pathlib import Path
+
+    cutoff = time.time() - max_age_seconds
+    for d in Path(tempfile.gettempdir()).glob("htdp_stream_*"):
+        try:
+            if not d.name.endswith(app_id) and d.stat().st_mtime < cutoff:
+                shutil.rmtree(d, ignore_errors=True)
+        except OSError:
+            continue
+
+
 def run_available_now_to_parquet(
     df: DataFrame,
     scratch_key: str,
@@ -94,18 +128,26 @@ def run_available_now_to_parquet(
     parquet sink via foreachBatch and return the committed result as a
     batch frame.
 
-    Sink discipline per mode: ``complete`` batches carry the full
-    aggregate → idempotent OVERWRITE (final state survives any batch
-    split); ``append`` batches carry only new rows → APPEND (batches
-    union). The checkpoint is deleted after completion, the output dir
-    stays readable for the session (the returned frame is lazy). A
-    production deployment swaps the sink body for its real writer; the
-    plan above it is unchanged."""
+    Sink discipline per mode, idempotent under micro-batch RETRY (a
+    foreachBatch body can run twice for one batchId after a transient
+    failure): ``complete`` batches carry the full aggregate → OVERWRITE
+    of the output root (any re-run rewrites the same final state);
+    ``append`` batches carry only new rows → each batch OVERWRITES its
+    own ``batch_id=<id>`` subdirectory, so a retried batch replaces its
+    prior partial output instead of double-appending, and committed
+    batches union via partition discovery on read-back. An empty frame
+    with the plan's schema is committed up front so a stream that emits
+    zero rows still reads back as an empty frame rather than a schema-
+    inference error. The checkpoint is deleted after completion, the
+    output dir stays readable for the session (the returned frame is
+    lazy). A production deployment swaps the sink body for its real
+    writer; the plan above it is unchanged."""
     import shutil
     import tempfile
     from pathlib import Path
 
     spark = df.sparkSession
+    _sweep_stale_scratch(spark.sparkContext.applicationId)
     scratch = (
         Path(tempfile.gettempdir())
         / f"htdp_stream_{query_name}_{spark.sparkContext.applicationId}"
@@ -114,10 +156,18 @@ def run_available_now_to_parquet(
     shutil.rmtree(scratch, ignore_errors=True)
     out = str(scratch / "out")
     ckpt = str(scratch / "ckpt")
-    write_mode = "overwrite" if output_mode == "complete" else "append"
+    empty = spark.createDataFrame([], df.schema)
+    if output_mode == "complete":
+        empty.write.mode("overwrite").parquet(out)
 
-    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode(write_mode).parquet(out)
+        def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("overwrite").parquet(out)
+
+    else:
+        empty.write.mode("overwrite").parquet(f"{out}/batch_id=-1")
+
+        def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("overwrite").parquet(f"{out}/batch_id={batch_id}")
 
     q = (
         df.writeStream.outputMode(output_mode)
@@ -155,4 +205,7 @@ def run_available_now_to_parquet(
     finally:
         q.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.read.parquet(out)
+    # Append mode lays batches out as batch_id=<id> partition dirs; drop
+    # the discovered partition column to restore the plan's schema
+    # (drop() of an absent column — the complete-mode case — is a no-op).
+    return spark.read.parquet(out).drop("batch_id")

@@ -203,7 +203,7 @@ def main() -> int:
     ]
 
     from hebrew_tutor_data_pipeline_spark.operators.dedup import (
-        connected_components,
+        cc_last_rounds,
     )
 
     # UI on: the REST API is where shuffle/spill stage metrics come from
@@ -259,9 +259,7 @@ def main() -> int:
                     2,
                 )
             if name == "dedup_clusters":
-                report["cc_rounds"][label] = getattr(
-                    connected_components, "last_rounds", None
-                )
+                report["cc_rounds"][label] = cc_last_rounds()
             report["queries"].setdefault(name, {})[label] = rec
             msg = f"# {label} {name}: {sec}s"
             if err:
