@@ -237,6 +237,16 @@ def ivf_topk(
 # ---------------------------------------------------------------------------
 # Random-hyperplane LSH bits
 
+#: Seed stride between TABLES in the SRP-LSH plane family: plane (t, b)
+#: is seeded ``t * PLANE_SEED_STRIDE + b`` regardless of how many bits a
+#: run uses. With a bits-independent stride, growing ``bucket_bits`` with
+#: the corpus (the scale-correct knob — see catalog_ml.embedding_near_dup_lsh)
+#: only APPENDS planes to each table: a smaller-bits bucketing stays a
+#: prefix of a larger one, and a static SQL oracle can inline ONE
+#: monotone plane family and gate terms on a count-derived bit budget.
+PLANE_SEED_STRIDE = 64
+
+
 def _pseudo_random_plane(dim: int, bit: int) -> list[float]:
     """Deterministic ±1 hyperplane derived from an LCG — identical in any
     engine that re-runs the same integer recurrence."""
@@ -252,11 +262,13 @@ def signed_projection_bucket(vec: Column, bits: int, dim: int = 64, table: int =
     """Pack ``bits`` sign-of-projection bits (vs fixed ±1 hyperplanes)
     into one long — the classic SRP-LSH bucket id. Cosine-similar vectors
     collide with probability ``1 - θ/π`` per bit. ``table`` selects a
-    disjoint hyperplane set (seed offset ``table*bits``) so multi-table
-    LSH can union candidates from independent buckets."""
+    disjoint hyperplane set (seed offset ``table*PLANE_SEED_STRIDE``) so
+    multi-table LSH can union candidates from independent buckets."""
     acc = F.lit(0).cast("long")
     for b in range(bits):
-        plane = F.lit(_pseudo_random_plane(dim, table * bits + b)).cast("array<double>")
+        plane = F.lit(
+            _pseudo_random_plane(dim, table * PLANE_SEED_STRIDE + b)
+        ).cast("array<double>")
         sign_bit = F.when(dot(vec, plane) >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
         acc = acc * 2 + sign_bit
     return acc

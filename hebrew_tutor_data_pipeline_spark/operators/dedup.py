@@ -764,7 +764,7 @@ def embedding_near_dup_pairs(
         StructField,
         StructType,
     )
-    from .ann import _pseudo_random_plane
+    from .ann import PLANE_SEED_STRIDE, _pseudo_random_plane
 
     id_type = v.schema["id"].dataType
     weights = np.array([1 << (bucket_bits - 1 - b) for b in range(bucket_bits)])
@@ -783,7 +783,7 @@ def embedding_near_dup_pairs(
             if planes is None:
                 planes = np.stack(
                     [
-                        _pseudo_random_plane(mat.shape[1], t * bucket_bits + b)
+                        _pseudo_random_plane(mat.shape[1], t * PLANE_SEED_STRIDE + b)
                         for t in range(num_tables)
                         for b in range(bucket_bits)
                     ]

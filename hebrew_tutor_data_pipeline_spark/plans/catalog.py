@@ -756,6 +756,85 @@ def streaming_terminal_job_status(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @_register(
+    "streaming_progress_metrics",
+    # availableNow over a single parquet file commits exactly ONE
+    # data-bearing micro-batch, so every listener-derived number is
+    # deterministic: batch count, engine-reported input rows, and the
+    # observe() counters (count + 4dp-rounded sum, the cross-engine
+    # float policy the other streaming aggregates use).
+    oracle="""
+SELECT CAST(1 AS INTEGER) AS n_data_batches,
+       count(*) AS total_input_rows,
+       count(*) AS rows_seen,
+       round(sum(value), 4) AS sum_value
+FROM events
+""",
+    tags=("T5", "T1", "S14"),
+)
+def streaming_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 under the driver gate: ``observe()`` metrics attached to a
+    real readStream plan and harvested by a ``StreamingQueryListener``
+    — the engine-level replacement for the reference's hand-rolled
+    every-10-chapters progress counters (`fixed_hebrew_aligner.py:756-759`).
+    The returned frame is built from what the LISTENER saw (batch
+    count, engine-reported numInputRows, observed rows/sum), so the
+    value hash pins the whole observability path: plan-attached
+    aggregates → per-batch QueryProgressEvent → listener collection.
+
+    Scale posture: observe() metrics are computed inside the running
+    plan (no second pass over the data) and only one tiny metrics map
+    per micro-batch reaches the driver — progress cost is independent
+    of corpus width, exactly what a 100 TB stream needs."""
+    import time as _time
+
+    from ..streaming.progress import CountingListener, with_observed_metrics
+    from ..streaming.sources import (
+        events_parquet_stream,
+        run_available_now_to_parquet,
+        scratch_key_for,
+    )
+
+    listener = CountingListener()
+    spark.streams.addListener(listener)
+    try:
+        observed = with_observed_metrics(
+            events_parquet_stream(spark, sf_dir).select("event_id", "value"),
+            "progress",
+        ).observe("totals", F.round(F.sum("value"), 4).alias("sum_value"))
+        run_available_now_to_parquet(
+            observed.select("event_id"),
+            scratch_key=scratch_key_for(sf_dir),
+            output_mode="append",
+            query_name="progress_metrics_stream",
+        )
+        # listener events are delivered on the listener-bus thread —
+        # wait (bounded) for the data batch's progress to arrive
+        deadline = _time.time() + 30
+        data: list[dict] = []
+        while _time.time() < deadline:
+            data = [p for p in listener.progress if p["numInputRows"] > 0]
+            if data:
+                break
+            _time.sleep(0.2)
+        if not data:
+            raise TimeoutError("no progress events with input rows arrived")
+    finally:
+        spark.streams.removeListener(listener)
+    obs = [p["observedMetrics"] for p in data]
+    return spark.createDataFrame(
+        [
+            (
+                len(data),
+                sum(p["numInputRows"] for p in data),
+                sum(m.get("progress", {}).get("rows_seen", 0) for m in obs),
+                round(sum(m.get("totals", {}).get("sum_value", 0.0) for m in obs), 4),
+            )
+        ],
+        "n_data_batches int, total_input_rows bigint, rows_seen bigint, sum_value double",
+    )
+
+
+@_register(
     "event_type_shares",
     oracle="""
 WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type)

@@ -878,10 +878,75 @@ def trimmer_intro_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _trimmer_e2e_oracle() -> str:
+    """Value-hash oracle for the side-effecting trimmer pipeline. The
+    analysis oracle (independently hash-validated by
+    ``trimmer_intro_analysis``) replays in DuckDB at oracle-build time
+    to predict each file's trim offset; the expected original/trimmed/
+    restored BYTES then follow deterministically from the committed
+    fixture payloads (trimmed = payload[trim_bytes:], restored =
+    original — the backup/restore invariant), and their md5 digests are
+    inlined as a VALUES dim. The engine measures its digests from the
+    actual mutated-and-restored files, so a half-applied trim, a
+    corrupted backup, or a failed restore flips the value hash — the
+    invariant the r06 record could only assert rows-only."""
+    import hashlib
+
+    import duckdb
+
+    per = {
+        r[0]: (float(r[7]), bool(r[8]), int(r[9]))
+        for r in duckdb.sql(_trimmer_analysis_oracle()).fetchall()
+    }
+    rows = []
+    for p in sorted(Path(FIXTURE_AUDIO_TREE).glob("*/*.mp3")):
+        payload = p.read_bytes()
+        if len(payload) < 1024:
+            continue
+        sugg, should, tb = per[p.name]
+        trimmed = payload[tb:] if should else payload
+        rows.append(
+            (
+                p.name.replace("'", "''"),
+                len(payload),
+                hashlib.md5(payload).hexdigest(),
+                len(trimmed),
+                hashlib.md5(trimmed).hexdigest(),
+                repr(sugg),
+                str(should).upper(),
+            )
+        )
+    if not rows:
+        raise OSError("no trimmable audio fixtures found")
+    vals = ",\n  ".join(
+        f"('{f}', {ol}, '{om}', {tl}, '{tm}', {s}, {b})"
+        for f, ol, om, tl, tm, s, b in rows
+    )
+    return f"""
+WITH t(filename, orig_length, orig_md5, trimmed_length, trimmed_md5,
+       suggested_trim, should_trim) AS (VALUES
+  {vals})
+SELECT filename,
+       CAST(orig_length AS BIGINT) AS orig_length, orig_md5,
+       CAST(trimmed_length AS BIGINT) AS trimmed_length, trimmed_md5,
+       CAST(orig_length AS BIGINT) AS restored_length,
+       orig_md5 AS restored_md5,
+       suggested_trim, should_trim
+FROM t
+"""
+
+
+try:
+    _TRIMMER_E2E_ORACLE: str | None = (
+        _trimmer_e2e_oracle() if _FIXTURES_OK else None
+    )
+except OSError:
+    _TRIMMER_E2E_ORACLE = None
+
+
 @_register(
     "trimmer_pipeline_e2e",
-    oracle=None,  # byte-overwrite side effects; analysis core is value-
-    # hash-gated by trimmer_intro_analysis above
+    oracle=_TRIMMER_E2E_ORACLE,
     tags=("S2", "S5", "A7", "A8", "W1", "P5", "S10", "F8"),
 )
 def trimmer_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -893,8 +958,11 @@ def trimmer_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     tumbling RMS segments → A8 baseline threshold with intro skip → W1
     first-over-threshold + P5 >1 s gate → proportional byte trim → S10
     overwrite-with-backup → re-scan → restore-from-backup → re-scan.
-    Output per file: original/trimmed/restored lengths + the
-    suggestion — the restore proving the backup tree holds the
+    Output per file: original/trimmed/restored lengths AND md5 digests
+    of the actual bytes at each stage + the suggestion — the digests
+    put the whole side-effect path under the value-hash gate (the
+    oracle predicts them from the committed fixture bytes), with
+    restore-equals-original proving the backup tree holds the
     originals (`hebrew_audio_trimmer.py:89-103,480-502`).
 
     Write-safety choices: the trim payloads are materialized to parquet
@@ -970,6 +1038,7 @@ def trimmer_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         relpath.alias("relpath"),
         F.regexp_extract("path", r"([^/]+)$", 1).alias("filename"),
         F.col("length").alias("trimmed_length"),
+        F.md5("content").alias("trimmed_md5"),
     ).write.mode("overwrite").parquet(str(snap / "trimmed"))
 
     n_restored = restore_from_backup(spark, str(backup), str(scratch))
@@ -980,7 +1049,9 @@ def trimmer_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     scan().select(
-        relpath.alias("relpath"), F.col("length").alias("restored_length")
+        relpath.alias("relpath"),
+        F.col("length").alias("restored_length"),
+        F.md5("content").alias("restored_md5"),
     ).write.mode("overwrite").parquet(str(snap / "restored"))
     sugg.select(
         relpath.alias("relpath"),
@@ -995,7 +1066,9 @@ def trimmer_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(backup, ignore_errors=True)
 
     orig = read_binary_files(spark, str(FIXTURE_AUDIO_TREE), glob="*.mp3").select(
-        relpath.alias("relpath"), F.col("length").alias("orig_length")
+        relpath.alias("relpath"),
+        F.col("length").alias("orig_length"),
+        F.md5("content").alias("orig_md5"),
     )
     return (
         orig.join(spark.read.parquet(str(snap / "trimmed")), "relpath")

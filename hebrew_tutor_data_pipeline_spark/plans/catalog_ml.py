@@ -703,30 +703,58 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LSH_BITS, _LSH_TABLES, _LSH_DIM = 6, 8, 64
+_LSH_MIN_BITS, _LSH_MAX_BITS, _LSH_TABLES, _LSH_DIM = 6, 12, 8, 64
+#: target vectors per LSH bucket — the knob both engines derive bits from
+_LSH_TARGET_BUCKET = 250
+
+
+def _lsh_bits_for(n: int) -> int:
+    """The count-derived SRP-LSH bit budget: bucket_bits grows with the
+    corpus so expected bucket population stays ≈ _LSH_TARGET_BUCKET and
+    per-bucket verification work stays bounded (the r06 scale runs
+    measured FIXED bits as an n² hazard at x100). Twin of the SQL
+    formula in the embedding_near_dup_lsh oracle's ``p`` CTE."""
+    import math
+
+    return max(_LSH_MIN_BITS, math.ceil(math.log2(max(n, 2) / _LSH_TARGET_BUCKET)))
 
 
 def _lsh_bucket_sql(table: int) -> str:
-    """DuckDB expression for one SRP-LSH table's packed bucket id, with
-    the engine's LCG-derived ±1 hyperplanes inlined as literals — the
-    oracle re-derives nothing, it evaluates the exact same planes."""
-    from ..operators.ann import _pseudo_random_plane
+    """DuckDB expression for one SRP-LSH table's bucket id at a
+    COUNT-DERIVED bit budget. The monotone plane family (seed stride
+    ``PLANE_SEED_STRIDE``, bits-independent, so growing bits only
+    appends planes) is inlined to _LSH_MAX_BITS literals; each term is
+    gated on ``b < p.bits``, so this one static SQL evaluates the exact
+    bucketing at ANY corpus count up to 2^_LSH_MAX_BITS×target (≈1M
+    vectors — far past any oracle-scale input). Weights are 2^b fixed
+    per plane: any injective packing of the same active bit set induces
+    the same bucket-EQUALITY relation, which is all the join uses."""
+    from ..operators.ann import PLANE_SEED_STRIDE, _pseudo_random_plane
 
     terms = []
-    for b in range(_LSH_BITS):
-        plane = _pseudo_random_plane(_LSH_DIM, table * _LSH_BITS + b)
+    for b in range(_LSH_MAX_BITS):
+        plane = _pseudo_random_plane(_LSH_DIM, table * PLANE_SEED_STRIDE + b)
         lit = "[" + ", ".join("1.0" if x > 0 else "-1.0" for x in plane) + "]"
         terms.append(
-            f"(CASE WHEN list_dot_product(e, {lit}) >= 0"
-            f" THEN {1 << (_LSH_BITS - 1 - b)} ELSE 0 END)"
+            f"(CASE WHEN {b} < p.bits AND list_dot_product(e, {lit}) >= 0"
+            f" THEN {1 << b} ELSE 0 END)"
         )
     return " + ".join(terms)
 
 
 @_register(
     "embedding_near_dup_lsh",
-    oracle="""
+    # The oracle COMPUTES the engine's bit-budget formula in SQL
+    # (count(*) → greatest/ceil/log2) and evaluates the identical
+    # hyperplanes under that budget — the driver-validated plan IS the
+    # scale-correct parameterization, not a small-sf special case.
+    oracle=f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+p AS (
+    SELECT greatest({_LSH_MIN_BITS},
+                    CAST(ceil(log2(greatest(count(*), 2) / {_LSH_TARGET_BUCKET}.0)) AS INTEGER)) AS bits
+    FROM v
+),
 bk AS (
     SELECT vec_id, e,
            """
@@ -734,7 +762,7 @@ bk AS (
         f"({_lsh_bucket_sql(t)}) AS b{t}" for t in range(_LSH_TABLES)
     )
     + """
-    FROM v
+    FROM v CROSS JOIN p
 ),
 cand AS (
     SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.e AS ea, b.e AS eb
@@ -758,24 +786,29 @@ WHERE round(list_dot_product(ea, eb)
 )
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SCALE tier of embedding near-dup: multi-table SRP-LSH
-    prefilter (6 bits × 8 tables) + exact-cosine verification of the
-    candidates. The bucket computation is a map-only projection; the
-    self-join shuffles on (table, bucket) instead of all-pairs — the
-    plan that survives 100 TB, now under the same value-hash gate as
-    the exact tier (the oracle inlines the identical hyperplanes).
+    prefilter (count-derived bits × 8 tables) + exact-cosine
+    verification of the candidates. The bucket computation is a
+    map-only projection; the self-join shuffles on (table, bucket)
+    instead of all-pairs — the plan that survives 100 TB, under the
+    same value-hash gate as the exact tier (the oracle inlines the
+    identical hyperplanes AND replays the bit-budget formula).
     Output is by construction a subset of ``embedding_near_dup_pairs``;
     tests/test_operators.py measures its recall.
 
-    Scale caveat (r06 measured): with FIXED bits, bucket population is
-    ∝ n and per-bucket verification ∝ n² — 2.8 s → 177 s from x10 to
-    x100 on the self-similar family. The production parameterization
-    grows bits with the corpus (bucket_bits ≈ log2(n/250), tables kept
-    at 8 for recall): measured n^0.10 / 7.8 s at x100
-    (tools/scale_bench.py `embedding_lsh_scaled_bits`,
-    bench_runs/r06_scaling_lsh_scaled.json)."""
+    The blocking knob GROWS WITH THE CORPUS — the r06 lesson, now in
+    the registered query itself: fixed 6 bits measured n² at x100
+    (bucket population ∝ n ⇒ per-bucket pairs ∝ n²; 2.8 s → 177 s from
+    x10 to x100), while bits ≈ log2(n/250) holds expected bucket size
+    at the 250-vector target and measured n^0.10 / 7.8 s at x100
+    (bench_runs/r06_scaling_lsh_scaled.json, re-measured this round on
+    this entry directly). The sizing count is a single scalar job —
+    the same bounded-driver-read class as the k≤16 centroid collects;
+    at the small SFs the formula floors at 6 bits, so the derived and
+    historical plans coincide there."""
     e = spread(T(spark, sf_dir, "embeddings"))
+    bits = _lsh_bits_for(e.count())
     return dedup.embedding_near_dup_pairs(
-        e, "vec_id", "embedding", threshold=0.35, bucket_bits=_LSH_BITS,
+        e, "vec_id", "embedding", threshold=0.35, bucket_bits=bits,
         num_tables=_LSH_TABLES,
     )
 
@@ -978,18 +1011,37 @@ def ann_ivf_kmeans_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.ivf_topk(e, q, "vec_id", "embedding", k=10, nprobe=4, codebook=cb)
 
 
+#: target vectors per SemDeDup cell — the knob both engines derive k from
+_SEMDEDUP_TARGET_CELL = 250
+_SEMDEDUP_MIN_K = 16
+
+
+def _semdedup_k_for(n: int) -> int:
+    """Count-derived SemDeDup cluster count: k grows with the corpus so
+    expected cell population stays ≈ _SEMDEDUP_TARGET_CELL and
+    within-cell pairwise work stays ∝ n (fixed k is ∝ n²/k — SemDeDup's
+    documented cost model, measured as the x100 hazard in r06). Twin of
+    the SQL formula in the semantic_dedup_flags oracle's init CTE."""
+    return max(_SEMDEDUP_MIN_K, n // _SEMDEDUP_TARGET_CELL)
+
+
 @_register(
     "semantic_dedup_flags",
     # The full SemDeDup pipeline replays in SQL: the same two unrolled
-    # Lloyd iterations as ann_ivf_kmeans_top10 (deterministic init =
-    # the 16 smallest-id vectors), rounded-cosine best-cell assignment,
-    # then the within-cluster smaller-id-wins pruning rule as a
-    # DISTINCT + LEFT JOIN.
+    # Lloyd iterations as ann_ivf_kmeans_top10 — but with the cluster
+    # count DERIVED from count(*) by the engine's own formula
+    # (greatest(16, n // 250)), so the driver-validated plan is the
+    # scale-correct parameterization. Init = the k smallest-id vectors;
+    # the Lloyd CTEs are k-agnostic (they iterate whatever c0 holds).
+    # Then rounded-cosine best-cell assignment and the within-cluster
+    # smaller-id-wins pruning rule as a DISTINCT + LEFT JOIN.
     oracle=f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 c0 AS (
-    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS ce
-    FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 16)
+    SELECT rn - 1 AS cell, e AS ce
+    FROM (SELECT row_number() OVER (ORDER BY vec_id) AS rn, e FROM v)
+    WHERE rn <= greatest({_SEMDEDUP_MIN_K},
+                         (SELECT count(*) FROM v) // {_SEMDEDUP_TARGET_CELL})
 ),
 {_lloyd_sql('c0', 'sa1', 'sm1', 'sc1')},
 {_lloyd_sql('sc1', 'sa2', 'sm2', 'sc2')},
@@ -1017,9 +1069,18 @@ def semantic_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster blocking (trained codebook, 2 deterministic Lloyd steps)
     then within-cluster pairwise-cosine pruning with the keep-first
     rule. One flag row per vector — the curation-pipeline face of
-    embedding dedup, complementing the pair-producing LSH tier."""
+    embedding dedup, complementing the pair-producing LSH tier.
+
+    The cluster count is DERIVED from the corpus count (k = max(16,
+    n//250), mirrored exactly in the oracle SQL): the r06 scale runs
+    measured fixed k=16 as superlinear (within-cell pairs ∝ n²/k) and
+    scaled k as n^0.47, 36× faster at x100 — that production knob is
+    now the registered plan itself. The sizing count is one scalar job
+    (bounded driver read); at the small SFs the formula floors at
+    k=16, so derived and historical plans coincide there."""
     e = spread(T(spark, sf_dir, "embeddings"))
-    cb = _embeddings_codebook(spark, sf_dir)
+    k = _semdedup_k_for(e.count())
+    cb = _embeddings_codebook(spark, sf_dir, k=k)
     out = dedup.semantic_dedup(e, "vec_id", "embedding", codebook=cb, tau=0.35)
     return out.withColumnRenamed("id", "vec_id")
 

@@ -275,8 +275,10 @@ def test_trimmer_pipeline_e2e_roundtrip(spark):
     assert len(rows) == 6
     for r in rows:
         assert r.restored_length == r.orig_length          # backup proven
+        assert r.restored_md5 == r.orig_md5                # byte-exact restore
         if r.should_trim:
             assert r.trimmed_length < r.orig_length        # mutation proven
+            assert r.trimmed_md5 != r.orig_md5
             assert r.suggested_trim > 1.0                  # P5 gate
 
 

@@ -33,11 +33,13 @@ from hebrew_tutor_data_pipeline_spark.session import get_spark  # noqa: E402
 HEAVY = (
     "jaccard_token_pairs",
     "jaccard_token_pairs_capped",
+    "minhash_dedup_pairs_corpus",
     "dedup_clusters",
     "duplicate_token_spans",
     "benchmark_contamination",
     "corpus_curation_pipeline",
     "semantic_dedup_flags",
+    "embedding_near_dup_lsh",
     "doc_lm_perplexity",
     "ann_bruteforce_top10",
     "ann_ivf_top10",
@@ -47,77 +49,14 @@ HEAVY = (
 )
 
 
-def _semantic_dedup_scaled_cells(spark, sf_dir: str):
-    """The scale-correct SemDeDup parameterization, run as an extra
-    probe beside the (fixed-k, oracle-matched) catalog entry: k grows
-    with the corpus to hold TARGET CELL SIZE ~250 constant, so
-    within-cell pair work is ∝ n — the catalog entry's fixed k=16 is
-    measured superlinear (within-cell pairs ∝ n²/k), which is SemDeDup's
-    documented cost model, and this probe demonstrates the knob that
-    makes it linear (Abbas et al. run 50k clusters at web scale for the
-    same reason)."""
-    from hebrew_tutor_data_pipeline_spark.operators import ann, dedup
-    from hebrew_tutor_data_pipeline_spark.sources.readers import (
-        load_table,
-        spread,
-    )
-
-    e = spread(load_table(spark, sf_dir, "embeddings"))
-    n = e.count()  # harness-side sizing probe, not part of the plan
-    k = max(16, n // 250)
-    cb = ann.kmeans_codebook(e, "vec_id", "embedding", k=k, iters=2)
-    return dedup.semantic_dedup(e, "vec_id", "embedding", codebook=cb, tau=0.35)
-
-
-def _embedding_lsh_scaled_bits(spark, sf_dir: str):
-    """Scale-correct SRP-LSH parameterization: hyperplane count grows
-    with the corpus (bucket_bits = ceil(log2(n/250)) → ~250-vector
-    buckets), keeping per-bucket verification work bounded while the 8
-    OR-ed tables preserve recall. The catalog entry's fixed 6 bits is
-    measured superlinear at x100 (bucket size ∝ n ⇒ per-bucket pairs
-    ∝ n²) — the knob, as with SemDeDup's k, must scale with the data."""
-    import math
-
-    from hebrew_tutor_data_pipeline_spark.operators import dedup
-    from hebrew_tutor_data_pipeline_spark.sources.readers import (
-        load_table,
-        spread,
-    )
-
-    e = spread(load_table(spark, sf_dir, "embeddings"))
-    n = e.count()  # harness-side sizing probe
-    bits = max(6, math.ceil(math.log2(max(n, 2) / 250)))
-    return dedup.embedding_near_dup_pairs(
-        e, "vec_id", "embedding", threshold=0.35, bucket_bits=bits, num_tables=8
-    )
-
-
-def _minhash_candidate_tier(spark, sf_dir: str):
-    """The Jaccard candidate tier of record at corpus scale: MinHash
-    banding with 16 bands × 2 rows (P[candidate] ≈ 0.99 at J = 0.5) +
-    exact shingle-Jaccard verify. Measured recall 0.996 of the
-    exhaustive posting join's pairs at x10 (tools/scale_recall.py) —
-    where the df-capped posting join collapses to zero recall on this
-    fixed-vocab family, because at 50k docs NO trigram is rare."""
-    from hebrew_tutor_data_pipeline_spark.operators import dedup
-    from hebrew_tutor_data_pipeline_spark.sources.readers import (
-        load_table,
-        spread,
-    )
-
-    d = spread(load_table(spark, sf_dir, "documents"))
-    return dedup.minhash_lsh_pairs(
-        d, "doc_id", "text", n=3, num_hashes=32, bands=16, threshold=0.5
-    )
-
-
-#: extra probes: scale-correct parameterizations that cannot be a fixed
-#: catalog entry because their knobs must grow with the data
-PROBES = {
-    "semantic_dedup_scaled_cells": _semantic_dedup_scaled_cells,
-    "embedding_lsh_scaled_bits": _embedding_lsh_scaled_bits,
-    "minhash_candidate_tier": _minhash_candidate_tier,
-}
+#: Extra non-catalog probes. EMPTY since round 7: the r06 `*_scaled`
+#: parameterizations (SemDeDup k ∝ n, SRP-LSH bits ≈ log2(n/250)) and
+#: the corpus MinHash tier are now the REGISTERED queries themselves —
+#: semantic_dedup_flags / embedding_near_dup_lsh derive their blocking
+#: knobs from a corpus count inside the plan (oracle-mirrored formulas),
+#: and minhash_dedup_pairs_corpus is the banded tier of record — so the
+#: scale evidence and the driver-validated plans are the same code path.
+PROBES: dict = {}
 
 
 def clear_persisted(spark) -> int:
