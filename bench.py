@@ -17,7 +17,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from hebrew_tutor_data_pipeline_spark.plans import CATALOG  # noqa: E402
+from hebrew_tutor_data_pipeline_spark.plans import (  # noqa: E402
+    CATALOG,
+    REGISTRATION_ORDER,
+)
 from hebrew_tutor_data_pipeline_spark.session import get_spark  # noqa: E402
 
 
@@ -104,9 +107,16 @@ def main() -> int:
     # Per-query fault isolation: one broken plan must not zero the whole
     # round's performance signal — failures record an error entry and the
     # JSON line is always emitted (exit 0 so the harness records it).
+    # Iterate in REGISTRATION order, not CATALOG's rotation order: the
+    # rotation reshuffles the dict whenever a CORRECTNESS file lands,
+    # and execution order decides which query of a compile-sharing
+    # family pays the JVM's one-time codegen/JIT cost — under a
+    # shifting order the same query can read 0.4 s one round and 1.4 s
+    # the next with zero source change (the r06 doc_text_stats drift).
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name, spec in CATALOG.items():
+    for name in REGISTRATION_ORDER:
+        spec = CATALOG[name]
         if only and name not in only:
             continue
         t0 = time.perf_counter()

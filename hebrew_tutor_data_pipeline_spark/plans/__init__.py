@@ -86,6 +86,17 @@ def driver_window(catalog: dict[str, QuerySpec] | None = None) -> list[str]:
     return list(cat)[:WINDOW_SIZE]
 
 
+#: Registration order, frozen BEFORE the rotation reorder. Benchmarks
+#: must iterate THIS (bench.py does): the rotation reshuffles CATALOG
+#: every time a CORRECTNESS file lands, and execution order decides
+#: which query of a compile-sharing family absorbs the JVM's one-time
+#: codegen/JIT cost — the r06 "doc_text_stats 3.5× drift" was exactly
+#: that attribution moving when the rotation state changed mid-round,
+#: not a plan regression. Registration order only changes when queries
+#: are appended, so per-query bench numbers stay comparable.
+REGISTRATION_ORDER: tuple[str, ...] = tuple(CATALOG)
+
+
 def _reorder() -> None:
     last_green = load_last_green()
     ordered = rotation_order(
@@ -103,6 +114,7 @@ _reorder()
 __all__ = [
     "CATALOG",
     "QuerySpec",
+    "REGISTRATION_ORDER",
     "WINDOW_SIZE",
     "bench_queries",
     "driver_window",

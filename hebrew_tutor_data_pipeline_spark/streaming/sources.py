@@ -116,6 +116,18 @@ def _sweep_stale_scratch(app_id: str, max_age_seconds: float = 3600.0) -> None:
             continue
 
 
+#: Per-query state store backend for every stream this runner starts.
+#: The default HDFSBackedStateStoreProvider keeps EVERY key's state as
+#: JVM objects on the executor heap — at 100× key cardinality that is
+#: executor OOM, not a tuning problem. RocksDB keeps state off-heap
+#: with block-cache-bounded memory and incremental checkpoints; Spark
+#: bundles rocksdbjni, so this is a pure conf flip. Measured:
+#: tools/state_probe.py / bench_runs/r07_state_store.json.
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
 def run_available_now_to_parquet(
     df: DataFrame,
     scratch_key: str,
@@ -123,6 +135,7 @@ def run_available_now_to_parquet(
     query_name: str,
     timeout_seconds: int = 600,
     self_terminates: bool = True,
+    state_store_provider: str | None = ROCKSDB_PROVIDER,
 ) -> DataFrame:
     """Execute a streaming frame with the availableNow trigger into a
     parquet sink via foreachBatch and return the committed result as a
@@ -169,6 +182,12 @@ def run_available_now_to_parquet(
         def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
             batch_df.write.mode("overwrite").parquet(f"{out}/batch_id={batch_id}")
 
+    if state_store_provider:
+        # session conf is captured per-query at start — affects only
+        # streams started after this point, never a running query
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", state_store_provider
+        )
     q = (
         df.writeStream.outputMode(output_mode)
         .queryName(query_name)

@@ -192,14 +192,40 @@ def gen_embeddings(out: Path, n: int, model: dict) -> None:
         file_idx += 1
 
 
+#: Zipf arm (VERDICT r06 'Next round' #7): the empirical sf0.1 vocab is
+#: ~31 types — a DEGENERATE spectrum on which every trigram goes common
+#: as the corpus grows, so df-caps provably collapse to zero recall
+#: there (r06_recall.json). Real web text is heavy-tailed; this arm
+#: samples the same doc-length/dup structure from a synthetic Zipf
+#: vocabulary so the df-cap claim can be MEASURED on a realistic
+#: spectrum instead of argued.
+ZIPF_VOCAB_SIZE = 30_000
+ZIPF_EXPONENT = 1.05
+
+
+def _zipf_model(doc_model: dict) -> dict:
+    ranks = np.arange(1, ZIPF_VOCAB_SIZE + 1, dtype=np.float64)
+    probs = ranks ** (-ZIPF_EXPONENT)
+    probs /= probs.sum()
+    m = dict(doc_model)
+    m["vocab"] = np.array([f"w{i:05d}" for i in range(ZIPF_VOCAB_SIZE)])
+    m["probs"] = probs
+    return m
+
+
 def main() -> None:
     base = Path(sys.argv[1])
-    ks = [int(a) for a in sys.argv[2:]] or [10]
+    rest = sys.argv[2:]
+    zipf = "--zipf" in rest
+    ks = [int(a) for a in rest if a != "--zipf"] or [10]
     n_docs_base = pq.read_metadata(SRC / "documents.parquet").num_rows
     doc_model = _doc_model()
+    if zipf:
+        doc_model = _zipf_model(doc_model)
     emb_model = _emb_model()
+    prefix = "zipf_x" if zipf else "x"
     for k in ks:
-        out = base / f"x{k}"
+        out = base / f"{prefix}{k}"
         if out.exists():
             shutil.rmtree(out)
         out.mkdir(parents=True)
@@ -210,7 +236,7 @@ def main() -> None:
             if f.stem in ("documents", "embeddings"):
                 continue
             shutil.copy(f, out / f.name)
-        print(f"x{k}: {out} ({n} docs)")
+        print(f"{prefix}{k}: {out} ({n} docs)")
 
 
 if __name__ == "__main__":
