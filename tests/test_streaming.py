@@ -608,3 +608,39 @@ class TestCatalogStreamingEntries:
         }
         assert got == want
         assert len(got) > 0
+
+    def test_append_sink_batch_retry_is_idempotent(self, spark, tmp_path):
+        """A foreachBatch body can be re-invoked for the SAME batchId
+        after a transient failure; the per-batch overwrite layout must
+        make the second invocation replace (not duplicate) the first
+        one's rows, and an un-retried sibling batch must survive."""
+        out = str(tmp_path / "out")
+        a = spark.range(5).selectExpr("id AS v")
+        b = spark.range(5, 8).selectExpr("id AS v")
+        # batch 0 committed once, batch 1 committed then RETRIED
+        a.write.mode("overwrite").parquet(f"{out}/batch_id=0")
+        b.write.mode("overwrite").parquet(f"{out}/batch_id=1")
+        b.write.mode("overwrite").parquet(f"{out}/batch_id=1")  # retry
+        got = sorted(
+            r["v"] for r in spark.read.parquet(out).drop("batch_id").collect()
+        )
+        assert got == list(range(8))
+
+    def test_zero_row_stream_reads_back_empty(self, spark):
+        """A stream whose plan emits no rows must still read back as an
+        empty frame with the plan's schema (the pre-committed empty
+        frame), not die on parquet schema inference."""
+        from hebrew_tutor_data_pipeline_spark.streaming.sources import (
+            events_parquet_stream,
+            run_available_now_to_parquet,
+        )
+
+        s = events_parquet_stream(spark, self.SF).filter("value < -1").select(
+            "event_id", "value"
+        )
+        got = run_available_now_to_parquet(
+            s, scratch_key="zerorow", output_mode="append",
+            query_name="zero_row_probe",
+        )
+        assert got.count() == 0
+        assert got.columns == ["event_id", "value"]
