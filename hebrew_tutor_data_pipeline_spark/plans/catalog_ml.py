@@ -584,27 +584,77 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(d, "doc_id", "text", bits=16).withColumnRenamed("id", "doc_id")
 
 
+#: simhash width derivation: the fingerprint SPACE must grow with the
+#: corpus or d≤2 birthday pairs (≈ n²·C(bits,≤2)/2^bits) swamp the real
+#: near-dups — the same fixed-knob class as SemDeDup k / SRP-LSH bits.
+#: 16 bits per 5000 docs, +1 bit per doubling, rounded UP to a multiple
+#: of 4 (the band count), capped at 28 (token hashes carry 31 bits).
+_HAMMING_MIN_BITS, _HAMMING_BASE_DOCS, _HAMMING_MAX_BITS = 16, 5000, 28
+
+
+def _hamming_bits_for(n: int) -> int:
+    """Twin of the SQL formula in simhash_hamming_pairs' ``p`` CTE."""
+    import math
+
+    raw = _HAMMING_MIN_BITS + math.ceil(
+        math.log2(max(n, 1) / _HAMMING_BASE_DOCS)
+    )
+    return min(
+        _HAMMING_MAX_BITS, max(_HAMMING_MIN_BITS, 4 * math.ceil(raw / 4))
+    )
+
+
 @_register(
     "simhash_hamming_pairs",
+    # Brute force over the COUNT-DERIVED-width fingerprint. A b-bit
+    # simhash is bit-positions b-1..0 of the 31-bit one (each bit is an
+    # independent sign vote), i.e. fp31 % 2^b — so one 31-bit fragment
+    # serves every derived width and the oracle replays the engine's
+    # width formula with count(*) arithmetic.
     oracle=f"""
-WITH {_SIMHASH_FP_SQL}
+WITH {_simhash_fp_sql(31).lstrip()},
+p AS (
+    SELECT least({_HAMMING_MAX_BITS}, greatest({_HAMMING_MIN_BITS},
+           4 * CAST(ceil(({_HAMMING_MIN_BITS} + ceil(log2(greatest(count(*), 1)
+               / {_HAMMING_BASE_DOCS}.0))) / 4.0) AS INTEGER))) AS bits
+    FROM fp
+),
+fpb AS (
+    SELECT doc_id, simhash % (CAST(1 AS BIGINT) << bits) AS fp
+    FROM fp CROSS JOIN p
+)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+FROM fpb a JOIN fpb b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= 2
 """,
     tags=("dedup", "simhash", "lsh"),
     bench=True,
 )
 def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded Hamming-ball near-dup search (4 nibble bands, d ≤ 2).
-    Banding with max_distance < bands is EXACT by pigeonhole, so the
-    oracle is the brute-force all-pairs scan — the value-hash equality
-    of the two is itself the proof that the banded plan loses nothing
-    while never materializing the quadratic pair space."""
+    """Banded Hamming-ball near-dup search (4 bands, d ≤ 2). Banding
+    with max_distance < bands is EXACT by pigeonhole, so the oracle is
+    the brute-force all-pairs scan — the value-hash equality of the two
+    is itself the proof that the banded plan loses nothing while never
+    materializing the quadratic pair space.
+
+    The fingerprint WIDTH is count-derived (16 bits per 5000 docs, +1
+    per doubling, 4-aligned — mirrored exactly in the oracle SQL), so
+    RANDOM birthday collisions (≈ n²·C(bits,≤2)/2^bits) stay ∝ n on a
+    heterogeneous corpus instead of saturating a fixed 2^16 space. At
+    sf0.01/sf0.1 the formula lands on 16, so derived and historical
+    plans coincide. Honest scale caveat (measured, r7): on the
+    HOMOGENEOUS synthetic families (fixed-vocab AND Zipf — every doc
+    drawn from one global term distribution) per-bit votes are
+    population-biased at every width, fingerprints concentrate, and the
+    dense d≤2 output (~n²) is the CORRECT answer, not a knob failure —
+    the corpus-wide production tier for such data is the star-collapsed
+    component form (`dedup_clusters`, n^0.345), which never
+    materializes intra-clique pairs."""
     d = spread(T(spark, sf_dir, "documents"))
+    bits = _hamming_bits_for(d.count())
     return dedup.simhash_near_dup_pairs(
-        d, "doc_id", "text", bits=16, bands=4, max_distance=2
+        d, "doc_id", "text", bits=bits, bands=4, max_distance=2
     )
 
 
