@@ -835,6 +835,134 @@ def streaming_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "streaming_sliding_quarter_stats",
+    # A 1h window sliding every 15min assigns each event to exactly 4
+    # windows whose starts are the event's 15-min grid point minus
+    # k*15min (k = 0..3) — Spark aligns slide grids to the epoch, so
+    # integer epoch-second arithmetic replays the assignment exactly.
+    # avg derives from the 4dp-agreed sum (streaming-state float policy).
+    oracle="""
+WITH w AS (
+    -- epoch() yields a DOUBLE with fractional seconds and // on doubles
+    -- does NOT floor in DuckDB — floor explicitly, then integer grid math
+    SELECT to_timestamp(CAST(floor(epoch(ts) / 900) AS BIGINT) * 900
+                        - k.k * 900) AS window_start,
+           value
+    FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+)
+SELECT window_start,
+       window_start + INTERVAL 1 HOUR AS window_end,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value,
+       round(round(sum(value), 4) / count(*), 6) AS avg_value
+FROM w GROUP BY 1
+""",
+    tags=("T1", "T2", "T4", "A7"),
+)
+def streaming_sliding_quarter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation executed UNDER Structured Streaming —
+    the stretch-tier window shape beyond the reference's tumbling
+    surface (SURVEY §2.10): readStream over events → watermark +
+    1-hour window sliding every 15 minutes → complete-mode foreachBatch
+    parquet sink read back. Each event updates 4 overlapping windows;
+    state per window is one (count, sum) pair, watermark-evicted in the
+    unbounded append-mode deployment (tests/test_streaming.py).
+
+    Scale posture: the multi-window fan-out happens INSIDE the
+    aggregation operator (no 4× row explosion crosses an exchange) and
+    state is (#windows × #slides) aggregates, independent of event
+    width — the same bounded-state story as the tumbling entry, times
+    the overlap factor."""
+    from ..streaming.sources import (
+        events_parquet_stream,
+        run_available_now_to_parquet,
+        scratch_key_for,
+    )
+    from ..streaming.windows import sliding_window_stats
+
+    agg = sliding_window_stats(
+        events_parquet_stream(spark, sf_dir),
+        ts_col="ts",
+        window_duration="1 hour",
+        slide_duration="15 minutes",
+        watermark_delay="10 minutes",
+        value_col="value",
+    )
+    return run_available_now_to_parquet(
+        agg,
+        scratch_key=scratch_key_for(sf_dir),
+        output_mode="complete",
+        query_name="sliding_quarter_stats_stream",
+    )
+
+
+@_register(
+    "streaming_session_windows",
+    # Spark's session_window chains events whose gaps are < the 30-min
+    # gap ("within the gap" merges; an event exactly AT the gap boundary
+    # starts a NEW session) and ends each session at last_event + gap.
+    # The batch replay is the classic lag/break/cumsum sessionizer —
+    # the same SQL shape as the batch user_sessions_30min entry.
+    oracle="""
+WITH s AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     >= INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS brk
+    FROM events
+),
+g AS (
+    SELECT user_id, ts,
+           sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+    FROM s
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events
+FROM g GROUP BY user_id, sid
+""",
+    tags=("T1", "T2", "T4"),
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based SESSION windows executed UNDER Structured Streaming —
+    the second stretch-tier window shape (SURVEY §2.10): readStream →
+    watermark + ``session_window(ts, '30 minutes')`` per user →
+    complete-mode sink read back. The streaming twin of the batch
+    sessionizer (operators.sessionize): dynamic-length windows that
+    merge as events arrive, closed by the watermark in the unbounded
+    deployment.
+
+    Scale posture: session state is one (start, end, count) per OPEN
+    session per user, merged in-operator and watermark-evicted once no
+    event can extend the session — arrival-rate-bounded, never
+    history-bounded — and runs on the RocksDB state store like every
+    stream this runner starts."""
+    from ..streaming.sources import (
+        events_parquet_stream,
+        run_available_now_to_parquet,
+        scratch_key_for,
+    )
+    from ..streaming.windows import session_window_stats
+
+    agg = session_window_stats(
+        events_parquet_stream(spark, sf_dir),
+        ts_col="ts",
+        gap="30 minutes",
+        watermark_delay="10 minutes",
+        key_cols=("user_id",),
+    )
+    return run_available_now_to_parquet(
+        agg,
+        scratch_key=scratch_key_for(sf_dir),
+        output_mode="complete",
+        query_name="session_windows_stream",
+    )
+
+
+@_register(
     "event_type_shares",
     oracle="""
 WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type)

@@ -70,18 +70,26 @@ def sliding_window_stats(
     value_col: str = "value",
 ) -> DataFrame:
     """Sliding-window variant (stretch beyond the reference's surface —
-    SURVEY.md §2.10 notes tumbling first, sliding as stretch)."""
+    SURVEY.md §2.10 notes tumbling first, sliding as stretch). avg is
+    derived from the 4dp-rounded sum, not a second float aggregation —
+    the cross-engine policy every streaming aggregate here follows
+    (incremental state summation order can flip round(avg, 6) by 1 ulp
+    against a batch oracle)."""
     return (
         events.withWatermark(ts_col, watermark_delay)
         .groupBy(F.window(F.col(ts_col), window_duration, slide_duration))
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.avg(value_col), 6).alias("avg_value"),
+            F.round(F.sum(value_col), 4).alias("sum_value"),
+        )
+        .withColumn(
+            "avg_value", F.round(F.col("sum_value") / F.col("n_events"), 6)
         )
         .select(
             F.col("window.start").alias("window_start"),
             F.col("window.end").alias("window_end"),
             "n_events",
+            "sum_value",
             "avg_value",
         )
     )
