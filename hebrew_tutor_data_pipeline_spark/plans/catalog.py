@@ -963,6 +963,56 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "streaming_clicks_in_purchase_windows",
+    # Same ground truth as the batch clicks_in_purchase_windows entry:
+    # the stream-stream join's full-replay output must equal the batch
+    # range join's pair set.
+    oracle="""
+SELECT c.event_id AS click_id, p.event_id AS purchase_id
+FROM events c
+JOIN events p
+  ON c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+""",
+    tags=("T1", "T4", "J7"),
+)
+def streaming_clicks_in_purchase_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join executed under Structured Streaming —
+    the unbounded twin of the batch J7 pair join, closing the last
+    stretch-streaming shape: two readStreams over the events table
+    (clicks / purchases), joined on the fixed-width time-bin equi key +
+    event-time bounds (streaming.joins.clicks_in_purchase_windows_stream),
+    append-mode sink read back after full replay.
+
+    Scale posture: the equality bin key gives the engine a hash-
+    partitionable join; the watermarks + time bounds let it derive
+    state lifetimes (purchases held ~window+watermark, clicks
+    ~watermark), so join state is arrival-rate-bounded on unbounded
+    streams — never history-bounded — on the RocksDB store."""
+    from ..streaming.joins import clicks_in_purchase_windows_stream
+    from ..streaming.sources import (
+        events_parquet_stream,
+        run_available_now_to_parquet,
+        scratch_key_for,
+    )
+
+    ev = events_parquet_stream(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = events_parquet_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = clicks_in_purchase_windows_stream(
+        clicks, purchases, window_seconds=3600, watermark="10 minutes"
+    )
+    return run_available_now_to_parquet(
+        joined,
+        scratch_key=scratch_key_for(sf_dir),
+        output_mode="append",
+        query_name="clicks_purchase_join_stream",
+    )
+
+
+@_register(
     "event_type_shares",
     oracle="""
 WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type)
