@@ -114,3 +114,31 @@ def bpe_merges(
     return spark.createDataFrame(
         merges, "round int, left string, right string, pair_count long"
     )
+
+
+def apply_merges(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    joiner: str = "+",
+) -> DataFrame:
+    """ENCODE a corpus with a learned merge table — the other half of
+    the tokenizer surface: training runs on a sample (``bpe_merges``),
+    encoding runs corpus-wide as a PURE MAP PASS (one ``merge_pair_fold``
+    stage per merge, no shuffle anywhere, the 100 TB tokenization shape).
+    ``merges`` is the ordered [(left, right), ...] table; returns
+    ``(id, tokens, n_tokens_raw, n_tokens_bpe, n_fused)`` per document.
+    """
+    t = df.select(
+        F.col(id_col).alias("id"), whitespace_tokens(F.col(text_col)).alias("t")
+    ).withColumn("n_tokens_raw", F.size("t"))
+    for left, right in merges:
+        t = t.withColumn("t", merge_pair_fold(F.col("t"), left, right, joiner))
+    return t.select(
+        "id",
+        F.col("t").alias("tokens"),
+        "n_tokens_raw",
+        F.size("t").alias("n_tokens_bpe"),
+        (F.col("n_tokens_raw") - F.size("t")).alias("n_fused"),
+    )

@@ -2715,6 +2715,55 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_merges(d, "doc_id", "text", rounds=3)
 
 
+@_register(
+    "bpe_encode_corpus",
+    # The ENCODE half: train the 3-round merge table (same unrolled
+    # chain as bpe_merge_rounds), apply every merge to every document,
+    # and emit per-doc tokenization stats — the oracle replays train AND
+    # apply, ending in one more fold with the round-3 pair.
+    oracle=f"""
+WITH t0 AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+p1 AS ({_bpe_top_pair_sql('t0')}),
+t1 AS ({_bpe_fold_sql('t0', 'p1')}),
+p2 AS ({_bpe_top_pair_sql('t1')}),
+t2 AS ({_bpe_fold_sql('t1', 'p2')}),
+p3 AS ({_bpe_top_pair_sql('t2')}),
+t3 AS ({_bpe_fold_sql('t2', 'p3')}),
+raw AS (SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens_raw FROM t0)
+SELECT t3.doc_id,
+       raw.n_tokens_raw,
+       CAST(len(t3.t) AS INTEGER) AS n_tokens_bpe,
+       CAST(raw.n_tokens_raw - len(t3.t) AS INTEGER) AS n_fused,
+       t3.t[1] AS first_token
+FROM t3 JOIN raw USING (doc_id)
+""",
+    tags=("bpe", "tokenizer", "encode", "text-analysis"),
+)
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the LEARNED merge table — the encode
+    half of the BPE surface (training alone ships no tokenizer). The
+    merge table is the bounded driver artifact (3 (left,right) pairs,
+    the same class as k-means centroids); applying it is one
+    ``merge_pair_fold`` map stage per merge with NO shuffle — at 100 TB
+    training runs on a sample while this pass runs corpus-wide, which
+    is exactly how production tokenizers are fit and applied. Output:
+    per-doc raw/encoded token counts, fused-token count, and the first
+    encoded token (pins the actual token content, not just counts)."""
+    from ..operators import bpe
+
+    d = spread(T(spark, sf_dir, "documents"))
+    table = bpe.bpe_merges(d, "doc_id", "text", rounds=3).collect()
+    pairs = [(r["left"], r["right"]) for r in sorted(table, key=lambda r: r["round"])]
+    enc = bpe.apply_merges(d, "doc_id", "text", pairs)
+    return enc.select(
+        F.col("id").alias("doc_id"),
+        "n_tokens_raw",
+        "n_tokens_bpe",
+        "n_fused",
+        F.get("tokens", 0).alias("first_token"),
+    )
+
+
 # ===========================================================================
 # Dedup-tier recall report (candidate-generation quality harness)
 # ===========================================================================

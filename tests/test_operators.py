@@ -1451,6 +1451,29 @@ class TestBpeMerges:
         rb = [tuple(r) for r in bpe_merges(a.repartition(13), "id", "text", rounds=3).collect()]
         assert ra == rb and len(ra) == 3
 
+    def test_apply_merges_encodes_with_learned_table(self, spark):
+        """Encoding with the learned table must reproduce the training
+        loop's final tokenization (train folds in the same order), with
+        consistent raw/encoded/fused counts."""
+        from hebrew_tutor_data_pipeline_spark.operators.bpe import (
+            apply_merges,
+            bpe_merges,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a b a b c"), (2, "b c a b"), (3, "a a a"), (4, "")],
+            ["id", "text"],
+        )
+        table = bpe_merges(df, "id", "text", rounds=2).collect()
+        pairs = [(r["left"], r["right"]) for r in sorted(table, key=lambda r: r["round"])]
+        assert pairs == [("a", "b"), ("a", "a")]
+        got = {r["id"]: r for r in apply_merges(df, "id", "text", pairs).collect()}
+        assert got[1]["tokens"] == ["a+b", "a+b", "c"]
+        assert got[2]["tokens"] == ["b", "c", "a+b"]
+        assert got[3]["tokens"] == ["a+a", "a"]
+        for r in got.values():
+            assert r["n_fused"] == r["n_tokens_raw"] - r["n_tokens_bpe"]
+
 
 class TestMixturePythonReplay:
     @staticmethod
