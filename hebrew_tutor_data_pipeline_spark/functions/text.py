@@ -144,6 +144,51 @@ def doc_fingerprint(col: Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Feature-hashing linear classifier (model-based quality filtering)
+
+def classifier_weights(n_buckets: int = 1024, seed: int = 42) -> list[float]:
+    """Deterministic per-bucket weights in [-0.5, 0.5), 6 dp — the same
+    LCG family as the SRP hyperplanes, so any engine re-running the
+    integer recurrence builds the identical vector. A REAL deployment
+    loads trained weights here (a fasttext/logistic quality classifier
+    exports exactly this: a hashed-feature weight table); everything
+    downstream — broadcast, lookup, scoring plan — is unchanged."""
+    weights = []
+    for i in range(n_buckets):
+        state = (seed + i * 1_000_003) % FP_MOD
+        state = (state * 1_103_515_245 + 12_345) % FP_MOD
+        weights.append(round((state % 1_000_001) / 1_000_000 - 0.5, 6))
+    return weights
+
+
+def hashed_linear_logit(col: Column, weights: list[float]) -> Column:
+    """Mean hashed-feature weight over the document's tokens — the
+    linear classifier logit (fasttext-style averaged bag of hashed
+    features): ``logit = (Σ_t w[h(t) mod D]) / n_tokens``. One fold
+    over the token array, weight table as a broadcast-literal array —
+    map-only, no shuffle, JVM-side. The fold visits tokens in array
+    order, so any engine replaying the same order produces the
+    identical double."""
+    d = len(weights)
+    warr = F.lit(weights)
+
+    def tok_hash(tok: Column) -> Column:
+        return F.aggregate(
+            F.split(tok, ""),
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * FP_BASE + F.ascii(c)) % FP_MOD,
+        )
+
+    toks = whitespace_tokens(col)
+    wsum = F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda acc, t: acc + F.element_at(warr, (tok_hash(t) % d + 1).cast("int")),
+    )
+    return F.try_divide(wsum, F.size(toks))
+
+
+# ---------------------------------------------------------------------------
 # Shingling (shared by the dedup operators)
 
 def word_ngrams(tokens: Column, n: int = 3) -> Column:

@@ -104,6 +104,58 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CLASSIFIER_D = 1024
+_CLASSIFIER_W = text.classifier_weights(_CLASSIFIER_D)
+
+
+@_register(
+    "doc_classifier_scores",
+    # The weight table is inlined as one array literal (both engines
+    # parse the identical shortest-repr doubles) and the fold visits
+    # tokens in array order on both sides, so the logit doubles are
+    # bit-identical by construction.
+    oracle=f"""
+WITH w(arr) AS (SELECT [{", ".join(repr(x) for x in _CLASSIFIER_W)}]),
+t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+s AS (
+    SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(toks,
+                   tk -> arr[({_sql_token_hash('tk')} % {_CLASSIFIER_D}) + 1])),
+               (acc, x) -> acc + x) AS wsum
+    FROM t CROSS JOIN w
+)
+SELECT doc_id, n_tokens,
+       round(wsum / nullif(n_tokens, 0), 6) AS quality_logit,
+       coalesce(wsum / nullif(n_tokens, 0) >= 0, FALSE) AS accepted
+FROM s
+""",
+    tags=("quality", "classifier", "text-analysis", "curation"),
+)
+def doc_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering — the classifier stage real
+    curation pipelines run after the heuristic gates (CCNet's LM +
+    fasttext quality classifiers, the wiki-ref classifier of GPT-style
+    corpora): a hashed-feature linear model scores every document and
+    the logit's sign gates acceptance.
+
+    Spark-first shape: the weight table is a BROADCAST-LITERAL array
+    (a trained export drops in without changing the plan — the same
+    slot discipline as the k-means codebooks), feature hashing and the
+    weight-sum fold are one map-only pass over the token array, no
+    shuffle, no Python. Scale posture: scoring cost is exactly one
+    corpus scan regardless of D; a 10M-bucket table would move from a
+    literal to an ``sc.broadcast`` lookup with the same plan."""
+    d = spread(T(spark, sf_dir, "documents"))
+    logit = text.hashed_linear_logit(F.col("text"), _CLASSIFIER_W)
+    return d.select(
+        "doc_id",
+        text.whitespace_token_count(F.col("text")).alias("n_tokens"),
+        F.round(logit, 6).alias("quality_logit"),
+        F.coalesce(logit >= 0, F.lit(False)).alias("accepted"),
+    )
+
+
 @_register(
     "doc_lm_perplexity",
     # Two-pass corpus-trained bigram LM, replayed exactly: identical
