@@ -91,6 +91,74 @@ def terminal_jobs(
     )
 
 
+def terminal_jobs_tws(
+    status_updates: DataFrame,
+    job_col: str = "job_id",
+    status_col: str = "status",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """The SAME terminal-job semantics on ``transformWithStateInPandas``
+    — Spark 4's current-generation arbitrary-state API (typed state
+    handles, timers, TTL; requires the RocksDB state store, which this
+    engine's stream runner sets by default). The typed ``ValueState``
+    replaces the (status, count) tuple state, and state is cleared on
+    terminal emit exactly as before. ``timeMode='none'`` here: the
+    processing-time timeout belongs to the ``applyInPandasWithState``
+    twin (a TTL'd state or registered timer is the TWS spelling when
+    needed).
+
+    ENVIRONMENT GATE: the TWS state protocol needs ``protobuf``
+    (``pyspark.sql.streaming.proto``), which this build environment
+    does not ship — so the operator is complete and equivalence-tested
+    where protobuf exists (tests/test_streaming.py skips otherwise),
+    while the driver-gated catalog entry stays on the
+    ``applyInPandasWithState`` form that runs everywhere."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _TerminalJobs(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "job", "last_status string, n_updates bigint"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            last, n = (
+                tuple(self._state.get()) if self._state.exists() else (None, 0)
+            )
+            terminal = None
+            for pdf in rows:
+                pdf = pdf.sort_values(ts_col)
+                for s in pdf[status_col]:
+                    n += 1
+                    last = s
+                    if s in TERMINAL_STATES:
+                        terminal = s
+            if terminal is not None:
+                self._state.clear()
+                yield pd.DataFrame(
+                    {
+                        "job_id": [key[0]],
+                        "final_status": [terminal],
+                        "n_updates": [n],
+                    }
+                )
+            else:
+                self._state.update((last, n))
+
+        def close(self) -> None:
+            pass
+
+    return status_updates.groupBy(job_col).transformWithStateInPandas(
+        statefulProcessor=_TerminalJobs(),
+        outputStructType=STATUS_OUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
+
+
 def latest_status_stream(
     status_updates: DataFrame,
     job_col: str = "job_id",

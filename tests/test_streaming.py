@@ -609,6 +609,48 @@ class TestCatalogStreamingEntries:
         assert got == want
         assert len(got) > 0
 
+    def test_terminal_jobs_tws_equals_legacy_surface(self, spark):
+        """Spark 4's transformWithStateInPandas twin must match the
+        applyInPandasWithState operator on the same stream. The TWS
+        state protocol needs protobuf, which this container does not
+        ship — skip (not fail) where absent; the operator itself is
+        complete and runs wherever protobuf exists."""
+        import pytest
+
+        try:
+            import google.protobuf  # noqa: F401
+        except ImportError:
+            pytest.skip("protobuf not installed (TWS state protocol)")
+        from hebrew_tutor_data_pipeline_spark.plans.catalog import (
+            streaming_terminal_job_status,
+        )
+        from hebrew_tutor_data_pipeline_spark.streaming.polling import (
+            terminal_jobs_tws,
+        )
+        from hebrew_tutor_data_pipeline_spark.streaming.sources import (
+            events_parquet_stream,
+            run_available_now_to_parquet,
+        )
+
+        updates = events_parquet_stream(spark, self.SF).select(
+            F.col("user_id").cast("string").alias("job_id"),
+            F.when(F.col("event_type") == "error", "Failed")
+            .when(F.col("event_type") == "purchase", "Succeeded")
+            .otherwise("Running")
+            .alias("status"),
+            "ts",
+        )
+        got = run_available_now_to_parquet(
+            terminal_jobs_tws(updates),
+            scratch_key="tws_test",
+            output_mode="append",
+            query_name="terminal_jobs_tws_test",
+        )
+        want = streaming_terminal_job_status(spark, self.SF)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
     def test_append_sink_batch_retry_is_idempotent(self, spark, tmp_path):
         """A foreachBatch body can be re-invoked for the SAME batchId
         after a transient failure; the per-batch overwrite layout must
