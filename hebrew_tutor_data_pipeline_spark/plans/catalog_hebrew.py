@@ -385,6 +385,70 @@ def local_first_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("filename", "length", "source")
 
 
+def _chapter_pyds_oracle() -> str:
+    """Replays the connector's per-partition probe (the SAME
+    ``_scan_book`` function the executors run) over the committed
+    fixture tree at oracle-build time and inlines the rows — the
+    digest-oracle pattern applied to a custom data source."""
+    import os
+
+    from ..sources.pyds import _scan_book
+
+    rows = []
+    for d in sorted(os.listdir(FIXTURE_AUDIO_TREE)):
+        if os.path.isdir(os.path.join(FIXTURE_AUDIO_TREE, d)):
+            rows.extend(_scan_book(FIXTURE_AUDIO_TREE, d, 4))
+    if not rows:
+        raise OSError("no committed audio fixtures found")
+    vals = ",\n  ".join(
+        f"({bn}, '{bk}', '{ab}', {ch}, '{fn}', {str(ex).upper()}, {sz})"
+        for bn, bk, ab, ch, fn, ex, sz in rows
+    )
+    return f"""
+WITH t(book_num, book, abbr, chapter, filename, "exists", size) AS (VALUES
+  {vals})
+SELECT CAST(book_num AS INTEGER) AS book_num, book, abbr,
+       CAST(chapter AS INTEGER) AS chapter, filename, "exists",
+       CAST(size AS BIGINT) AS size
+FROM t
+"""
+
+
+try:
+    _CHAPTER_PYDS_ORACLE: str | None = _chapter_pyds_oracle()
+except OSError:
+    _CHAPTER_PYDS_ORACLE = None
+
+
+@_register(
+    "chapter_source_pyds",
+    oracle=_CHAPTER_PYDS_ORACLE,
+    tags=("S2", "S3", "S4"),
+)
+def chapter_source_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3's computed-path lookup as a REAL pluggable connector on Spark
+    4's Python DataSource API (``spark.read.format("hebrew_chapters")``):
+    one input partition per book directory, candidate filenames computed
+    per chapter with the irregular 3-digit fallback
+    (`scripts/hebrew_alignment_corrected.py:124-131`), existence + size
+    probed inside each task. The engine's scans are no longer only
+    built-in formats — a user can plug the reference's path conventions
+    in as a first-class source with schema, options, and parallel
+    partitions (sources/pyds.py has the 100 TB posture notes)."""
+    from ..sources.pyds import ChapterAudioDataSource
+
+    try:
+        spark.dataSource.register(ChapterAudioDataSource)
+    except Exception:  # noqa: BLE001 — already registered this session
+        pass
+    return (
+        spark.read.format("hebrew_chapters")
+        .option("root", FIXTURE_AUDIO_TREE)
+        .option("max_chapter", 4)
+        .load()
+    )
+
+
 def audio_duration_dim(spark: SparkSession) -> DataFrame:
     """S2/S3 audio inventory with fake-decode durations at a
     deterministic 10 ms/byte (integer math so mock transcription

@@ -568,3 +568,65 @@ class TestConformSchema:
         df = spark.createDataFrame([(1,)], ["a"])
         with _pytest.raises(ValueError, match="on_extra"):
             conform_schema(df, "a bigint", on_extra="raise")
+
+
+class TestPythonDataSource:
+    """Spark 4 Python DataSource connector (sources/pyds.py)."""
+
+    ROOT = "tests/fixtures/audio_tree"
+
+    def test_read_equals_probe_replay(self, spark):
+        import os
+
+        from hebrew_tutor_data_pipeline_spark.sources.pyds import (
+            ChapterAudioDataSource,
+            _scan_book,
+        )
+
+        try:
+            spark.dataSource.register(ChapterAudioDataSource)
+        except Exception:
+            pass
+        root = os.path.abspath(self.ROOT)
+        got = sorted(
+            map(
+                tuple,
+                spark.read.format("hebrew_chapters")
+                .option("root", root)
+                .option("max_chapter", 4)
+                .load()
+                .collect(),
+            )
+        )
+        want = sorted(
+            row
+            for d in os.listdir(root)
+            if os.path.isdir(os.path.join(root, d))
+            for row in _scan_book(root, d, 4)
+        )
+        assert got == want and len(got) == 12
+        # existence probing is real: chapter 4 exists for no book
+        assert all(not ex for (_, _, _, ch, _, ex, _) in got if ch == 4)
+
+    def test_partitioning_is_per_book(self, spark):
+        import os
+
+        from hebrew_tutor_data_pipeline_spark.sources.pyds import (
+            ChapterAudioReader,
+        )
+
+        r = ChapterAudioReader({"root": os.path.abspath(self.ROOT)})
+        parts = r.partitions()
+        assert sorted(p.dirname for p in parts) == [
+            "01_Genesis", "02_Exodus", "18_Obadiah",
+        ]
+
+    def test_missing_root_raises(self):
+        import pytest as _pytest
+
+        from hebrew_tutor_data_pipeline_spark.sources.pyds import (
+            ChapterAudioReader,
+        )
+
+        with _pytest.raises(ValueError, match="root"):
+            ChapterAudioReader({})
