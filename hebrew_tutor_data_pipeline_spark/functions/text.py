@@ -161,14 +161,18 @@ def classifier_weights(n_buckets: int = 1024, seed: int = 42) -> list[float]:
     return weights
 
 
-def hashed_linear_logit(col: Column, weights: list[float]) -> Column:
-    """Mean hashed-feature weight over the document's tokens — the
-    linear classifier logit (fasttext-style averaged bag of hashed
-    features): ``logit = (Σ_t w[h(t) mod D]) / n_tokens``. One fold
-    over the token array, weight table as a broadcast-literal array —
-    map-only, no shuffle, JVM-side. The fold visits tokens in array
-    order, so any engine replaying the same order produces the
-    identical double."""
+def hashed_weight_sum(col: Column, weights: list[float]) -> Column:
+    """Σ over tokens of the hashed-feature weight ``w[h(t) mod D]`` —
+    the linear classifier's raw accumulator. One fold over the token
+    array, weight table as a broadcast-literal array — map-only, no
+    shuffle, JVM-side. The fold visits tokens in array order, so any
+    engine replaying the same order produces the identical double.
+    Downstream consumers should move to integer micro-units
+    (``floor(sum*1e6 + 0.5)`` — the weights are 6 dp decimals, so the
+    product sits within float noise of an integer) BEFORE any division:
+    a 6 dp-weight sum divided by a token count lands on exact 7-digit
+    decimal ties, where Spark's BigDecimal rounding and a float-math
+    ``round()`` legitimately split."""
     d = len(weights)
     warr = F.lit(weights)
 
@@ -180,12 +184,11 @@ def hashed_linear_logit(col: Column, weights: list[float]) -> Column:
         )
 
     toks = whitespace_tokens(col)
-    wsum = F.aggregate(
+    return F.aggregate(
         toks,
         F.lit(0.0),
         lambda acc, t: acc + F.element_at(warr, (tok_hash(t) % d + 1).cast("int")),
     )
-    return F.try_divide(wsum, F.size(toks))
 
 
 # ---------------------------------------------------------------------------

@@ -112,22 +112,26 @@ _CLASSIFIER_W = text.classifier_weights(_CLASSIFIER_D)
     "doc_classifier_scores",
     # The weight table is inlined as one array literal (both engines
     # parse the identical shortest-repr doubles) and the fold visits
-    # tokens in array order on both sides, so the logit doubles are
-    # bit-identical by construction.
+    # tokens in array order on both sides, so the weight-sum doubles
+    # are bit-identical by construction. All derived outputs are then
+    # INTEGER micro-units: the 6 dp weights make wsum*1e6 sit within
+    # float noise of an integer (floor(x+0.5) recovers it exactly), and
+    # a float mean would land on exact 7-digit ties where the engines'
+    # round() implementations legitimately split (found at sf0.001).
     oracle=f"""
 WITH w(arr) AS (SELECT [{", ".join(repr(x) for x in _CLASSIFIER_W)}]),
 t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
 s AS (
     SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
-           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                list_transform(toks,
                    tk -> arr[({_sql_token_hash('tk')} % {_CLASSIFIER_D}) + 1])),
-               (acc, x) -> acc + x) AS wsum
+               (acc, x) -> acc + x) * 1000000 + 0.5) AS BIGINT) AS weight_sum_ppm
     FROM t CROSS JOIN w
 )
-SELECT doc_id, n_tokens,
-       round(wsum / nullif(n_tokens, 0), 6) AS quality_logit,
-       coalesce(wsum / nullif(n_tokens, 0) >= 0, FALSE) AS accepted
+SELECT doc_id, n_tokens, weight_sum_ppm,
+       CAST(floor(weight_sum_ppm / n_tokens) AS BIGINT) AS logit_micro,
+       weight_sum_ppm >= 0 AS accepted
 FROM s
 """,
     tags=("quality", "classifier", "text-analysis", "curation"),
@@ -137,7 +141,9 @@ def doc_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation pipelines run after the heuristic gates (CCNet's LM +
     fasttext quality classifiers, the wiki-ref classifier of GPT-style
     corpora): a hashed-feature linear model scores every document and
-    the logit's sign gates acceptance.
+    the score's sign gates acceptance. Scores are integer micro-units
+    (weight_sum_ppm; logit_micro = floored mean), never a rounded
+    float — see the oracle comment for the tie class this dodges.
 
     Spark-first shape: the weight table is a BROADCAST-LITERAL array
     (a trained export drops in without changing the plan — the same
@@ -147,12 +153,15 @@ def doc_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scan regardless of D; a 10M-bucket table would move from a
     literal to an ``sc.broadcast`` lookup with the same plan."""
     d = spread(T(spark, sf_dir, "documents"))
-    logit = text.hashed_linear_logit(F.col("text"), _CLASSIFIER_W)
+    wsum = text.hashed_weight_sum(F.col("text"), _CLASSIFIER_W)
+    ppm = F.floor(wsum * 1_000_000 + 0.5).cast("long")
+    n = text.whitespace_token_count(F.col("text"))
     return d.select(
         "doc_id",
-        text.whitespace_token_count(F.col("text")).alias("n_tokens"),
-        F.round(logit, 6).alias("quality_logit"),
-        F.coalesce(logit >= 0, F.lit(False)).alias("accepted"),
+        n.alias("n_tokens"),
+        ppm.alias("weight_sum_ppm"),
+        F.floor(ppm / n).cast("long").alias("logit_micro"),
+        (ppm >= 0).alias("accepted"),
     )
 
 
