@@ -435,17 +435,43 @@ def chapter_source_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
     built-in formats — a user can plug the reference's path conventions
     in as a first-class source with schema, options, and parallel
     partitions (sources/pyds.py has the 100 TB posture notes)."""
-    from ..sources.pyds import ChapterAudioDataSource
+    from ..sources.pyds import register_chapter_source
 
-    try:
-        spark.dataSource.register(ChapterAudioDataSource)
-    except Exception:  # noqa: BLE001 — already registered this session
-        pass
+    register_chapter_source(spark)
     return (
         spark.read.format("hebrew_chapters")
         .option("root", FIXTURE_AUDIO_TREE)
         .option("max_chapter", 4)
         .load()
+    )
+
+
+@_register(
+    "chapter_source_pyds_pruned",
+    # The pruned replay: only Obadiah's directory survives pushdown.
+    oracle=None if _CHAPTER_PYDS_ORACLE is None else (
+        "SELECT * FROM (" + _CHAPTER_PYDS_ORACLE + ") WHERE book_num = 18"
+    ),
+    tags=("S2", "S3", "P6"),
+)
+def chapter_source_pyds_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate pushdown INTO the custom connector (Spark 4.1
+    ``pushFilters``): an equality on the partition-defining column
+    reaches ``ChapterAudioReader.pushFilters`` and prunes whole book
+    directories BEFORE any task launches — the custom-source analog of
+    parquet partition pruning (P6), proven by
+    tests/test_sources_sinks.py asserting partitions() shrinks to one.
+    At 1000 book directories a one-book query runs one task, not 1000
+    existence probes."""
+    from ..sources.pyds import register_chapter_source
+
+    register_chapter_source(spark)
+    return (
+        spark.read.format("hebrew_chapters")
+        .option("root", FIXTURE_AUDIO_TREE)
+        .option("max_chapter", 4)
+        .load()
+        .filter(F.col("book_num") == 18)
     )
 
 

@@ -37,6 +37,19 @@ CHAPTER_SCHEMA = (
 )
 
 
+def register_chapter_source(spark) -> None:
+    """Register the connector on a session AND enable Python-source
+    filter pushdown (`spark.sql.python.filterPushdown.enabled` — a
+    runtime SQL conf, set here so a PLAIN driver session works: a
+    reader that implements ``pushFilters`` hard-fails at planning when
+    the flag is off). Idempotent."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        spark.dataSource.register(ChapterAudioDataSource)
+    except Exception:  # noqa: BLE001 — already registered this session
+        pass
+
+
 class _BookPartition(InputPartition):
     def __init__(self, dirname: str) -> None:
         self.dirname = dirname
@@ -95,15 +108,55 @@ class ChapterAudioReader(DataSourceReader):
         if not self.root:
             raise ValueError("hebrew_chapters: the 'root' option is required")
         self.max_chapter = int(options.get("max_chapter", 5))
+        #: accepted pushed predicates (None = unconstrained)
+        self._book_num_eq: set[int] | None = None
+        self._book_eq: set[str] | None = None
+
+    def pushFilters(self, filters):
+        """Predicate pushdown INTO the connector (Spark 4.1 Python
+        DataSource API): equality on the partition-defining columns
+        (``book_num`` / ``book``) prunes whole book directories before
+        any task launches — the custom-source analog of parquet
+        partition pruning, and the property that makes a
+        1000-book-directory tree readable for a one-book query without
+        1000 probe tasks. Everything else stays with Spark (yielded
+        back); consumed filters are FULLY satisfied by pruning, since
+        each partition carries exactly one (book_num, book)."""
+        from pyspark.sql.datasource import EqualTo
+
+        for f in filters:
+            if isinstance(f, EqualTo) and tuple(f.attribute) == ("book_num",):
+                v = {int(f.value)}
+                self._book_num_eq = v if self._book_num_eq is None else self._book_num_eq & v
+            elif isinstance(f, EqualTo) and tuple(f.attribute) == ("book",):
+                v = {str(f.value)}
+                self._book_eq = v if self._book_eq is None else self._book_eq & v
+            else:
+                yield f
+
+    def _keep(self, dirname: str) -> bool:
+        m = re.match(r"^(\d+)_(.+)$", dirname)
+        if not m:
+            return False
+        if self._book_num_eq is not None and int(m.group(1)) not in self._book_num_eq:
+            return False
+        if self._book_eq is not None and m.group(2) not in self._book_eq:
+            return False
+        return True
 
     def partitions(self) -> list[_BookPartition]:
         # driver lists only the TOP level (one entry per book), never
-        # the files — the file probes run inside each task
+        # the files — the file probes run inside each task; pushed
+        # book filters prune partitions right here
         return [
             _BookPartition(d)
             for d in sorted(os.listdir(self.root))
-            if os.path.isdir(os.path.join(self.root, d))
+            if os.path.isdir(os.path.join(self.root, d)) and self._keep(d)
         ]
 
-    def read(self, partition: _BookPartition) -> Iterator[tuple]:
+    def read(self, partition: _BookPartition | None) -> Iterator[tuple]:
+        # When every partition is pruned away, Spark still runs one task
+        # with partition=None — an empty scan, not an error.
+        if partition is None:
+            return
         yield from _scan_book(self.root, partition.dirname, self.max_chapter)

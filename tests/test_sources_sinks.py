@@ -579,14 +579,11 @@ class TestPythonDataSource:
         import os
 
         from hebrew_tutor_data_pipeline_spark.sources.pyds import (
-            ChapterAudioDataSource,
             _scan_book,
+            register_chapter_source,
         )
 
-        try:
-            spark.dataSource.register(ChapterAudioDataSource)
-        except Exception:
-            pass
+        register_chapter_source(spark)
         root = os.path.abspath(self.ROOT)
         got = sorted(
             map(
@@ -630,3 +627,34 @@ class TestPythonDataSource:
 
         with _pytest.raises(ValueError, match="root"):
             ChapterAudioReader({})
+
+    def test_pushdown_prunes_partitions(self, spark):
+        import os
+
+        from pyspark.sql.datasource import EqualTo, GreaterThan
+        from hebrew_tutor_data_pipeline_spark.sources.pyds import (
+            ChapterAudioReader,
+            register_chapter_source,
+        )
+
+        root = os.path.abspath(self.ROOT)
+        r = ChapterAudioReader({"root": root})
+        remaining = list(
+            r.pushFilters([EqualTo(("book_num",), 18), GreaterThan(("size",), 0)])
+        )
+        # book equality consumed (fully satisfied by pruning); the size
+        # predicate stays with Spark
+        assert [type(f).__name__ for f in remaining] == ["GreaterThan"]
+        assert [p.dirname for p in r.partitions()] == ["18_Obadiah"]
+        # end-to-end: the filtered scan returns only Obadiah rows, and a
+        # fully-pruned scan yields an empty frame (read(None) path)
+        register_chapter_source(spark)
+        base = (
+            spark.read.format("hebrew_chapters")
+            .option("root", root)
+            .option("max_chapter", 4)
+            .load()
+        )
+        assert base.filter("book_num = 18").count() == 4
+        assert base.filter("book_num = 99").count() == 0
+        assert base.filter("book = 'Exodus'").count() == 4
