@@ -475,6 +475,42 @@ def chapter_source_pyds_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "streaming_chapter_source_pyds",
+    # The stream replays exactly the batch scan's rows (append mode, no
+    # state), so the batch oracle serves unchanged.
+    oracle=_CHAPTER_PYDS_ORACLE,
+    tags=("S2", "S3", "T1"),
+)
+def streaming_chapter_source_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The connector's STREAMING face (Spark 4 ``streamReader``) under
+    the gate: ``spark.readStream.format("hebrew_chapters")`` ingests the
+    book tree as micro-batches (offset = books consumed — the
+    reference's sequential book loop as a replayable stream), through
+    the idempotent append-mode parquet sink, read back after the run.
+    Rows are identical to the batch scan, which is the point: one
+    connector, one schema, one probe function serving both
+    ``read`` and ``readStream`` — the Spark-native version of the
+    reference running the same chapter loop in one-shot and
+    resume-daemon modes (`fixed_hebrew_aligner.py:724-731`)."""
+    from ..sources.pyds import register_chapter_source
+    from ..streaming.sources import run_available_now_to_parquet, scratch_key_for
+
+    register_chapter_source(spark)
+    stream = (
+        spark.readStream.format("hebrew_chapters")
+        .option("root", FIXTURE_AUDIO_TREE)
+        .option("max_chapter", 4)
+        .load()
+    )
+    return run_available_now_to_parquet(
+        stream,
+        scratch_key=scratch_key_for(sf_dir),
+        output_mode="append",
+        query_name="chapter_source_pyds_stream",
+    )
+
+
 def audio_duration_dim(spark: SparkSession) -> DataFrame:
     """S2/S3 audio inventory with fake-decode durations at a
     deterministic 10 ms/byte (integer math so mock transcription

@@ -26,7 +26,12 @@ import os
 import re
 from typing import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 #: (book string, chapter int, ...) — the computed-candidate grid with
 #: the probe result. `filename` is the COMPUTED candidate (2-digit form
@@ -71,6 +76,9 @@ class ChapterAudioDataSource(DataSource):
 
     def reader(self, schema) -> "ChapterAudioReader":
         return ChapterAudioReader(self.options)
+
+    def streamReader(self, schema) -> "ChapterAudioStreamReader":
+        return ChapterAudioStreamReader(self.options)
 
 
 def _scan_book(root: str, dirname: str, max_chapter: int):
@@ -160,3 +168,62 @@ class ChapterAudioReader(DataSourceReader):
         if partition is None:
             return
         yield from _scan_book(self.root, partition.dirname, self.max_chapter)
+
+
+class ChapterAudioStreamReader(DataSourceStreamReader):
+    """The chapter tree as a MICRO-BATCH STREAM (T1 on the connector
+    surface): book directories are consumed in listing order, the offset
+    is simply "how many books have been ingested" — the Structured-
+    Streaming analog of the reference's sequential book loop
+    (`fixed_hebrew_aligner.py:724-731`), with replay and exactly-once
+    bookkeeping for free from the checkpoint.
+
+    Pacing: ``books_per_batch`` > 0 caps how far ``latestOffset``
+    advances per trigger (a real incremental ingest — new crawl
+    directories appearing over time); 0 (default) exposes everything at
+    once, which is also what a ``Trigger.AvailableNow`` run sees: Spark
+    wraps Python stream sources (no SupportsTriggerAvailableNow) in the
+    snapshot-at-start wrapper, so the first ``latestOffset`` answer IS
+    the run's end offset.
+
+    Scale posture matches the batch reader: the driver holds one entry
+    per book (the offset log is two ints per batch), each planned batch
+    fans out one partition PER BOOK, and every file probe runs inside
+    its task — no driver-side listing of the tree's files, ever."""
+
+    def __init__(self, options: dict) -> None:
+        self.root = options.get("root")
+        if not self.root:
+            raise ValueError("hebrew_chapters: the 'root' option is required")
+        self.max_chapter = int(options.get("max_chapter", 5))
+        self.books_per_batch = int(options.get("books_per_batch", 0))
+        #: driver-side snapshot of the book list at stream start; a live
+        #: deployment would re-list in latestOffset() to pick up new
+        #: books (append-only ingest — the offset stays a prefix length)
+        self._books = [
+            d
+            for d in sorted(os.listdir(self.root))
+            if os.path.isdir(os.path.join(self.root, d))
+        ]
+        self._cursor = 0
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def latestOffset(self) -> dict:
+        step = self.books_per_batch or len(self._books)
+        self._cursor = min(len(self._books), self._cursor + step)
+        return {"i": self._cursor}
+
+    def partitions(self, start: dict, end: dict) -> list[_BookPartition]:
+        return [_BookPartition(d) for d in self._books[start["i"] : end["i"]]]
+
+    def read(self, partition: _BookPartition | None) -> Iterator[tuple]:
+        if partition is None:
+            return
+        yield from _scan_book(self.root, partition.dirname, self.max_chapter)
+
+    def commit(self, end: dict) -> None:
+        # nothing to release — the source is a static fixture tree; a
+        # live ingest would GC acknowledged upstream resources here
+        pass

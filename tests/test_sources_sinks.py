@@ -658,3 +658,83 @@ class TestPythonDataSource:
         assert base.filter("book_num = 18").count() == 4
         assert base.filter("book_num = 99").count() == 0
         assert base.filter("book = 'Exodus'").count() == 4
+
+    def test_stream_reader_offsets_and_pacing(self):
+        import os
+
+        from hebrew_tutor_data_pipeline_spark.sources.pyds import (
+            ChapterAudioStreamReader,
+        )
+
+        root = os.path.abspath(self.ROOT)
+        r = ChapterAudioStreamReader({"root": root, "books_per_batch": 1})
+        assert r.initialOffset() == {"i": 0}
+        # paced: one book per trigger, then parked at the end
+        assert [r.latestOffset()["i"] for _ in range(5)] == [1, 2, 3, 3, 3]
+        parts = r.partitions({"i": 1}, {"i": 3})
+        assert [p.dirname for p in parts] == ["02_Exodus", "18_Obadiah"]
+        assert r.partitions({"i": 3}, {"i": 3}) == []
+        # unpaced (the availableNow snapshot): everything in one offset
+        r2 = ChapterAudioStreamReader({"root": root})
+        assert r2.latestOffset() == {"i": 3}
+        rows = list(r2.read(r2.partitions({"i": 0}, {"i": 3})[0]))
+        assert rows and all(len(t) == 7 for t in rows)
+
+    def test_stream_scan_equals_batch_scan(self, spark):
+        """End-to-end paced stream (processing-time micro-batches, one
+        book each) commits exactly the batch scan's rows across ≥3
+        batches — incremental ingest is real, not one big batch."""
+        import os
+        import shutil
+        import tempfile
+        import time
+
+        from hebrew_tutor_data_pipeline_spark.sources.pyds import (
+            register_chapter_source,
+        )
+
+        register_chapter_source(spark)
+        root = os.path.abspath(self.ROOT)
+        scratch = tempfile.mkdtemp(prefix="htdp_pyds_stream_test_")
+        out, ckpt = f"{scratch}/out", f"{scratch}/ckpt"
+        seen_batches = []
+
+        def _sink(batch_df, batch_id):
+            if batch_df.count() > 0:
+                seen_batches.append(batch_id)
+                batch_df.write.mode("overwrite").parquet(f"{out}/batch_id={batch_id}")
+
+        stream = (
+            spark.readStream.format("hebrew_chapters")
+            .option("root", root)
+            .option("max_chapter", 4)
+            .option("books_per_batch", 1)
+            .load()
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(_sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline and len(seen_batches) < 3:
+                time.sleep(0.5)
+        finally:
+            q.stop()
+        assert len(seen_batches) >= 3  # one micro-batch per book
+        got = sorted(map(tuple, spark.read.parquet(out).drop("batch_id").collect()))
+        want = sorted(
+            map(
+                tuple,
+                spark.read.format("hebrew_chapters")
+                .option("root", root)
+                .option("max_chapter", 4)
+                .load()
+                .collect(),
+            )
+        )
+        assert got == want and len(got) == 12
+        shutil.rmtree(scratch, ignore_errors=True)
