@@ -511,6 +511,63 @@ def streaming_chapter_source_pyds(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@_register(
+    "alignment_sink_pyds_commit",
+    # Same contract as alignment_sink_roundtrip: what is read back must
+    # equal what was written, so the corpus oracle serves both.
+    oracle=f"""
+WITH {_CORPUS_SQL}
+SELECT book, chapter, verse_num, array_to_string(words, ' ') AS text
+FROM vs WHERE book IN ('Gen', 'Obad')
+""",
+    tags=("S7", "S8", "S13"),
+)
+def alignment_sink_pyds_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/S8 on the engine-native WRITER surface
+    (``df.write.format("hebrew_alignment_json")``): the corpus verses
+    flow through the custom Python DataSource sink — executor tasks
+    stage one UTF-8 JSON per chapter, the driver's two-phase commit
+    renames them into place only after every task succeeds — then the
+    committed files are read back and returned. Tasks own whole
+    chapters via repartition(book, chapter); a failed or speculative
+    task can never leave a torn or duplicate chapter file (contrast the
+    reference's non-atomic in-place writes,
+    `scripts/hebrew_alignment_tool_gpu.py:589-609`)."""
+    import tempfile
+
+    from ..sources.pyds import register_chapter_source
+
+    register_chapter_source(spark)
+    out = str(
+        Path(tempfile.gettempdir())
+        / f"htdp_pyds_alignment_sink_{spark.sparkContext.applicationId}"
+    )
+    verses = corpus_verses_df(spark).filter(F.col("book").isin("Gen", "Obad")).select(
+        "book", "chapter", "verse_num", F.concat_ws(" ", "words").alias("text")
+    )
+    (
+        verses.repartition("book", "chapter")
+        .write.format("hebrew_alignment_json")
+        .mode("overwrite")
+        .option("path", out)
+        .save()
+    )
+    chapters = (
+        spark.read.schema(
+            "book string, chapter int, verses array<struct<text string, verse int>>"
+        )
+        .option("pathGlobFilter", "*.json")
+        .json(out)
+    )
+    v = F.explode("verses").alias("v")
+    return chapters.select("book", "chapter", v).select(
+        "book",
+        "chapter",
+        F.col("v.verse").alias("verse_num"),
+        F.col("v.text").alias("text"),
+    )
+
+
 def audio_duration_dim(spark: SparkSession) -> DataFrame:
     """S2/S3 audio inventory with fake-decode durations at a
     deterministic 10 ms/byte (integer math so mock transcription

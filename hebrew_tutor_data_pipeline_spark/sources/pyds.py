@@ -26,11 +26,15 @@ import os
 import re
 from typing import Iterator
 
+from dataclasses import dataclass, field
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 #: (book string, chapter int, ...) — the computed-candidate grid with
@@ -49,10 +53,11 @@ def register_chapter_source(spark) -> None:
     reader that implements ``pushFilters`` hard-fails at planning when
     the flag is off). Idempotent."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    try:
-        spark.dataSource.register(ChapterAudioDataSource)
-    except Exception:  # noqa: BLE001 — already registered this session
-        pass
+    for source in (ChapterAudioDataSource, AlignmentJsonDataSource):
+        try:
+            spark.dataSource.register(source)
+        except Exception:  # noqa: BLE001 — already registered this session
+            pass
 
 
 class _BookPartition(InputPartition):
@@ -227,3 +232,115 @@ class ChapterAudioStreamReader(DataSourceStreamReader):
         # nothing to release — the source is a static fixture tree; a
         # live ingest would GC acknowledged upstream resources here
         pass
+
+
+@dataclass
+class _StagedChapters(WriterCommitMessage):
+    """Per-task commit message: where this task staged its chapter
+    files, and which ones. Picklable (executor → driver)."""
+
+    staging_dir: str = ""
+    files: list = field(default_factory=list)
+
+
+class AlignmentJsonDataSource(DataSource):
+    """``df.write.format("hebrew_alignment_json")`` — the reference's
+    per-chapter alignment JSON output (S7/S8,
+    `scripts/hebrew_alignment_tool_gpu.py:589-609`) as an engine-native
+    SINK with a real two-phase commit. Options:
+
+    - ``path``: destination directory (one ``Book_CCC.json`` per chapter)
+
+    Input schema contract: ``book string, chapter int, verse_num int,
+    text string``; the caller repartitions by (book, chapter) so each
+    task owns whole chapters.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "hebrew_alignment_json"
+
+    def writer(self, schema, overwrite: bool) -> "AlignmentJsonWriter":
+        return AlignmentJsonWriter(self.options, overwrite)
+
+
+class AlignmentJsonWriter(DataSourceWriter):
+    """Two-phase commit, the property that makes a 1000-task write safe:
+
+    1. ``write`` (executor, per task): group the task's rows by
+       (book, chapter), serialize each chapter to UTF-8 JSON (F15 —
+       ``ensure_ascii=False``, the reference's ``ensure_ascii=False``
+       at `hebrew_alignment_tool.py:468`) under a task-private
+       ``_staging_<uuid>`` directory, return the manifest.
+    2. ``commit`` (driver, only if EVERY task succeeded): rename each
+       staged file into place (os.replace — atomic on a POSIX dir),
+       then sweep ALL leftover staging dirs — including those of LOSING
+       speculative duplicates, whose manifests never reach commit, so
+       their output is discarded unseen (exactly-once per partition).
+    3. ``abort``: remove staged output; the destination is untouched —
+       a failed job leaves the previous contents fully intact, unlike
+       the reference's in-place writes.
+
+    The destination must be shared storage (NFS/cloud mount) on a real
+    cluster — same contract as every file-based Spark sink."""
+
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("hebrew_alignment_json: the 'path' option is required")
+        self.overwrite = bool(overwrite)
+
+    def write(self, iterator) -> _StagedChapters:
+        import json
+        import uuid
+
+        chapters: dict[tuple, list] = {}
+        for row in iterator:
+            key = (row["book"], int(row["chapter"]))
+            chapters.setdefault(key, []).append((int(row["verse_num"]), row["text"]))
+        staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
+        files = []
+        if chapters:
+            os.makedirs(staging, exist_ok=True)
+        for (book, ch), verses in sorted(chapters.items()):
+            name = f"{book}_{ch:03d}.json"
+            payload = {
+                "book": book,
+                "chapter": ch,
+                "verses": [
+                    {"verse": v, "text": t} for v, t in sorted(verses)
+                ],
+            }
+            with open(os.path.join(staging, name), "w", encoding="utf-8") as f:
+                json.dump(payload, f, ensure_ascii=False, sort_keys=True)
+            files.append(name)
+        return _StagedChapters(staging_dir=staging, files=files)
+
+    def commit(self, messages) -> None:
+        import glob
+        import shutil
+
+        os.makedirs(self.path, exist_ok=True)
+        if self.overwrite:
+            for f in glob.glob(os.path.join(self.path, "*.json")):
+                os.remove(f)
+        for m in messages:
+            if m is None or not m.files:
+                continue
+            for name in m.files:
+                os.replace(
+                    os.path.join(m.staging_dir, name), os.path.join(self.path, name)
+                )
+        # sweep every staging dir: committed ones (now empty) AND losing
+        # speculative twins / empty-partition dirs never committed
+        for d in glob.glob(os.path.join(self.path, "_staging_*")):
+            shutil.rmtree(d, ignore_errors=True)
+        with open(os.path.join(self.path, "_SUCCESS"), "w", encoding="utf-8") as f:
+            f.write("")
+
+    def abort(self, messages) -> None:
+        import glob
+        import shutil
+
+        for d in glob.glob(os.path.join(self.path, "_staging_*")):
+            shutil.rmtree(d, ignore_errors=True)

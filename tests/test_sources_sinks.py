@@ -738,3 +738,60 @@ class TestPythonDataSource:
         )
         assert got == want and len(got) == 12
         shutil.rmtree(scratch, ignore_errors=True)
+
+    def test_alignment_json_sink_two_phase_commit(self, spark):
+        import json
+        import os
+        import shutil
+        import tempfile
+
+        from pyspark.sql import Row
+
+        from hebrew_tutor_data_pipeline_spark.sources.pyds import (
+            AlignmentJsonWriter,
+            register_chapter_source,
+        )
+
+        dest = tempfile.mkdtemp(prefix="htdp_pyds_sink_test_")
+        rows = [
+            Row(book="Gen", chapter=1, verse_num=2, text="שני"),
+            Row(book="Gen", chapter=1, verse_num=1, text="ראשון"),
+            Row(book="Obad", chapter=1, verse_num=1, text="חזון"),
+        ]
+
+        # staged output is invisible before commit; abort leaves the
+        # destination untouched
+        w = AlignmentJsonWriter({"path": dest}, overwrite=True)
+        msg = w.write(iter(rows))
+        assert sorted(msg.files) == ["Gen_001.json", "Obad_001.json"]
+        assert not [f for f in os.listdir(dest) if f.endswith(".json")]
+        w.abort([msg])
+        assert os.listdir(dest) == []
+
+        # commit: stale file cleared (overwrite), verses verse-sorted,
+        # UTF-8 not ascii-escaped, losing speculative twin swept unseen
+        with open(os.path.join(dest, "Zzz_009.json"), "w") as f:
+            f.write("{}")
+        winner = w.write(iter(rows))
+        loser = w.write(iter(rows))  # speculative duplicate, never committed
+        w.commit([winner, None])
+        names = sorted(os.listdir(dest))
+        assert names == ["Gen_001.json", "Obad_001.json", "_SUCCESS"]
+        raw = open(os.path.join(dest, "Gen_001.json"), "rb").read()
+        assert "ראשון".encode() in raw  # ensure_ascii=False
+        doc = json.loads(raw)
+        assert [v["verse"] for v in doc["verses"]] == [1, 2]
+        assert not os.path.exists(loser.staging_dir)
+
+        # end-to-end through the DataFrame writer API
+        register_chapter_source(spark)
+        (
+            spark.createDataFrame(rows)
+            .repartition("book", "chapter")
+            .write.format("hebrew_alignment_json")
+            .mode("overwrite")
+            .option("path", dest)
+            .save()
+        )
+        assert sorted(os.listdir(dest)) == ["Gen_001.json", "Obad_001.json", "_SUCCESS"]
+        shutil.rmtree(dest, ignore_errors=True)
