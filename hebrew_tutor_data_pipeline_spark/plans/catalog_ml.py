@@ -1377,6 +1377,103 @@ def bm25_prf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "hybrid_rrf_fusion",
+    # Lexical arm = the shared BM25 chain; dense arm = cosine top-20 to
+    # the lexical winner's embedding; fusion = reciprocal-rank with
+    # INTEGER ppb contributions (1e9 // (60+rank) — floor div on both
+    # engines, zero float surface in the fused score).
+    oracle=_BM25_CTES_SQL + f""",
+lex AS (
+    SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS lex_rank
+    FROM bmt
+),
+anchor AS (
+    SELECT CAST(e.embedding AS DOUBLE[]) AS qe
+    FROM embeddings e JOIN lex ON e.vec_id = lex.doc_id
+    WHERE lex.lex_rank = 1
+),
+dense AS (
+    SELECT vec_id AS doc_id,
+           row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS dense_rank
+    FROM (
+        SELECT v.vec_id,
+               {_cos_sql('CAST(v.embedding AS DOUBLE[])', '(SELECT qe FROM anchor)')} AS cosine
+        FROM embeddings v
+    )
+    ORDER BY dense_rank LIMIT 20
+)
+SELECT coalesce(lex.doc_id, dense.doc_id) AS doc_id,
+       lex.lex_rank, dense.dense_rank,
+       coalesce(1000000000 // (60 + lex.lex_rank), 0)
+         + coalesce(1000000000 // (60 + dense.dense_rank), 0) AS rrf_ppb,
+       row_number() OVER (
+           ORDER BY coalesce(1000000000 // (60 + lex.lex_rank), 0)
+                  + coalesce(1000000000 // (60 + dense.dense_rank), 0) DESC,
+                    coalesce(lex.doc_id, dense.doc_id) ASC) AS fused_rank
+FROM lex FULL JOIN dense USING (doc_id)
+""",
+    tags=("retrieval", "bm25", "ann", "hybrid"),
+    bench=True,
+)
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by RECIPROCAL RANK FUSION (Cormack/Clarke/
+    Buettcher SIGIR'09, the standard lexical+dense combiner): the BM25
+    top-20 (lexical arm) fuses with the cosine top-20 anchored at the
+    lexical winner's embedding (dense arm) via rrf(d) = Σ 1/(60+rank).
+    Contributions are integer ppb (1e9 div (60+r)) so the fused score
+    has no float surface at all; docs in one arm only contribute that
+    arm alone. Complements bm25_prf_rerank: PRF reranks WITHIN the
+    lexical candidates, RRF UNIONS evidence across retrieval systems.
+
+    Plan shape / 100 TB posture: both arms end in TakeOrderedAndProject
+    (20 rows each); the anchor embedding is a 1-row broadcast; the dense
+    scan is one map stage over embeddings; the full-outer fuse joins two
+    20-row frames — driver-trivial by construction. On a cluster the
+    dense arm swaps in the IVF tier (`ann_ivf_top10`) unchanged: RRF
+    only consumes ranks."""
+    top = _bm25_topk(spark, sf_dir)
+    wl = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    lex = top.select("doc_id", F.row_number().over(wl).alias("lex_rank"))
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    anchor = (
+        lex.filter(F.col("lex_rank") == 1)
+        .join(e, F.col("doc_id") == F.col("vec_id"))
+        .select(F.col("e").alias("qe"))
+    )
+    from ..functions.similarity import cosine_similarity
+
+    wd = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    dense = (
+        spread(e)
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "vec_id",
+            F.round(cosine_similarity(F.col("e"), F.col("qe")), 6).alias("cosine"),
+        )
+        .select("vec_id", F.row_number().over(wd).alias("dense_rank"))
+        .filter(F.col("dense_rank") <= 20)
+        .withColumnRenamed("vec_id", "doc_id")
+    )
+    contrib = lambda r: F.coalesce(  # noqa: E731 — tiny shared fragment
+        F.expr(f"1000000000 div (60 + {r})"), F.lit(0)
+    )
+    fused = (
+        lex.join(dense, "doc_id", "full")
+        .withColumn("rrf_ppb", contrib("lex_rank") + contrib("dense_rank"))
+    )
+    wf = Window.orderBy(F.col("rrf_ppb").desc(), F.col("doc_id").asc())
+    return fused.select(
+        "doc_id",
+        "lex_rank",
+        "dense_rank",
+        "rrf_ppb",
+        F.row_number().over(wf).alias("fused_rank"),
+    )
+
+
 # ===========================================================================
 # Hebrew normalization (literal corpus — engine-constructed, sf-independent)
 # ===========================================================================
