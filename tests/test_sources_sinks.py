@@ -701,8 +701,11 @@ class TestPythonDataSource:
 
         def _sink(batch_df, batch_id):
             if batch_df.count() > 0:
-                seen_batches.append(batch_id)
                 batch_df.write.mode("overwrite").parquet(f"{out}/batch_id={batch_id}")
+                # append AFTER the write commits: the stop() below fires
+                # once 3 batches are seen, and must never interrupt an
+                # in-flight write (torn parquet ⇒ read-back mismatch)
+                seen_batches.append(batch_id)
 
         stream = (
             spark.readStream.format("hebrew_chapters")
