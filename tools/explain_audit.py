@@ -285,6 +285,24 @@ EXPECTATIONS: dict[str, list[tuple[bool, str, str]]] = {
     "streaming_dedup_events": [
         (True, "Scan parquet", "returned plan is the committed streaming sink read-back"),
     ],
+    "chapter_source_pyds_pruned": [
+        (True, "BatchScan hebrew_chapters", "the custom connector IS the scan node"),
+        (True, "PushedFilters: [EqualTo(book_num,18)]", "book equality pushed INTO the Python source — partitions pruned before any task"),
+        (True, "!BatchEvalPython", "no row-at-a-time Python"),
+    ],
+    "hybrid_rrf_fusion": [
+        (True, "TakeOrderedAndProject", "both retrieval arms cut top-k, never a global sort"),
+        (True, "!CartesianProduct", "the anchor-vector cross join is a 1-row broadcast"),
+        (True, "!BatchEvalPython", "fusion arithmetic stays JVM-side"),
+    ],
+    # sink-proof pattern (same as chapter_pipeline_e2e): the returned
+    # plan reads back what the two-phase commit / stream sink committed
+    "alignment_sink_pyds_commit": [
+        (True, "Scan json", "returned plan is the committed custom-sink read-back"),
+    ],
+    "streaming_chapter_source_pyds": [
+        (True, "Scan parquet", "returned plan is the committed streaming sink read-back"),
+    ],
 }
 
 
