@@ -1208,6 +1208,99 @@ def simhash_lookup_pairs(
     )
 
 
+def minhash_lookup_pairs(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Asymmetric MinHash-LSH lookup — the incremental face of the
+    Jaccard candidate tier of record: every BATCH document's best
+    near-duplicate in the standing INDEX →
+    (id, match_id, jaccard, is_unique), one row per batch doc.
+
+    Same banding as ``minhash_lsh_pairs`` (docs sharing any full band
+    collide; candidates verified with exact shingle Jaccard so the
+    MinHash estimate never reaches the output), but the join is
+    batch×index ONLY — the index is never self-joined, and on a real
+    deployment its signatures are precomputed once and appended per
+    day. Plan shape: both sides band map-only, the (band, bucket)
+    equi-join shuffles with the batch side tiny, best-match is one
+    window over the batch id, and a final left join restores unmatched
+    batch docs. At 100 TB the index side's banding output is the thing
+    you persist — this function re-derives it only because the sandbox
+    has no standing store."""
+    rows_per_band = num_hashes // bands
+
+    def banded(df: DataFrame, side: str) -> DataFrame:
+        sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+        return sigs.select(
+            F.col("id").alias(f"{side}_id"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda bi: F.struct(
+                        bi.alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                F.transform(
+                                    F.slice(
+                                        F.col("sig"), bi * rows_per_band + 1, rows_per_band
+                                    ),
+                                    lambda v: v.cast("string"),
+                                ),
+                            )
+                        ).alias("bucket"),
+                    ),
+                )
+            ).alias("bb"),
+        ).select(f"{side}_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    cand = (
+        banded(batch, "b")
+        .join(banded(index, "x"), ["band", "bucket"])
+        .select("b_id", "x_id")
+        .distinct()
+    )
+    sh_b = shingle_sets(batch, id_col, text_col, n).withColumnsRenamed(
+        {"id": "b_id", "shingles": "sh_b"}
+    )
+    sh_x = shingle_sets(index, id_col, text_col, n).withColumnsRenamed(
+        {"id": "x_id", "shingles": "sh_x"}
+    )
+    verified = (
+        cand.join(sh_b, "b_id")
+        .join(sh_x, "x_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_b", "sh_x"))
+                / F.size(F.array_union("sh_b", "sh_x")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    w = Window.partitionBy("b_id").orderBy(F.col("jaccard").desc(), F.col("x_id").asc())
+    best = (
+        verified.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("b_id").alias("id"), F.col("x_id").alias("match_id"), "jaccard")
+    )
+    ids = batch.select(F.col(id_col).alias("id"))
+    return ids.join(best, "id", "left").select(
+        "id",
+        "match_id",
+        "jaccard",
+        F.col("match_id").isNull().alias("is_unique"),
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     id_col: str,

@@ -2345,6 +2345,83 @@ def incremental_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# band collision for the asymmetric lookup: batch row b vs index row x
+_MH16_LOOKUP_CONDS = "\n       OR ".join(
+    "(" + " AND ".join(f"b.m{bi * 2 + j} = x.m{bi * 2 + j}" for j in range(2)) + ")"
+    for bi in range(16)
+)
+
+
+@_register(
+    "incremental_minhash_dedup",
+    # Replays the corpus tier's shingle/minhash/banding chain (same
+    # inlined LCG family, 16×2 bands), split batch vs index, candidates
+    # from the asymmetric band join only, exact-Jaccard verify at 0.5,
+    # best match per batch doc (jaccard DESC, match_id ASC).
+    oracle=f"""
+WITH d AS (
+    SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                        ELSE string_split_regex(trim(text), '\\s+') END AS t
+    FROM documents
+), g AS (
+    SELECT doc_id,
+           CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+                WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                ELSE list_distinct([list_aggr(t[i:i+2], 'string_agg', ' ')
+                                    for i in range(1, len(t) - 1)]) END AS toks
+    FROM d
+), h AS (
+    SELECT doc_id, toks,
+           list_transform(toks, t2 -> {_sql_token_hash('t2')}) AS th
+    FROM g
+), m AS (
+    SELECT doc_id, toks,
+           {_MH_COLS}
+    FROM h
+), bm AS (SELECT * FROM m WHERE doc_id % 10 = 7),
+xm AS (SELECT * FROM m WHERE doc_id % 10 <> 7),
+cand AS (
+    SELECT b.doc_id AS id, x.doc_id AS match_id,
+           round(len(list_intersect(b.toks, x.toks))
+                 / (len(b.toks) + len(x.toks) - len(list_intersect(b.toks, x.toks))),
+                 6) AS jaccard
+    FROM bm b JOIN xm x
+      ON ({_MH16_LOOKUP_CONDS})
+),
+best AS (
+    SELECT id, match_id, jaccard,
+           row_number() OVER (PARTITION BY id
+                              ORDER BY jaccard DESC, match_id ASC) AS rn
+    FROM cand WHERE jaccard >= 0.5
+)
+SELECT f.doc_id AS id, c.match_id, c.jaccard,
+       c.match_id IS NULL AS is_unique
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) f
+LEFT JOIN (SELECT id, match_id, jaccard FROM best WHERE rn = 1) c
+    ON c.id = f.doc_id
+""",
+    tags=("dedup", "incremental", "minhash", "lsh"),
+    bench=True,
+)
+def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL face of the Jaccard candidate tier of record:
+    today's crawl (doc_id % 10 == 7) looks up its best MinHash near-dup
+    in the standing corpus — batch×index banding only, the index is
+    never self-joined, and in production the index-side signatures are
+    precomputed once and appended per day. Completes the incremental
+    family (exact keep-first, SimHash lookup, now MinHash-LSH): the
+    three signature tiers all run both corpus-wide AND per-batch.
+    Candidates verify with exact trigram Jaccard ≥ 0.5, so banding
+    recall (measured 0.996 on the corpus tier, r06) is the only
+    approximation."""
+    d = spread(T(spark, sf_dir, "documents"))
+    batch = d.filter(F.col("doc_id") % 10 == 7)
+    index = d.filter(F.col("doc_id") % 10 != 7)
+    return dedup.minhash_lookup_pairs(
+        batch, index, "doc_id", "text", n=3, num_hashes=32, bands=16, threshold=0.5
+    )
+
+
 # ===========================================================================
 # DSIR importance resampling (training-data selection)
 # ===========================================================================

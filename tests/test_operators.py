@@ -1159,6 +1159,52 @@ class TestSimhashLookup:
         assert (r["match_id"], r["hamming"]) == (5, 0)
 
 
+class TestMinhashLookup:
+    def test_batch_finds_planted_dup_and_unique(self, spark):
+        from hebrew_tutor_data_pipeline_spark.operators.dedup import (
+            minhash_lookup_pairs,
+        )
+
+        index = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog today"),
+                (2, "one two three four five six seven eight nine ten"),
+                (3, "totally different words entirely here again now ok"),
+            ],
+            ["doc_id", "text"],
+        )
+        batch = spark.createDataFrame(
+            [
+                # near-dup of 1 (one word changed)
+                (100, "the quick brown fox jumps over the lazy cat today"),
+                (101, "qq ww ee rr tt yy uu ii oo pp"),  # nothing similar
+            ],
+            ["doc_id", "text"],
+        )
+        out = {
+            r["id"]: (r["match_id"], r["is_unique"])
+            for r in minhash_lookup_pairs(
+                batch, index, "doc_id", "text", n=3, num_hashes=32, bands=16,
+                threshold=0.5,
+            ).collect()
+        }
+        assert out[100] == (1, False)
+        assert out[101] == (None, True)
+        assert set(out) == {100, 101}
+
+    def test_tie_breaks_on_smaller_index_id(self, spark):
+        from hebrew_tutor_data_pipeline_spark.operators.dedup import (
+            minhash_lookup_pairs,
+        )
+
+        index = spark.createDataFrame(
+            [(9, "a b c d e f g h"), (5, "a b c d e f g h")], ["doc_id", "text"]
+        )
+        batch = spark.createDataFrame([(200, "a b c d e f g h")], ["doc_id", "text"])
+        r = minhash_lookup_pairs(batch, index, "doc_id", "text").first()
+        assert (r["match_id"], r["jaccard"], r["is_unique"]) == (5, 1.0, False)
+
+
 class TestMixturePlan:
     def test_invariants_and_temperature_upweighting(self, spark):
         """Weights sum to 1; acceptance never exceeds the source size;

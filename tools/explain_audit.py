@@ -285,6 +285,12 @@ EXPECTATIONS: dict[str, list[tuple[bool, str, str]]] = {
     "streaming_dedup_events": [
         (True, "Scan parquet", "returned plan is the committed streaming sink read-back"),
     ],
+    "incremental_minhash_dedup": [
+        (True, "SortMergeJoin|BroadcastHashJoin", "batch looks up the index on (band,bucket) — never index×index"),
+        (True, "Window", "best match = one argmax window over the batch id"),
+        (True, "!CartesianProduct", "no all-pairs plan"),
+        (True, "!BatchEvalPython", "signatures + banding stay JVM-side"),
+    ],
     "chapter_source_pyds_pruned": [
         (True, "BatchScan hebrew_chapters", "the custom connector IS the scan node"),
         (True, "PushedFilters: [EqualTo(book_num,18)]", "book equality pushed INTO the Python source — partitions pruned before any task"),
