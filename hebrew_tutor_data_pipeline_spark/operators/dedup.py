@@ -1193,11 +1193,22 @@ def simhash_lookup_pairs(
         .withColumn("hamming", hamming_distance(F.col("b_sh"), F.col("x_sh"), bits))
         .filter(F.col("hamming") <= max_distance)
     )
-    w = Window.partitionBy("b_id").orderBy(F.col("hamming").asc(), F.col("x_id").asc())
+    # argmin as a PRIMITIVE aggregate: (hamming, x_id) packs into one
+    # BIGINT (ids must fit 44 bits — 17.6T docs), so min() is a plain
+    # HashAggregate with map-side combine — on a dense-match corpus the
+    # candidate stream collapses to one row per batch doc per task
+    # BEFORE any exchange. Both a row_number window and min(struct(...))
+    # (object aggregate, sort-based fallback) had to SORT every
+    # candidate instead: measured 13 GB spill at x100, → zero packed.
+    packed = F.col("hamming").cast("long") * F.lit(1 << 44) + F.col("x_id")
     best = (
-        cand.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(F.col("b_id").alias("id"), F.col("x_id").alias("match_id"), "hamming")
+        cand.groupBy("b_id")
+        .agg(F.min(packed).alias("p"))
+        .select(
+            F.col("b_id").alias("id"),
+            F.col("p").bitwiseAND(F.lit((1 << 44) - 1)).alias("match_id"),
+            F.shiftright(F.col("p"), 44).alias("hamming"),  # stays long
+        )
     )
     ids = batch.select(F.col(id_col).alias("id"))
     return ids.join(best, "id", "left").select(
@@ -1286,11 +1297,22 @@ def minhash_lookup_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    w = Window.partitionBy("b_id").orderBy(F.col("jaccard").desc(), F.col("x_id").asc())
+    # argmax as a PRIMITIVE aggregate (same packing rationale as the
+    # simhash lookup): jaccard is already 6-dp, so (1e6 − jaccard·1e6)
+    # and the id pack into one BIGINT whose min() is highest-jaccard-
+    # then-smallest-id — plain HashAggregate, map-side combined.
+    jscaled = F.round(F.col("jaccard") * 1e6, 0).cast("long")
+    packed = (F.lit(1_000_000) - jscaled) * F.lit(1 << 44) + F.col("x_id")
     best = (
-        verified.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(F.col("b_id").alias("id"), F.col("x_id").alias("match_id"), "jaccard")
+        verified.groupBy("b_id")
+        .agg(F.min(packed).alias("p"))
+        .select(
+            F.col("b_id").alias("id"),
+            F.col("p").bitwiseAND(F.lit((1 << 44) - 1)).alias("match_id"),
+            (
+                (F.lit(1_000_000) - F.shiftright(F.col("p"), 44)) / F.lit(1e6)
+            ).alias("jaccard"),
+        )
     )
     ids = batch.select(F.col(id_col).alias("id"))
     return ids.join(best, "id", "left").select(

@@ -1683,3 +1683,102 @@ def sql_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_mktsegment
         """
     )
+
+
+# ===========================================================================
+# Data layout: Z-order clustering for scan pruning (physical-execution tier)
+# ===========================================================================
+
+from ..operators.layout import (  # noqa: E402 — keeps the layout tier together
+    bucket_minmax_stats,
+    skipping_report,
+    zorder_key,
+    zorder_key_sql,
+)
+
+_Z_BITS = 10          # each key normalized onto [0, 1024)
+_Z_FILES_SHIFT = 15   # 20-bit Morton key >> 15 → 32 fixed-width z-buckets
+_L_FILES_WIDTH = 32   # 1024 / 32 → 32 fixed-width date buckets
+
+
+@_register(
+    "zorder_file_skipping",
+    # The oracle replays the identical Morton interleave (bit-by-bit
+    # integer arithmetic), both bucketings, the per-bucket min/max
+    # "footer" stats, and both predicate envelopes.
+    oracle=f"""
+WITH o AS (
+    SELECT o_custkey % 1024 AS k1,
+           CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) % 1024 AS k2
+    FROM orders
+),
+zs AS (
+    SELECT 'zorder' AS layout,
+           {zorder_key_sql('k1', 'k2', 10)} // 32768 AS bucket_id,
+           min(k1) AS min1, max(k1) AS max1, min(k2) AS min2, max(k2) AS max2
+    FROM o GROUP BY 2
+),
+ls AS (
+    SELECT 'linear' AS layout, k2 // 32 AS bucket_id,
+           min(k1) AS min1, max(k1) AS max1, min(k2) AS min2, max(k2) AS max2
+    FROM o GROUP BY 2
+),
+s AS (SELECT * FROM zs UNION ALL SELECT * FROM ls),
+p AS (
+    SELECT layout,
+           CAST(sum(CASE WHEN min1 <= 500 AND max1 >= 500 THEN 1 ELSE 0 END) AS BIGINT) AS hit_k1,
+           CAST(sum(CASE WHEN min2 <= 130 AND max2 >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS hit_k2,
+           CAST(count(*) AS BIGINT) AS files_total
+    FROM s GROUP BY layout
+)
+SELECT layout, 'key1_eq' AS predicate, hit_k1 AS files_hit, files_total FROM p
+UNION ALL
+SELECT layout, 'key2_range' AS predicate, hit_k2 AS files_hit, files_total FROM p
+""",
+    tags=("layout", "zorder", "pruning", "scale"),
+    bench=True,
+)
+def zorder_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER LAYOUT vs linear layout, measured by the statistic that
+    matters at 100 TB: how many files a planner must scan. Orders are
+    keyed by (customer, order-day) normalized onto a 1024×1024 grid;
+    the Morton interleave's high bits assign each row to one of 32
+    fixed-width curve buckets (map-side arithmetic — no global sort, no
+    window), per-bucket min/max of both keys stand in for parquet
+    footer stats, and two canonical predicates (customer equality, a
+    31-day date range) are evaluated against the envelopes. The linear
+    date layout prunes only date predicates — the customer predicate
+    hits EVERY file; the Z-order layout prunes BOTH. This is the
+    data-layout half of scan pruning; the plan half (PushedFilters) is
+    pinned by the explain audit across the catalog.
+
+    Production writers range-partition the curve key for even file
+    sizes (`df.repartitionByRange(N, zkey).sortWithinPartitions(zkey)`
+    before the write); fixed-width buckets keep the identical skipping
+    geometry while staying exactly reproducible in SQL."""
+    o = T(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 1024).alias("k1"),
+        (
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")).cast(
+                "long"
+            )
+            % 1024
+        ).alias("k2"),
+    )
+    z_stats = bucket_minmax_stats(
+        o,
+        F.col("k1"),
+        F.col("k2"),
+        F.shiftright(zorder_key(F.col("k1"), F.col("k2"), _Z_BITS), _Z_FILES_SHIFT),
+        "zorder",
+    )
+    l_stats = bucket_minmax_stats(
+        o,
+        F.col("k1"),
+        F.col("k2"),
+        F.shiftright(F.col("k2"), 5),  # k2 // 32 — integer throughout
+        "linear",
+    )
+    return skipping_report(
+        z_stats.unionByName(l_stats), k1_eq=500, k2_lo=100, k2_hi=130
+    )

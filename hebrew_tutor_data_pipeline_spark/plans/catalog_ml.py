@@ -2310,17 +2310,30 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "incremental_simhash_dedup",
+    # Width is COUNT-DERIVED with the same formula as
+    # simhash_hamming_pairs (one 31-bit fp fragment serves every width
+    # via fp % 2^bits); batch/index split after the width CTE.
     oracle=f"""
-WITH {_SIMHASH_FP_SQL},
-b AS (SELECT doc_id, simhash FROM fp WHERE doc_id % 10 = 7),
-x AS (SELECT doc_id, simhash FROM fp WHERE doc_id % 10 <> 7),
+WITH {_simhash_fp_sql(31).lstrip()},
+p AS (
+    SELECT least({_HAMMING_MAX_BITS}, greatest({_HAMMING_MIN_BITS},
+           4 * CAST(ceil(({_HAMMING_MIN_BITS} + ceil(log2(greatest(count(*), 1)
+               / {_HAMMING_BASE_DOCS}.0))) / 4.0) AS INTEGER))) AS bits
+    FROM fp
+),
+fpb AS (
+    SELECT doc_id, simhash % (CAST(1 AS BIGINT) << bits) AS fp
+    FROM fp CROSS JOIN p
+),
+b AS (SELECT doc_id, fp FROM fpb WHERE doc_id % 10 = 7),
+x AS (SELECT doc_id, fp FROM fpb WHERE doc_id % 10 <> 7),
 cand AS (
     SELECT b.doc_id AS id, x.doc_id AS match_id,
-           CAST(bit_count(xor(b.simhash, x.simhash)) AS BIGINT) AS hamming,
+           CAST(bit_count(xor(b.fp, x.fp)) AS BIGINT) AS hamming,
            row_number() OVER (PARTITION BY b.doc_id
-                              ORDER BY bit_count(xor(b.simhash, x.simhash)) ASC,
+                              ORDER BY bit_count(xor(b.fp, x.fp)) ASC,
                                        x.doc_id ASC) AS rn
-    FROM b JOIN x ON bit_count(xor(b.simhash, x.simhash)) <= 1
+    FROM b JOIN x ON bit_count(xor(b.fp, x.fp)) <= 1
 )
 SELECT f.doc_id AS id, c.match_id, c.hamming,
        c.match_id IS NULL AS is_unique
@@ -2336,12 +2349,28 @@ def incremental_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     standing corpus via the asymmetric banded join — the index is never
     self-joined, signatures would be precomputed in a real deployment.
     The oracle is the brute-force batch×index scan; hash equality proves
-    the banded lookup loses nothing (pigeonhole, d ≤ 1 < 2 bands)."""
+    the banded lookup loses nothing (pigeonhole, d ≤ 1 < 2 bands).
+
+    Two r7-measured hazards live in this entry's history
+    (bench_runs/r07_scaling_round7_additions.json →
+    r07_scaling_incr_simhash_derived.json): (1) the fixed-16-bit width
+    spilled 35 GB at x100 (500k docs → 8-bit band values → 256 buckets
+    per band → candidate blowup) — the width is now COUNT-DERIVED with
+    the simhash_hamming_pairs formula (16 bits per 5000 docs, +1 per
+    doubling, 4-aligned, ≤ 28; flooring at 16 keeps the small-SF plans
+    identical); (2) the best-match row_number WINDOW — and equally a
+    min(struct) object aggregate — sorted the whole candidate stream
+    (13 GB spill remained), so the argmin is now a PRIMITIVE min() over
+    a packed (hamming, id) BIGINT, which map-side-combines candidates
+    down to one row per batch doc per task before any exchange.
+    Fixed-knob original: 73.7 s / 35 GB spill at x100; derived+packed:
+    18.1 s / zero spill / 102 MB shuffle."""
     d = spread(T(spark, sf_dir, "documents"))
+    bits = _hamming_bits_for(d.count())
     batch = d.filter(F.col("doc_id") % 10 == 7)
     index = d.filter(F.col("doc_id") % 10 != 7)
     return dedup.simhash_lookup_pairs(
-        batch, index, "doc_id", "text", bits=16, bands=2, max_distance=1
+        batch, index, "doc_id", "text", bits=bits, bands=2, max_distance=1
     )
 
 

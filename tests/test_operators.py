@@ -1578,3 +1578,77 @@ class TestMixturePythonReplay:
             }
             want = self._py_mixture(rows, 0.3, 0.7, up)
             assert got == want, (up, got, want)
+
+
+class TestZorderLayout:
+    def test_morton_interleave_matches_python(self, spark):
+        """Engine zorder_key == a bit-twiddling Python reference on a
+        grid sample, and the SQL twin evaluates to the same values in
+        DuckDB (the property the oracle depends on)."""
+        import duckdb
+
+        from hebrew_tutor_data_pipeline_spark.operators.layout import (
+            zorder_key,
+            zorder_key_sql,
+        )
+
+        def py_morton(a, b, bits=10):
+            z = 0
+            for i in range(bits):
+                z |= ((a >> i) & 1) << (2 * i)
+                z |= ((b >> i) & 1) << (2 * i + 1)
+            return z
+
+        pairs = [(a, b) for a in (0, 1, 5, 513, 1023) for b in (0, 2, 7, 800, 1023)]
+        df = spark.createDataFrame(pairs, ["a", "b"])
+        got = {
+            (r["a"], r["b"]): r["z"]
+            for r in df.select(
+                "a", "b", zorder_key(F.col("a"), F.col("b"), 10).alias("z")
+            ).collect()
+        }
+        for a, b in pairs:
+            assert got[(a, b)] == py_morton(a, b), (a, b)
+        sql_got = duckdb.sql(
+            "SELECT a, b, " + zorder_key_sql("a", "b", 10) + " AS z FROM "
+            "(SELECT unnest($1) AS a, unnest($2) AS b)",
+            params=[[p[0] for p in pairs], [p[1] for p in pairs]],
+        ).fetchall()
+        for a, b, z in sql_got:
+            assert z == py_morton(a, b), (a, b)
+
+    def test_zorder_prunes_both_predicates_linear_only_one(self, spark):
+        """On a uniform 1024x1024 grid sample, the linear date layout
+        hits EVERY file for the key1 equality while z-order hits a
+        small subset on both predicates — the whole point of the
+        curve."""
+        import random
+
+        from hebrew_tutor_data_pipeline_spark.operators.layout import (
+            bucket_minmax_stats,
+            skipping_report,
+            zorder_key,
+        )
+
+        rng = random.Random(7)
+        rows = [(rng.randrange(1024), rng.randrange(1024)) for _ in range(4000)]
+        df = spark.createDataFrame(rows, ["k1", "k2"])
+        z = bucket_minmax_stats(
+            df, F.col("k1"), F.col("k2"),
+            F.shiftright(zorder_key(F.col("k1"), F.col("k2"), 10), 15), "zorder",
+        )
+        lin = bucket_minmax_stats(
+            df, F.col("k1"), F.col("k2"), F.shiftright(F.col("k2"), 5), "linear",
+        )
+        rep = {
+            (r["layout"], r["predicate"]): (r["files_hit"], r["files_total"])
+            for r in skipping_report(
+                z.unionByName(lin), k1_eq=500, k2_lo=100, k2_hi=130
+            ).collect()
+        }
+        # linear: the date range prunes hard, the custkey eq scans the world
+        assert rep[("linear", "key1_eq")][0] == rep[("linear", "key1_eq")][1] == 32
+        assert rep[("linear", "key2_range")][0] <= 2
+        # z-order: BOTH predicates prune (hyper-rectangular buckets)
+        assert rep[("zorder", "key1_eq")][0] < 32
+        assert rep[("zorder", "key2_range")][0] < 32

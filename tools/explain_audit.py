@@ -287,9 +287,22 @@ EXPECTATIONS: dict[str, list[tuple[bool, str, str]]] = {
     ],
     "incremental_minhash_dedup": [
         (True, "SortMergeJoin|BroadcastHashJoin", "batch looks up the index on (band,bucket) — never index×index"),
-        (True, "Window", "best match = one argmax window over the batch id"),
+        (True, "HashAggregate", "best match is the packed-BIGINT argmin — primitive, map-side combined"),
+        (True, "!Window", "no candidate-stream sort (the r7-measured 13 GB spill class)"),
         (True, "!CartesianProduct", "no all-pairs plan"),
         (True, "!BatchEvalPython", "signatures + banding stay JVM-side"),
+    ],
+    "incremental_simhash_dedup": [
+        (True, "SortMergeJoin|BroadcastHashJoin", "batch looks up the index on (band,value) — never index×index"),
+        (True, "HashAggregate", "best match is the packed-BIGINT argmin — primitive, map-side combined"),
+        (True, "!Window", "no candidate-stream sort (the r7-measured 13 GB spill class)"),
+        (True, "!BatchEvalPython", "fingerprints + popcount stay JVM-side"),
+    ],
+    "zorder_file_skipping": [
+        (True, "HashAggregate", "footer stats are partial+final hash aggregation"),
+        (True, "!Window", "bucket assignment is map-side bit arithmetic — no global sort"),
+        (True, "!BatchEvalPython", "Morton interleave stays JVM-side"),
+        (True, "!CartesianProduct", "no all-pairs plan"),
     ],
     "chapter_source_pyds_pruned": [
         (True, "BatchScan hebrew_chapters", "the custom connector IS the scan node"),
