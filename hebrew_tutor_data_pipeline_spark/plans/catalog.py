@@ -1782,3 +1782,45 @@ def zorder_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skipping_report(
         z_stats.unionByName(l_stats), k1_eq=500, k2_lo=100, k2_hi=130
     )
+
+
+@_register(
+    "unpivot_lineitem_metrics",
+    # UNION-ALL replay of the melt; every value is BIGINT (count, sum
+    # of floors, distinct count) so the long/wide reshape carries no
+    # float surface at all.
+    oracle="""
+WITH a AS (
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'n_rows' AS metric, n_rows AS value FROM a
+UNION ALL SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+UNION ALL SELECT l_returnflag, 'n_parts' AS metric, n_parts AS value FROM a
+""",
+    tags=("pivot", "unpivot", "A1-A5"),
+)
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The wide→long reshape (UNPIVOT / melt — the inverse of
+    `pivot_user_event_counts`): per-returnflag metrics melt into
+    (l_returnflag, metric, value) via Spark's native ``unpivot``, which
+    plans as one Expand over the aggregated frame — the same map-side
+    lattice node as CUBE, never a per-metric re-scan. Values are all
+    BIGINT by construction (floor before the quantity sum — Spark's
+    double→long cast truncates while ANSI CAST rounds, so the floor
+    pins one semantics on both engines)."""
+    agg = (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.floor("l_quantity")).alias("sum_qty"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+        )
+    )
+    return agg.unpivot(
+        ["l_returnflag"], ["n_rows", "sum_qty", "n_parts"], "metric", "value"
+    )

@@ -413,7 +413,13 @@ WHERE round(inter / (sa.nsh + sb.nsh - inter), 6) >= 0.5
     "jaccard_token_pairs",
     oracle=_jaccard_oracle("ceil(0.08 * (SELECT count(*) FROM documents))"),
     tags=("dedup", "jaccard"),
-    bench=True,
+    # bench=False (r06 verdict "what's wrong" #4): this is the
+    # EXHAUSTIVE TRUTH ARM — it stays in the catalog/correctness gate
+    # as the recall baseline for the bounded tiers, but the
+    # known-steepest curve in the repo shouldn't consume heavy-tier
+    # bench attention; the production tiers (capped, MinHash banding)
+    # stay benched.
+    bench=False,
 )
 def jaccard_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trigram-shingle Jaccard near-dup pairs over the FULL corpus via

@@ -31,7 +31,10 @@ from hebrew_tutor_data_pipeline_spark.plans import CATALOG  # noqa: E402
 from hebrew_tutor_data_pipeline_spark.session import get_spark  # noqa: E402
 
 HEAVY = (
-    "jaccard_token_pairs",
+    # jaccard_token_pairs (the exhaustive truth arm) is deliberately
+    # NOT here (r06 verdict): it is the known-steepest curve in the
+    # repo and OOMs at x100 by design — measure it explicitly with
+    # --queries when a recall audit needs the truth arm.
     "jaccard_token_pairs_capped",
     "minhash_dedup_pairs_corpus",
     "dedup_clusters",
