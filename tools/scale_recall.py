@@ -155,6 +155,52 @@ def main() -> int:
         "sec": round(time.perf_counter() - t0, 1),
     }
 
+    # --- incremental MinHash lookup vs the exhaustive posting truth ----
+    # Truth = the uncapped posting join's ≥0.5 pairs restricted to
+    # batch×index (one side ≡7 mod 10), best partner per batch doc by
+    # (jaccard DESC, id ASC) — the same selection rule as the operator.
+    # (The SimHash lookup needs no recall audit: d ≤ 1 < 2 bands is
+    # exact by pigeonhole, and its oracle is the brute-force scan.)
+    t0 = time.perf_counter()
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    unc_j = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            d, "doc_id", "text", n=3, threshold=0.5, max_shingle_freq=0.08
+        ).collect()
+    }
+    truth_best: dict = {}
+    for (a, b), j in unc_j.items():
+        for me, other in ((a, b), (b, a)):
+            if me % 10 == 7 and other % 10 != 7:
+                cur = truth_best.get(me)
+                if cur is None or (j, -other) > (cur[1], -cur[0]):
+                    truth_best[me] = (other, j)
+    lookup = {
+        r["id"]: r["match_id"]
+        for r in dedup.minhash_lookup_pairs(
+            d.filter(F.col("doc_id") % 10 == 7),
+            d.filter(F.col("doc_id") % 10 != 7),
+            "doc_id", "text", n=3, num_hashes=32, bands=16, threshold=0.5,
+        ).collect()
+        if r["match_id"] is not None
+    }
+    with_truth = set(truth_best)
+    report["incremental_minhash_lookup"] = {
+        "batch_docs_with_true_match": len(with_truth),
+        "lookup_matched": len(lookup),
+        "match_found_recall": round(
+            len(with_truth & set(lookup)) / len(with_truth), 4
+        ) if with_truth else None,
+        "best_match_identity_rate": round(
+            sum(1 for b_ in with_truth if lookup.get(b_) == truth_best[b_][0])
+            / len(with_truth),
+            4,
+        ) if with_truth else None,
+        "sec": round(time.perf_counter() - t0, 1),
+    }
+
     Path(out_path).write_text(json.dumps(report, indent=1))
     print(json.dumps(report))
     spark.stop()
