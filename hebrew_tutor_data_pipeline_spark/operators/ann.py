@@ -13,6 +13,10 @@ Two tiers, per the training-pipeline requirement:
   then probe only ``nprobe`` nearest cells per query. Corpus assignment
   is a broadcast map stage; the probe join hits only ``nprobe/ncells``
   of the data — the scale path.
+- ``pq_topk`` / ``ivfpq_topk`` — product-quantization ADC, standalone
+  and composed with the inverted file (IVFADC): IVF cuts candidates
+  scanned, PQ cuts bytes per candidate — together the production
+  memory/scan tier for a 100 TB embedding corpus.
 - ``signed_projection_bucket`` — random-hyperplane LSH bits shared with
   operators.dedup.embedding_near_dup_pairs.
 
@@ -22,7 +26,7 @@ DuckDB oracle (list_dot_product on DOUBLE[]) hash-matches bit-for-bit.
 Public provenance: inverted-file indexing for vector search follows the
 IVF/IVFADC family (Sivic/Zisserman, "Video Google", ICCV 2003; Jégou/
 Douze/Schmid, "Product quantization for nearest neighbor search", TPAMI
-2011 — coarse quantizer only, no PQ compression here); random-hyperplane
+2011 — both the coarse quantizer and the IVFADC composition); random-hyperplane
 signed projections per Charikar (STOC 2002); Lloyd's algorithm (1957/
 1982) for the codebook.
 """
@@ -585,4 +589,205 @@ def embedding_outliers(
             F.col("cell_rank") <= F.expr(f"(_n + {denom - 1}) div {denom}"),
         )
         .drop("_n")
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    num_cells: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    ncent: int = 16,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """IVFADC — the composed production index (Jégou/Douze/Schmid, TPAMI
+    2011 §IV; FAISS ``IVFx,PQy``): a coarse inverted file prunes the
+    corpus to ``nprobe``/``num_cells`` of its cells, and inside the
+    probed cells candidates are ranked by asymmetric distance against
+    PQ codes of the RESIDUAL (vector − its cell centroid). Combines the
+    two scale levers the standalone tiers provide separately: IVF cuts
+    candidates scanned, PQ cuts bytes per candidate — at 100 TB the
+    index is ``num_cells`` parquet partitions of ``m``-byte-ish codes,
+    so a probe reads ``nprobe/num_cells`` of an already ~dim/m-times
+    smaller table.
+
+    Deterministic model artifacts (the repo convention every ANN oracle
+    relies on): coarse codebook = the ``num_cells`` smallest-id corpus
+    vectors (cell id = vector id, as ``ivf_topk``); PQ codebook = the
+    RESIDUALS of the ``ncent`` smallest-id corpus vectors after their
+    own cell assignment (cidx = rank by id). Assignment uses the
+    half-away-6dp cosine + smallest-cell tiebreak of ``cell_assign``;
+    encoding/ADC use the ``(a·a − 2·a·b) + b·b`` dimension-sequential
+    subspace kernel of ``pq_topk`` so DuckDB's ``list_dot_product`` on
+    residual slices replays every float bit-for-bit.
+
+    Plan shape: two bounded codebook collects (≤ num_cells + ncent
+    rows); assignment + residual-encode is ONE Arrow-batched map-only
+    pass (no shuffle — the corpus never moves to find its cell or its
+    codes); the query side emits ``nprobe`` (query, cell, ADC-table)
+    rows and broadcasts them, so the candidate scan is a broadcast hash
+    join restricted to probed cells; the only shuffle is the per-query
+    top-k window.
+    """
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    qid = query_id_col or id_col
+    c = _as_double_vec(corpus, id_col, vec_col)
+
+    # --- bounded model-artifact collects -------------------------------
+    coarse_rows = c.orderBy("id").limit(num_cells).collect()
+    cell_ids = np.array([int(r["id"]) for r in coarse_rows], dtype="int64")
+    cent = np.stack([np.asarray(r["vec"], dtype="float64") for r in coarse_rows])
+    dim = cent.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} must divide into {m} subspaces")
+    sub = dim // m
+    cent_norm = np.sqrt((cent * cent).sum(axis=1))
+
+    def _best_cells(mat: "np.ndarray", n: int) -> "np.ndarray":
+        """Indices (into the cell-sorted codebook) of the n best cells
+        per row: half-away-6dp cosine, stable sort = smallest cell on
+        ties — cell_assign's exact convention."""
+        raw = (mat @ cent.T) / (
+            np.sqrt((mat * mat).sum(axis=1))[:, None] * cent_norm[None, :]
+        )
+        s = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
+        return np.argsort(-s, axis=1, kind="stable")[:, :n]
+
+    # PQ codebook: residuals of the ncent smallest-id vectors AFTER the
+    # coarse ones (ranks num_cells+1..num_cells+ncent — the coarse
+    # centroids' own residuals are all-zero and would waste codebook
+    # slots), encoded driver-side (ncent×dim — model-sized).
+    pq_rows = c.orderBy("id").limit(num_cells + ncent).collect()[num_cells:]
+    pq_mat = np.stack([np.asarray(r["vec"], dtype="float64") for r in pq_rows])
+    pq_res = pq_mat - cent[_best_cells(pq_mat, 1)[:, 0]]
+
+    sc = corpus.sparkSession.sparkContext
+    bc = sc.broadcast((cell_ids, cent, pq_res))
+
+    def _sub_d2(X: "np.ndarray", C: "np.ndarray", j: int) -> "np.ndarray":
+        """(len(X), len(C)) squared L2 in subspace j, accumulated
+        dimension-sequentially — the list_dot_product op order (see
+        pq_topk; 2·ab is a power-of-two scale, exact in IEEE754)."""
+        Xj = X[:, j * sub : (j + 1) * sub]
+        Cj = C[:, j * sub : (j + 1) * sub]
+        ab = np.zeros((len(Xj), len(Cj)))
+        aa = np.zeros(len(Xj))
+        bb = np.zeros(len(Cj))
+        for d in range(sub):
+            ab += Xj[:, d, None] * Cj[None, :, d]
+            aa += Xj[:, d] * Xj[:, d]
+            bb += Cj[:, d] * Cj[:, d]
+        return (aa[:, None] - 2.0 * ab) + bb[None, :]
+
+    # --- corpus pass: assign cell + encode residual, one map stage -----
+    def encode(batches):
+        import pandas as pd
+
+        ids, cm, cres = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["vec"].to_numpy())
+            best = _best_cells(X, 1)[:, 0]
+            R = X - cm[best]
+            codes = np.stack(
+                [np.argmin(_sub_d2(R, cres, j), axis=1) for j in range(m)],
+                axis=1,
+            )
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "cell": ids[best],
+                    "codes": list(codes.astype("int32")),
+                }
+            )
+
+    coded = c.mapInPandas(
+        encode,
+        StructType(
+            [
+                StructField("id", c.schema["id"].dataType, False),
+                StructField("cell", LongType(), False),
+                StructField("codes", ArrayType(IntegerType()), False),
+            ]
+        ),
+    )
+
+    # --- query pass: nprobe cells, per-(query,cell) residual ADC table -
+    q = queries.select(
+        F.col(qid).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    )
+
+    def adc_tables(batches):
+        import pandas as pd
+
+        ids, cm, cres = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.stack(pdf["qvec"].to_numpy())
+            probe_idx = _best_cells(Q, nprobe)
+            out_qid, out_cell, out_tab = [], [], []
+            for r in range(len(Q)):
+                for p in range(nprobe):
+                    ci = probe_idx[r, p]
+                    qres = (Q[r] - cm[ci])[None, :]
+                    tab = np.concatenate(
+                        [_sub_d2(qres, cres, j) for j in range(m)], axis=1
+                    )[0]
+                    out_qid.append(pdf["query_id"].iloc[r])
+                    out_cell.append(int(ids[ci]))
+                    out_tab.append(list(tab))
+            yield pd.DataFrame(
+                {"query_id": out_qid, "cell": out_cell, "adc": out_tab}
+            )
+
+    qtab = q.mapInPandas(
+        adc_tables,
+        StructType(
+            [
+                StructField("query_id", q.schema["query_id"].dataType, False),
+                StructField("cell", LongType(), False),
+                StructField("adc", ArrayType(DoubleType()), False),
+            ]
+        ),
+    )
+
+    # approx dist = sum_j adc[j*ncent + codes[j]] — j-ascending on both
+    # engines; candidates limited to probed cells by the join key.
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.col("adc"),
+            (j * ncent + F.element_at(F.col("codes"), j + 1) + 1).cast("int"),
+        ),
+    )
+    scored = (
+        coded.join(F.broadcast(qtab), "cell")
+        .filter(F.col("id") != F.col("query_id"))
+        .withColumn("adc_dist", F.round(dist, 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("id").alias("neighbor_id"), "adc_dist", "rank")
     )

@@ -2236,6 +2236,105 @@ def ann_pq_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_code_lateral(j: int) -> str:
+    return (
+        f"JOIN LATERAL (SELECT cidx FROM cb "
+        f"ORDER BY {_pq_d2_sql('a.res', 'cb.e', j)} ASC, cidx ASC LIMIT 1) b{j} ON TRUE"
+    )
+
+
+@_register(
+    "ann_ivfpq_top10",
+    # The COMPOSED index (IVFADC): every stage — coarse assignment,
+    # residual, residual-PQ encoding, probe selection, ADC over probed
+    # cells — replays in SQL. Residuals are plain elementwise list
+    # subtraction (the lateral's ce is re-selected to a regular column
+    # first: DuckDB lambdas can capture row columns but not LATERAL
+    # correlations); everything else reuses the proven ivf/pq kernels.
+    oracle=f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cells AS (
+    SELECT vec_id AS cell, e AS ce FROM v ORDER BY vec_id LIMIT 8
+),
+assigned AS (
+    SELECT id, e, cell,
+           list_transform(generate_series(1, len(e)), i -> e[i] - ce[i]) AS res
+    FROM (
+        SELECT v.vec_id AS id, v.e, b.cell, b.ce
+        FROM v
+        JOIN LATERAL (
+            SELECT c.cell, c.ce, {_cos_sql('v.e', 'c.ce')} AS sim
+            FROM cells c ORDER BY sim DESC, c.cell ASC LIMIT 1
+        ) b ON TRUE
+    )
+),
+cb AS (
+    SELECT row_number() OVER (ORDER BY id) - 1 AS cidx, res AS e
+    FROM (SELECT id, res FROM assigned ORDER BY id LIMIT 16 OFFSET 8)
+),
+codes AS (
+    SELECT a.id, a.cell,
+           b0.cidx AS c0, b1.cidx AS c1, b2.cidx AS c2, b3.cidx AS c3
+    FROM assigned a
+    {_ivfpq_code_lateral(0)}
+    {_ivfpq_code_lateral(1)}
+    {_ivfpq_code_lateral(2)}
+    {_ivfpq_code_lateral(3)}
+),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
+probes AS (
+    SELECT query_id, cell,
+           list_transform(generate_series(1, len(qe)), i -> qe[i] - ce[i]) AS qres
+    FROM (
+        SELECT q.query_id, q.qe, c.cell, c.ce,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_cos_sql('q.qe', 'c.ce')} DESC, c.cell ASC) AS pr
+        FROM q, cells c
+    ) WHERE pr <= 2
+),
+s AS (
+    SELECT p.query_id, c.id AS neighbor_id,
+           round({_pq_d2_sql('p.qres', 'k0.e', 0)}
+               + {_pq_d2_sql('p.qres', 'k1.e', 1)}
+               + {_pq_d2_sql('p.qres', 'k2.e', 2)}
+               + {_pq_d2_sql('p.qres', 'k3.e', 3)}, 6) AS adc_dist
+    FROM codes c
+    JOIN probes p USING (cell)
+    JOIN cb k0 ON k0.cidx = c.c0
+    JOIN cb k1 ON k1.cidx = c.c1
+    JOIN cb k2 ON k2.cidx = c.c2
+    JOIN cb k3 ON k3.cidx = c.c3
+    WHERE c.id <> p.query_id
+),
+r AS (
+    SELECT query_id, neighbor_id, adc_dist,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+    FROM s
+)
+SELECT query_id, neighbor_id, adc_dist, rank FROM r WHERE rank <= 10
+""",
+    tags=("ann", "ivf", "pq", "embedding"),
+    bench=True,
+)
+def ann_ivfpq_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC top-10 (operators.ann.ivfpq_topk) — the composed
+    production vector index: an 8-cell inverted file prunes candidates
+    to 2 probed cells per query, and candidates rank by asymmetric
+    distance against 4-subspace PQ codes of their cell RESIDUALS
+    (16 deterministic residual centroids). IVF cuts candidates scanned,
+    PQ cuts bytes per candidate — at 100 TB the scan reads
+    nprobe/num_cells of a ~dim/m-times-smaller code table. One bounded
+    codebook collect + one map-only assign-and-encode pass; the
+    candidate scan is a broadcast hash join on the probed cells."""
+    e = T(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    return ann.ivfpq_topk(
+        e, queries, "vec_id", "embedding",
+        k=10, num_cells=8, nprobe=2, m=4, ncent=16,
+    )
+
+
 # ===========================================================================
 # Curation funnel report (quality gate → exact dedup → sampling)
 # ===========================================================================

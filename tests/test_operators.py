@@ -1652,3 +1652,102 @@ class TestZorderLayout:
         # z-order: BOTH predicates prune (hyper-rectangular buckets)
         assert rep[("zorder", "key1_eq")][0] < 32
         assert rep[("zorder", "key2_range")][0] < 32
+
+
+class TestIVFPQ:
+    """Composed IVFADC (coarse IVF + PQ over residuals): a pure-Python
+    replay of every stage — assignment, residual, encoding, probe, ADC —
+    must reproduce the distributed result, and the result must be
+    invariant to the input partitioning."""
+
+    def _replay(self, rows, qids, num_cells=8, nprobe=2, m=4, ncent=16, k=5):
+        def r6(x):
+            return math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
+
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(x * x for x in b))
+            return r6(d / (na * nb))
+
+        ids = sorted(i for i, _ in rows)
+        vecs = dict(rows)
+        cells = ids[:num_cells]
+        cent = {c: vecs[c] for c in cells}
+
+        def best_cells(v, n):
+            scored = sorted(((-cos(v, cent[c]), c) for c in cells))
+            return [c for _, c in scored[:n]]
+
+        def residual(v, c):
+            return [x - y for x, y in zip(v, cent[c])]
+
+        cb = [residual(vecs[i], best_cells(vecs[i], 1)[0])
+              for i in ids[num_cells:num_cells + ncent]]
+        dim = len(cb[0])
+        sub = dim // m
+
+        def d2(a, b, j):
+            sa = a[j * sub:(j + 1) * sub]
+            sb = b[j * sub:(j + 1) * sub]
+            return (sum(x * x for x in sa) - 2 * sum(x * y for x, y in zip(sa, sb))) \
+                + sum(x * x for x in sb)
+
+        assigned = {i: best_cells(vecs[i], 1)[0] for i in ids}
+        codes = {
+            i: [min(range(ncent), key=lambda c: (d2(residual(vecs[i], assigned[i]), cb[c], j), c))
+                for j in range(m)]
+            for i in ids
+        }
+        out = {}
+        for q in qids:
+            cand = []
+            for c in best_cells(vecs[q], nprobe):
+                qres = residual(vecs[q], c)
+                for i in ids:
+                    if i != q and assigned[i] == c:
+                        dist = round(sum(d2(qres, cb[codes[i][j]], j) for j in range(m)), 6)
+                        cand.append((dist, i))
+            out[q] = sorted(cand)[:k]
+        return out
+
+    def test_matches_python_replay(self, spark):
+        from hebrew_tutor_data_pipeline_spark.operators.ann import ivfpq_topk
+
+        rows = [
+            (i, [math.sin((i + 1) * (d + 1) * 0.7) for d in range(8)])
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        queries = df.filter(F.col("vec_id") < 3)
+        got = ivfpq_topk(
+            df, queries, "vec_id", "embedding",
+            k=5, num_cells=8, nprobe=2, m=4, ncent=16,
+        ).collect()
+        expect = self._replay(rows, [0, 1, 2])
+        for q in (0, 1, 2):
+            mine = [
+                (r["adc_dist"], r["neighbor_id"])
+                for r in sorted(
+                    (r for r in got if r["query_id"] == q), key=lambda r: r["rank"]
+                )
+            ]
+            assert [i for _, i in expect[q]] == [i for _, i in mine], q
+            for (de, _), (dm, _) in zip(expect[q], mine):
+                assert abs(de - dm) < 1e-6
+
+    def test_partition_invariance(self, spark):
+        import random
+
+        from hebrew_tutor_data_pipeline_spark.operators.ann import ivfpq_topk
+
+        rng = random.Random(17)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(120)]
+        a = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        qs = a.filter(F.col("vec_id") < 3)
+        kw = dict(k=10, num_cells=8, nprobe=2, m=4, ncent=16)
+        ra = sorted(map(tuple, ivfpq_topk(a, qs, "vec_id", "embedding", **kw).collect()))
+        b = a.repartition(13)
+        qb = b.filter(F.col("vec_id") < 3)
+        rb = sorted(map(tuple, ivfpq_topk(b, qb, "vec_id", "embedding", **kw).collect()))
+        assert ra == rb

@@ -215,6 +215,12 @@ EXPECTATIONS: dict[str, list[tuple[bool, str, str]]] = {
         (True, "!CartesianProduct", "no all-pairs plan"),
         (True, "!SortMergeJoin", "ranking join never shuffles the corpus"),
     ],
+    "ann_ivfpq_top10": [
+        (True, "MapInPandas", "assign+residual-encode is ONE Arrow-batched map pass"),
+        (True, "BroadcastHashJoin|BroadcastExchange", "probed-cell ADC tables broadcast onto codes"),
+        (True, "!CartesianProduct", "candidates restricted to probed cells via the cell key"),
+        (True, "!SortMergeJoin", "the corpus never shuffles to be scanned"),
+    ],
     "dsir_importance_select": [
         (True, "TakeOrderedAndProject", "selection cut is top-k, never a global sort"),
         (True, "BroadcastHashJoin", "log-ratio table and selected ids broadcast; corpus shuffles once"),
