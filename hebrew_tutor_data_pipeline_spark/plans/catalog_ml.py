@@ -166,6 +166,122 @@ def doc_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "quality_cutoff_calibration",
+    # Calibrated per-language quality threshold (the FineWeb/DCLM move:
+    # pick the filter cutoff from the corpus score DISTRIBUTION, not a
+    # fixed constant). Cutoff = the classifier logit at the ceil(n/5)-th
+    # rank per language (the bottom-quintile boundary), defined rank-
+    # based over a (lang, logit) HISTOGRAM so no engine ever sorts the
+    # corpus: cumulative counts over the per-language histogram find the
+    # quantile, and every output is integer (micro-logits, ppm token
+    # share) — zero float surface.
+    oracle=f"""
+WITH w(arr) AS (SELECT [{", ".join(repr(x) for x in _CLASSIFIER_W)}]),
+t AS (SELECT doc_id, lang, {_TOKENS_SQL} AS toks FROM documents),
+s AS (
+    SELECT lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(floor(CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(toks,
+                   tk -> arr[({_sql_token_hash('tk')} % {_CLASSIFIER_D}) + 1])),
+               (acc, x) -> acc + x) * 1000000 + 0.5) AS BIGINT) / len(toks)) AS BIGINT)
+           AS logit_micro
+    FROM t CROSS JOIN w
+),
+h AS (
+    SELECT lang, logit_micro, count(*) AS c, sum(n_tokens) AS tok
+    FROM s GROUP BY lang, logit_micro
+),
+l AS (SELECT lang, sum(c) AS n_docs, sum(tok) AS total_tokens FROM h GROUP BY lang),
+cum AS (
+    SELECT lang, logit_micro, c,
+           sum(c) OVER (PARTITION BY lang ORDER BY logit_micro ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+    FROM h
+),
+cut AS (
+    SELECT cum.lang, min(cum.logit_micro) AS cutoff_logit_micro
+    FROM cum JOIN l USING (lang)
+    WHERE cum.cc >= (l.n_docs + 4) // 5
+    GROUP BY cum.lang
+),
+kept AS (
+    SELECT h.lang,
+           coalesce(sum(CASE WHEN h.logit_micro > k.cutoff_logit_micro THEN h.c END), 0) AS n_kept,
+           coalesce(sum(CASE WHEN h.logit_micro > k.cutoff_logit_micro THEN h.tok END), 0) AS kept_tokens
+    FROM h JOIN cut k USING (lang) GROUP BY h.lang
+)
+SELECT l.lang, l.n_docs, k.cutoff_logit_micro, kp.n_kept,
+       CAST((kp.kept_tokens * 1000000) // l.total_tokens AS BIGINT) AS kept_token_ppm
+FROM l JOIN cut k USING (lang) JOIN kept kp USING (lang)
+""",
+    tags=("quality", "classifier", "calibration", "curation"),
+    bench=True,
+)
+def quality_cutoff_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-calibrated quality cutoff per language: score every
+    doc with the hashed-feature classifier (one map-only pass, identical
+    to doc_classifier_scores), histogram scores per (lang, logit_micro),
+    and read the bottom-quintile boundary off cumulative counts — the
+    exact quantile WITHOUT sorting the corpus. Scale posture: the only
+    corpus-sized shuffle is the histogram groupBy (map-side combined,
+    key cardinality = distinct logits per language); the cumulative
+    window and all joins run on histogram/summary rows, and the
+    summaries broadcast. Outputs are all integers (BIGINT micro-logits
+    and ppm) — no cross-engine float rounding surface."""
+    d = spread(T(spark, sf_dir, "documents"))
+    wsum = text.hashed_weight_sum(F.col("text"), _CLASSIFIER_W)
+    ppm = F.floor(wsum * 1_000_000 + 0.5).cast("long")
+    n = text.whitespace_token_count(F.col("text"))
+    s = d.select(
+        "lang",
+        n.cast("long").alias("n_tokens"),
+        F.floor(ppm / n).cast("long").alias("logit_micro"),
+    )
+    h = s.groupBy("lang", "logit_micro").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("n_tokens").alias("tok")
+    )
+    lsum = h.groupBy("lang").agg(
+        F.sum("c").alias("n_docs"), F.sum("tok").alias("total_tokens")
+    )
+    wcum = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("logit_micro").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = h.withColumn("cc", F.sum("c").over(wcum))
+    cut = (
+        cum.join(F.broadcast(lsum), "lang")
+        .filter(F.col("cc") >= F.expr("(n_docs + 4) div 5"))
+        .groupBy("lang")
+        .agg(F.min("logit_micro").alias("cutoff_logit_micro"))
+    )
+    is_kept = F.col("logit_micro") > F.col("cutoff_logit_micro")
+    kept = (
+        h.join(F.broadcast(cut), "lang")
+        .groupBy("lang")
+        .agg(
+            F.coalesce(F.sum(F.when(is_kept, F.col("c"))), F.lit(0)).alias("n_kept"),
+            F.coalesce(F.sum(F.when(is_kept, F.col("tok"))), F.lit(0)).alias(
+                "kept_tokens"
+            ),
+        )
+    )
+    return (
+        lsum.join(F.broadcast(cut), "lang")
+        .join(F.broadcast(kept), "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "cutoff_logit_micro",
+            "n_kept",
+            F.expr("(kept_tokens * 1000000) div total_tokens").alias(
+                "kept_token_ppm"
+            ),
+        )
+    )
+
+
+@_register(
     "doc_lm_perplexity",
     # Two-pass corpus-trained bigram LM, replayed exactly: identical
     # tokenization (_TOKENS_SQL), identical add-one smoothing, per-term
@@ -1200,6 +1316,77 @@ def semantic_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = _embeddings_codebook(spark, sf_dir, k=k)
     out = dedup.semantic_dedup(e, "vec_id", "embedding", codebook=cb, tau=0.35)
     return out.withColumnRenamed("id", "vec_id")
+
+
+@_register(
+    "cluster_balanced_sample",
+    # Diversity-preserving coreset selection (the DataComp/DoReMi-family
+    # move after SemDeDup: sample per semantic CLUSTER, not per corpus,
+    # so head clusters stop dominating): ceil(sqrt(cell_n)) docs per
+    # k-means cell, chosen by salted-hash order (retry-stable, no RNG).
+    # The oracle replays the identical derived-k codebook chain as
+    # semantic_dedup_flags, the salted polynomial hash, and the sqrt
+    # budget (IEEE sqrt is correctly rounded — identical both engines;
+    # perfect squares are exact, so ceil never sits on a float boundary).
+    oracle=f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+c0 AS (
+    SELECT rn - 1 AS cell, e AS ce
+    FROM (SELECT row_number() OVER (ORDER BY vec_id) AS rn, e FROM v)
+    WHERE rn <= greatest({_SEMDEDUP_MIN_K},
+                         (SELECT count(*) FROM v) // {_SEMDEDUP_TARGET_CELL})
+),
+{_lloyd_sql('c0', 'ba1', 'bm1', 'bc1')},
+{_lloyd_sql('bc1', 'ba2', 'bm2', 'bc2')},
+assigned AS (
+    SELECT v.vec_id AS id, b.cell
+    FROM v
+    JOIN LATERAL (
+        SELECT c.cell, {_cos_sql('v.e', 'c.ce')} AS sim
+        FROM bc2 c ORDER BY sim DESC, c.cell ASC LIMIT 1
+    ) b ON TRUE
+),
+rk AS (
+    SELECT id, cell,
+           count(*) OVER (PARTITION BY cell) AS cell_n,
+           row_number() OVER (
+               PARTITION BY cell
+               ORDER BY {_sql_token_hash("'cbs|' || CAST(id AS VARCHAR)")} ASC, id ASC
+           ) AS sample_rank
+    FROM assigned
+)
+SELECT id AS vec_id, cell, cell_n, sample_rank
+FROM rk WHERE sample_rank <= CAST(ceil(sqrt(cell_n)) AS BIGINT)
+""",
+    tags=("sampling", "diversity", "embedding", "kmeans", "curation"),
+)
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced coreset sampling: assign every embedding to the
+    derived-k k-means codebook (the SemDeDup blocking, memoized), then
+    keep ceil(sqrt(cell_n)) representatives per cell in salted-hash
+    order — head clusters contribute sub-linearly, tail clusters keep
+    at least one exemplar, and the pick is deterministic under task
+    retries. Scale posture: assignment is the map-only broadcast-GEMM
+    stage; the per-cell rank is ONE shuffle whose key count (= k) grows
+    with the corpus by the derived-knob formula, so cells — and their
+    sort runs — stay ≈250 rows at any scale; output size is
+    Σ√cell ≈ √(n·k) ∝ n/√target — sub-linear."""
+    e = spread(T(spark, sf_dir, "embeddings"))
+    k = _semdedup_k_for(e.count())
+    cb = _embeddings_codebook(spark, sf_dir, k=k)
+    assigned = ann.cell_assign(e, "vec_id", "embedding", cb)
+    order_key = dedup.token_hash(
+        F.concat(F.lit("cbs|"), F.col("id").cast("string"))
+    )
+    wc = Window.partitionBy("cell")
+    wr = Window.partitionBy("cell").orderBy(order_key.asc(), F.col("id").asc())
+    return (
+        assigned.select("id", "cell")
+        .withColumn("cell_n", F.count(F.lit(1)).over(wc))
+        .withColumn("sample_rank", F.row_number().over(wr))
+        .filter(F.col("sample_rank") <= F.ceil(F.sqrt(F.col("cell_n"))))
+        .select(F.col("id").alias("vec_id"), "cell", "cell_n", "sample_rank")
+    )
 
 
 _BM25_TERMS = ("spark", "join", "window")

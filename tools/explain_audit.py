@@ -215,6 +215,16 @@ EXPECTATIONS: dict[str, list[tuple[bool, str, str]]] = {
         (True, "!CartesianProduct", "no all-pairs plan"),
         (True, "!SortMergeJoin", "ranking join never shuffles the corpus"),
     ],
+    "quality_cutoff_calibration": [
+        (True, "HashAggregate", "histogram groupBy is map-side combined — the corpus is never sorted"),
+        (True, "!BatchEvalPython", "classifier fold + quantile arithmetic stay JVM-side"),
+        (True, "BroadcastHashJoin|BroadcastExchange", "per-language summaries broadcast back"),
+    ],
+    "cluster_balanced_sample": [
+        (True, "MapInPandas", "cell assignment is the map-only broadcast-GEMM stage"),
+        (True, "Window", "per-cell sqrt budget via one rank window on the cell key"),
+        (True, "!CartesianProduct", "no all-pairs plan"),
+    ],
     "ann_ivfpq_top10": [
         (True, "MapInPandas", "assign+residual-encode is ONE Arrow-batched map pass"),
         (True, "BroadcastHashJoin|BroadcastExchange", "probed-cell ADC tables broadcast onto codes"),
