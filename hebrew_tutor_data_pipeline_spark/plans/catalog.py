@@ -690,6 +690,63 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "streaming_static_enrichment",
+    # Stream-STATIC join — the remaining streaming join class (the
+    # interval entry covers stream-stream): an unbounded event stream
+    # enriched against a bounded dimension needs no state at all on the
+    # static side — Spark re-plans the static relation per micro-batch
+    # and the join is a broadcast hash join inside each batch. With the
+    # whole table replayed through availableNow, the complete-mode
+    # aggregate equals the batch join + group-by exactly.
+    oracle="""
+SELECT c.c_mktsegment AS mktsegment, e.event_type,
+       count(*) AS n_events,
+       round(sum(e.value), 4) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+""",
+    tags=("T1", "J1", "streaming", "stream-static"),
+)
+def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment executed UNDER Structured Streaming:
+    file-source readStream over events, broadcast-joined per micro-batch
+    to the static customer dimension (the reference's config/lookup
+    joins against a live stream), then a complete-mode segment × type
+    aggregate through the idempotent foreachBatch parquet sink.
+
+    Scale posture: the static side is dimension-sized and broadcasts —
+    the stream side never shuffles to join, state is only the
+    (#segments × #types) aggregate rows, and an unbounded deployment
+    keeps the identical plan in append mode with a watermark. The sum
+    is rounded at 4 dp (streaming state accumulates in arrival order;
+    the rounded sum is the cross-engine-stable surface)."""
+    from ..streaming.sources import (
+        events_parquet_stream,
+        run_available_now_to_parquet,
+        scratch_key_for,
+    )
+
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    stream = events_parquet_stream(spark, sf_dir)
+    agg = (
+        stream.join(F.broadcast(cust), stream["user_id"] == cust["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("mktsegment"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    return run_available_now_to_parquet(
+        agg,
+        scratch_key=scratch_key_for(sf_dir),
+        output_mode="complete",
+        query_name="static_enrichment_stream",
+    )
+
+
+@_register(
     "streaming_terminal_job_status",
     # With the whole table replayed in one availableNow batch, each
     # key's updates arrive ts-sorted inside the stateful function:

@@ -1667,6 +1667,93 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "retrieval_hard_negatives",
+    # Hard-negative mining for contrastive retriever training (DPR,
+    # Karpukhin et al. EMNLP 2020 §3.2: "BM25 negatives" — lexically
+    # close, semantically far): lexical top-20 docs that do NOT appear
+    # in the dense top-20 anchored at the lexical winner. Both arms are
+    # the RRF entry's verbatim chains; the set difference is an anti
+    # join, so the two registered retrieval queries pin each other.
+    oracle=_BM25_CTES_SQL + f""",
+lex AS (
+    SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS lex_rank
+    FROM bmt
+),
+anchor AS (
+    SELECT CAST(e.embedding AS DOUBLE[]) AS qe
+    FROM embeddings e JOIN lex ON e.vec_id = lex.doc_id
+    WHERE lex.lex_rank = 1
+),
+dcos AS (
+    SELECT v.vec_id AS doc_id,
+           {_cos_sql('CAST(v.embedding AS DOUBLE[])', '(SELECT qe FROM anchor)')} AS cosine
+    FROM embeddings v
+),
+dense AS (
+    SELECT doc_id FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS dr
+        FROM dcos
+    ) WHERE dr <= 20
+)
+SELECT l.doc_id, l.lex_rank, c.cosine,
+       row_number() OVER (ORDER BY l.lex_rank ASC) AS neg_rank
+FROM lex l JOIN dcos c USING (doc_id) LEFT JOIN dense d USING (doc_id)
+WHERE d.doc_id IS NULL
+""",
+    tags=("retrieval", "bm25", "ann", "contrastive", "curation"),
+)
+def retrieval_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPR-style hard negatives: BM25 top-20 candidates anti-joined
+    against the dense cosine top-20 (anchored at the lexical winner's
+    embedding) — the docs a lexical index retrieves that an embedding
+    model rejects, exactly the negatives contrastive retriever
+    training wants. Reuses the RRF entry's arms verbatim (shared BM25
+    scorer, 1-row broadcast anchor, one map-stage cosine scan); the
+    difference is a 20-vs-20 anti join, driver-trivial. At 100 TB both
+    arms are the same TakeOrderedAndProject-bounded plans the
+    retrieval entries already run; only ranks and a 6-dp cosine cross
+    the join."""
+    top = _bm25_topk(spark, sf_dir)
+    wl = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    lex = top.select("doc_id", F.row_number().over(wl).alias("lex_rank"))
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    anchor = (
+        lex.filter(F.col("lex_rank") == 1)
+        .join(e, F.col("doc_id") == F.col("vec_id"))
+        .select(F.col("e").alias("qe"))
+    )
+    from ..functions.similarity import cosine_similarity
+
+    dcos = (
+        spread(e)
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine_similarity(F.col("e"), F.col("qe")), 6).alias("cosine"),
+        )
+    )
+    wd = Window.orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
+    dense = (
+        dcos.select("doc_id", F.row_number().over(wd).alias("dr"))
+        .filter(F.col("dr") <= 20)
+        .select("doc_id")
+    )
+    wn = Window.orderBy(F.col("lex_rank").asc())
+    return (
+        lex.join(dcos, "doc_id")
+        .join(dense, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "cosine",
+            F.row_number().over(wn).alias("neg_rank"),
+        )
+    )
+
+
 # ===========================================================================
 # Hebrew normalization (literal corpus — engine-constructed, sf-independent)
 # ===========================================================================

@@ -215,6 +215,11 @@ EXPECTATIONS: dict[str, list[tuple[bool, str, str]]] = {
         (True, "!CartesianProduct", "no all-pairs plan"),
         (True, "!SortMergeJoin", "ranking join never shuffles the corpus"),
     ],
+    "retrieval_hard_negatives": [
+        (True, "TakeOrderedAndProject", "lexical arm stays a bounded top-k"),
+        (True, "BroadcastExchange", "anchor embedding is a 1-row broadcast"),
+        (True, "!BatchEvalPython", "BM25 + cosine scoring stay JVM-side"),
+    ],
     "quality_cutoff_calibration": [
         (True, "HashAggregate", "histogram groupBy is map-side combined — the corpus is never sorted"),
         (True, "!BatchEvalPython", "classifier fold + quantile arithmetic stay JVM-side"),
