@@ -1784,3 +1784,91 @@ def winnow_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.winnow_fingerprints(
         T(spark, sf_dir, "documents"), "doc_id", "text", k=3, w=4
     )
+
+
+def _spectral_oracle() -> str:
+    """DuckDB twin of the FFT spectral profile: the committed fixture
+    tree's decode dims (md5 freq, sample count — the same formulas
+    ``operators.multimodal._fake_waveform`` applies on the executors)
+    inline as a VALUES dim, and the SPECTRUM ITSELF replays as a naive
+    O(n·k) DFT in SQL — an algorithm genuinely independent of numpy's
+    Cooley-Tukey path, so hash equality certifies the transform.
+    Float32 truncation sits exactly at the Arrow boundary (CAST AS
+    REAL), matching the stored array<float> samples."""
+    import hashlib
+
+    dims = []
+    for p in sorted(Path(FIXTURE_AUDIO_TREE).glob("*/*.mp3")):
+        payload = p.read_bytes()
+        if len(payload) < 1024:
+            continue
+        n = max(160, int(len(payload) / 1024 * 0.05 * 16000))
+        if n < 1024:
+            continue
+        freq = 100 + hashlib.md5(payload).digest()[0]
+        dims.append((p.name.replace("'", "''"), n, freq))
+    vals = ",\n  ".join(f"('{f}', {n}, {fr})" for f, n, fr in dims)
+    return f"""
+WITH dims(filename, n, freq) AS (VALUES
+  {vals}),
+idx AS (SELECT filename, freq, unnest(range(0, 1024)) AS i FROM dims),
+samp AS (
+  SELECT filename, i,
+         CAST(CAST(sin(2 * pi() * freq * i / 16000) AS REAL) AS DOUBLE) AS x
+  FROM idx),
+bins AS (SELECT unnest(range(1, 513)) AS k),
+dft AS (
+  SELECT s.filename, b.k,
+         sqrt(pow(sum(s.x * cos(2 * pi() * b.k * s.i / 1024)), 2)
+            + pow(sum(s.x * sin(2 * pi() * b.k * s.i / 1024)), 2)) AS mag
+  FROM samp s CROSS JOIN bins b
+  GROUP BY s.filename, b.k
+),
+dom AS (
+  SELECT filename, k, mag,
+         row_number() OVER (PARTITION BY filename ORDER BY mag DESC, k ASC) AS r,
+         sum(mag) OVER (PARTITION BY filename) AS tot
+  FROM dft
+)
+SELECT d.filename, dm.n AS num_samples, CAST(d.k AS INTEGER) AS dominant_bin,
+       CAST(d.k * 15.625 AS DOUBLE) AS dominant_freq_hz,
+       CAST(floor(1000 * d.mag / d.tot + 0.5) AS BIGINT) AS tonality_milli
+FROM dom d JOIN dims dm USING (filename) WHERE d.r = 1
+"""
+
+
+@_register(
+    "audio_spectral_profile",
+    # Gate on the audio tree's OWN fixtures (the advisor's lesson from
+    # the PDF oracle): import of `plans` must survive a checkout that
+    # ships only some fixture families.
+    oracle=(
+        _spectral_oracle()
+        if next(Path(FIXTURE_AUDIO_TREE).glob("*/*.mp3"), None) is not None
+        else None
+    ),
+    tags=("S5", "U4", "multimodal", "spectral", "fft"),
+)
+def audio_spectral_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral profile of every fixture chapter: S2 glob scan → S5
+    decode → REAL numpy FFT over the first 1024 samples per file
+    (operators.audio.spectral_features) → dominant bin / frequency and
+    an integer tonality share. The DuckDB oracle recomputes the same
+    spectrum as a naive DFT in SQL, so the hash gate certifies the
+    Fourier math itself, not a replayed constant. Map-only end to end —
+    the FFT pipelines with decode in one Arrow stage, no shuffle."""
+    from ..operators import audio as audio_ops
+    from ..operators.multimodal import decode_audio
+    from ..sources.readers import read_binary_files
+
+    files = read_binary_files(spark, FIXTURE_AUDIO_TREE, glob="*.mp3").filter(
+        F.col("length") >= 1024
+    )
+    wf = decode_audio(files).filter(F.size("samples") >= 1024)
+    return audio_ops.spectral_features(wf, nfft=1024).select(
+        F.regexp_extract("path", r"([^/]+)$", 1).alias("filename"),
+        "num_samples",
+        "dominant_bin",
+        "dominant_freq_hz",
+        "tonality_milli",
+    )

@@ -520,3 +520,64 @@ class TestRealPdfTier:
 
 
 TestRealPdfTier = _pytest_mod.mark.realmedia(TestRealPdfTier)
+
+
+class TestSpectralFeatures:
+    """spectral_features: the numpy-FFT dominant bin must agree with an
+    independently-coded naive DFT on arbitrary sines, short inputs are
+    dropped, and the frequency arithmetic is exact."""
+
+    def _naive_dom(self, x, half=512):
+        n = len(x)
+        best = (-1.0, 0)
+        tot = 0.0
+        for k in range(1, half + 1):
+            re = sum(x[i] * math.cos(2 * math.pi * k * i / n) for i in range(n))
+            im = sum(x[i] * math.sin(2 * math.pi * k * i / n) for i in range(n))
+            mag = math.hypot(re, im)
+            tot += mag
+            if mag > best[0]:
+                best = (mag, k)
+        return best[1], best[0], tot
+
+    def test_matches_naive_dft(self, spark):
+        from hebrew_tutor_data_pipeline_spark.operators.audio import (
+            spectral_features,
+        )
+
+        nfft = 256
+        rows = []
+        expect = {}
+        for j, (freq, phase) in enumerate(
+            [(430.0, 0.0), (1202.5, 1.1), (3333.0, 2.7), (7001.0, 0.4)]
+        ):
+            x = [
+                float(np.float32(math.sin(2 * math.pi * freq * i / 16000 + phase)))
+                for i in range(nfft)
+            ]
+            rows.append((f"f{j}", 16000, x))
+            dom, mag, tot = self._naive_dom(x, half=nfft // 2)
+            expect[f"f{j}"] = (
+                dom,
+                dom * 16000 / nfft,
+                int(math.floor(1000.0 * mag / tot + 0.5)),
+            )
+        df = spark.createDataFrame(rows, "path string, sample_rate int, samples array<float>")
+        got = {
+            r["path"]: (r["dominant_bin"], r["dominant_freq_hz"], r["tonality_milli"])
+            for r in spectral_features(df, nfft=nfft).collect()
+        }
+        assert got == expect
+
+    def test_short_inputs_dropped(self, spark):
+        from hebrew_tutor_data_pipeline_spark.operators.audio import (
+            spectral_features,
+        )
+
+        df = spark.createDataFrame(
+            [("short", 16000, [0.1] * 100), ("ok", 16000, [0.1] * 300)],
+            "path string, sample_rate int, samples array<float>",
+        )
+        out = spectral_features(df, nfft=256).collect()
+        assert [r["path"] for r in out] == ["ok"]
+        assert out[0]["num_samples"] == 300

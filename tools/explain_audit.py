@@ -215,6 +215,10 @@ EXPECTATIONS: dict[str, list[tuple[bool, str, str]]] = {
         (True, "!CartesianProduct", "no all-pairs plan"),
         (True, "!SortMergeJoin", "ranking join never shuffles the corpus"),
     ],
+    "audio_spectral_profile": [
+        (True, "MapInPandas", "decode + FFT pipeline in Arrow map stages"),
+        (True, "!Exchange", "map-only end to end — no shuffle at all"),
+    ],
     "retrieval_hard_negatives": [
         (True, "TakeOrderedAndProject", "lexical arm stays a bounded top-k"),
         (True, "BroadcastExchange", "anchor embedding is a 1-row broadcast"),
