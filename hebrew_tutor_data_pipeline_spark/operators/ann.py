@@ -791,3 +791,103 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("id").alias("neighbor_id"), "adc_dist", "rank")
     )
+
+
+def ivfpq_reconstruction(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_cells: int = 8,
+    m: int = 4,
+    ncent: int = 16,
+) -> DataFrame:
+    """Per-vector IVFADC quantization error — the CERTIFICATE for the
+    compression tier (the sketch_accuracy move applied to PQ): how much
+    signal the m-code representation loses, per vector, in integer
+    micro-units. err = Σⱼ min_k d2(residual_subⱼ, codebookₖ_subⱼ) — the
+    same subspace minima the encoder picks, so this is exactly the
+    ADC self-distance of a vector to its own codes.
+
+    Same deterministic model artifacts and float conventions as
+    ``ivfpq_topk`` (coarse = smallest-id vectors, PQ = residuals of the
+    next ncent, half-away-6dp cosine assignment, dimension-sequential
+    subspace kernel); the per-vector error accumulates the m subspace
+    minima LEFT-ASSOCIATIVELY so the SQL twin's ((e0+e1)+e2)+e3 is
+    bit-identical, then floors to micro-units. One bounded codebook
+    collect + ONE map-only Arrow pass; no shuffle (callers aggregate).
+    Returns (id, cell, err_micro).
+    """
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    c = _as_double_vec(corpus, id_col, vec_col)
+    coarse_rows = c.orderBy("id").limit(num_cells).collect()
+    cell_ids = np.array([int(r["id"]) for r in coarse_rows], dtype="int64")
+    cent = np.stack([np.asarray(r["vec"], dtype="float64") for r in coarse_rows])
+    dim = cent.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} must divide into {m} subspaces")
+    sub = dim // m
+    cent_norm = np.sqrt((cent * cent).sum(axis=1))
+
+    def best_cell(mat: "np.ndarray") -> "np.ndarray":
+        raw = (mat @ cent.T) / (
+            np.sqrt((mat * mat).sum(axis=1))[:, None] * cent_norm[None, :]
+        )
+        s = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
+        return np.argsort(-s, axis=1, kind="stable")[:, 0]
+
+    pq_rows = c.orderBy("id").limit(num_cells + ncent).collect()[num_cells:]
+    pq_mat = np.stack([np.asarray(r["vec"], dtype="float64") for r in pq_rows])
+    pq_res = pq_mat - cent[best_cell(pq_mat)]
+    bc = corpus.sparkSession.sparkContext.broadcast((cell_ids, cent, pq_res))
+
+    def sub_d2(X: "np.ndarray", C: "np.ndarray", j: int) -> "np.ndarray":
+        Xj = X[:, j * sub : (j + 1) * sub]
+        Cj = C[:, j * sub : (j + 1) * sub]
+        ab = np.zeros((len(Xj), len(Cj)))
+        aa = np.zeros(len(Xj))
+        bb = np.zeros(len(Cj))
+        for d in range(sub):  # dimension-sequential == list_dot_product
+            ab += Xj[:, d, None] * Cj[None, :, d]
+            aa += Xj[:, d] * Xj[:, d]
+            bb += Cj[:, d] * Cj[:, d]
+        return (aa[:, None] - 2.0 * ab) + bb[None, :]
+
+    def errors(batches):
+        import pandas as pd
+
+        ids, cm, cres = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["vec"].to_numpy())
+            raw = (X @ cm.T) / (
+                np.sqrt((X * X).sum(axis=1))[:, None]
+                * np.sqrt((cm * cm).sum(axis=1))[None, :]
+            )
+            s = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
+            best = np.argsort(-s, axis=1, kind="stable")[:, 0]
+            R = X - cm[best]
+            err = None
+            for j in range(m):  # left-assoc subspace accumulation
+                ej = sub_d2(R, cres, j).min(axis=1)
+                err = ej if err is None else err + ej
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "cell": ids[best],
+                    "err_micro": np.floor(err * 1e6 + 0.5).astype("int64"),
+                }
+            )
+
+    return c.mapInPandas(
+        errors,
+        StructType(
+            [
+                StructField("id", c.schema["id"].dataType, False),
+                StructField("cell", LongType(), False),
+                StructField("err_micro", LongType(), False),
+            ]
+        ),
+    )

@@ -2510,6 +2510,78 @@ def ann_pq_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_err_lateral(j: int) -> str:
+    return (
+        f"JOIN LATERAL (SELECT cidx, {_pq_d2_sql('a.res', 'cb.e', j)} AS e2 "
+        f"FROM cb ORDER BY e2 ASC, cidx ASC LIMIT 1) b{j} ON TRUE"
+    )
+
+
+@_register(
+    "pq_reconstruction_report",
+    # The compression tier's accuracy certificate: per coarse cell, how
+    # much signal the m-code PQ representation loses. Per-vector error
+    # is the sum of the encoder's own subspace minima, accumulated
+    # left-associatively on both engines and floored to micro-units —
+    # the floats are bit-identical by the proven subspace kernel, so
+    # the integers are too.
+    oracle=f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cells AS (
+    SELECT vec_id AS cell, e AS ce FROM v ORDER BY vec_id LIMIT 8
+),
+assigned AS (
+    SELECT id, e, cell,
+           list_transform(generate_series(1, len(e)), i -> e[i] - ce[i]) AS res
+    FROM (
+        SELECT v.vec_id AS id, v.e, b.cell, b.ce
+        FROM v
+        JOIN LATERAL (
+            SELECT c.cell, c.ce, {_cos_sql('v.e', 'c.ce')} AS sim
+            FROM cells c ORDER BY sim DESC, c.cell ASC LIMIT 1
+        ) b ON TRUE
+    )
+),
+cb AS (
+    SELECT row_number() OVER (ORDER BY id) - 1 AS cidx, res AS e
+    FROM (SELECT id, res FROM assigned ORDER BY id LIMIT 16 OFFSET 8)
+),
+errs AS (
+    SELECT a.id, a.cell,
+           CAST(floor((((b0.e2 + b1.e2) + b2.e2) + b3.e2) * 1000000 + 0.5)
+                AS BIGINT) AS err_micro
+    FROM assigned a
+    {_ivfpq_err_lateral(0)}
+    {_ivfpq_err_lateral(1)}
+    {_ivfpq_err_lateral(2)}
+    {_ivfpq_err_lateral(3)}
+)
+SELECT cell, count(*) AS n_vectors,
+       CAST(sum(err_micro) // count(*) AS BIGINT) AS mean_err_micro,
+       max(err_micro) AS max_err_micro
+FROM errs GROUP BY cell
+""",
+    tags=("ann", "pq", "certificate", "embedding"),
+)
+def pq_reconstruction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization-error report for the IVFADC tier
+    (operators.ann.ivfpq_reconstruction): per coarse cell, the count,
+    integer-mean and max of each vector's ADC self-distance to its own
+    PQ codes — the number an operator watches to size m/ncent before
+    trusting the compressed index at 100 TB (the same certificate
+    discipline as sketch_accuracy_certificates for HLL). One map-only
+    Arrow pass plus one k-row aggregate; no shuffle of vectors."""
+    e = T(spark, sf_dir, "embeddings")
+    errs = ann.ivfpq_reconstruction(
+        e, "vec_id", "embedding", num_cells=8, m=4, ncent=16
+    )
+    return errs.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.expr("sum(err_micro) div count(1)").alias("mean_err_micro"),
+        F.max("err_micro").alias("max_err_micro"),
+    )
+
+
 def _ivfpq_code_lateral(j: int) -> str:
     return (
         f"JOIN LATERAL (SELECT cidx FROM cb "

@@ -1751,3 +1751,51 @@ class TestIVFPQ:
         qb = b.filter(F.col("vec_id") < 3)
         rb = sorted(map(tuple, ivfpq_topk(b, qb, "vec_id", "embedding", **kw).collect()))
         assert ra == rb
+
+
+class TestIVFPQReconstruction:
+    def test_codebook_vectors_lossless_and_nonneg(self, spark):
+        from hebrew_tutor_data_pipeline_spark.operators.ann import (
+            ivfpq_reconstruction,
+        )
+
+        rows = [
+            (i, [math.sin((i + 1) * (d + 1) * 0.7) for d in range(8)])
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        out = {
+            r["id"]: r["err_micro"]
+            for r in ivfpq_reconstruction(
+                df, "vec_id", "embedding", num_cells=8, m=4, ncent=16
+            ).collect()
+        }
+        assert len(out) == 60
+        assert all(v >= 0 for v in out.values())
+        # ids 8..23 supplied the PQ codebook: their own residual IS a
+        # centroid, so every subspace minimum — and the error — is zero
+        for i in range(8, 24):
+            assert out[i] == 0, i
+        # and the tiers must lose SOMETHING somewhere, or the test is vacuous
+        assert any(v > 0 for v in out.values())
+
+    def test_partition_invariance(self, spark):
+        from hebrew_tutor_data_pipeline_spark.operators.ann import (
+            ivfpq_reconstruction,
+        )
+
+        rows = [
+            (i, [math.sin((i + 3) * (d + 2) * 1.3) for d in range(8)])
+            for i in range(80)
+        ]
+        a = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        ra = sorted(map(tuple, ivfpq_reconstruction(a, "vec_id", "embedding").collect()))
+        rb = sorted(
+            map(
+                tuple,
+                ivfpq_reconstruction(
+                    a.repartition(7), "vec_id", "embedding"
+                ).collect(),
+            )
+        )
+        assert ra == rb

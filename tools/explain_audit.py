@@ -215,6 +215,11 @@ EXPECTATIONS: dict[str, list[tuple[bool, str, str]]] = {
         (True, "!CartesianProduct", "no all-pairs plan"),
         (True, "!SortMergeJoin", "ranking join never shuffles the corpus"),
     ],
+    "pq_reconstruction_report": [
+        (True, "MapInPandas", "error computation is one Arrow map pass"),
+        (True, "HashAggregate", "per-cell report aggregates map-side"),
+        (True, "!CartesianProduct", "no all-pairs plan"),
+    ],
     "audio_spectral_profile": [
         (True, "MapInPandas", "decode + FFT pipeline in Arrow map stages"),
         (True, "!Exchange", "map-only end to end — no shuffle at all"),
