@@ -911,6 +911,49 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_cluster_stats",
+    # The dedup run's OPERATOR REPORT: cluster-size distribution —
+    # singleton share, small-cluster masses, the giant component — the
+    # numbers that decide whether the near-dup threshold is sane before
+    # committing a keep-one pass at 100 TB. The oracle composes the
+    # registered dedup_clusters oracle VERBATIM (the recall-report
+    # discipline), so this entry and its parent pin each other.
+    oracle=f"""
+WITH base AS ({{}}),
+comp AS (
+    SELECT component_id, any_value(component_size) AS cluster_size
+    FROM base GROUP BY component_id
+)
+SELECT cluster_size, count(*) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+       CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_dup_docs
+FROM comp GROUP BY cluster_size
+""".format(CATALOG["dedup_clusters"].oracle),
+    tags=("dedup", "clustering", "report", "curation"),
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size distribution of the SimHash/connected-components
+    dedup run: per distinct size, how many clusters, how many documents
+    they hold, and how many would be REMOVED by keep-one-per-cluster —
+    the yield forecast a curation operator reads before executing the
+    drop. Adds one tiny (component, size) aggregate on top of the
+    clustering plan; sizes and counts are exact integers."""
+    clusters = dedup_clusters(spark, sf_dir)
+    comp = clusters.groupBy("component_id").agg(
+        F.first("component_size").alias("cluster_size")
+    )
+    return comp.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_docs"),
+        ((F.col("cluster_size") - 1) * F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_dup_docs"),
+    )
+
+
+@_register(
     "embedding_near_dup_pairs",
     oracle="""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
