@@ -1070,6 +1070,97 @@ def streaming_clicks_in_purchase_windows(spark: SparkSession, sf_dir: str) -> Da
 
 
 @_register(
+    "event_conversion_funnel",
+    # Ordered conversion funnel (view → click → purchase, strict
+    # temporal chaining per user): step k counts users whose earliest
+    # qualifying event happens strictly AFTER their step-(k-1) anchor.
+    # Conversion shares are integer ppm via BIGINT div — no float.
+    oracle="""
+WITH n0 AS (SELECT count(DISTINCT user_id) AS n FROM events),
+u1 AS (
+    SELECT user_id, min(ts) AS t1 FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+u2 AS (
+    SELECT e.user_id, min(e.ts) AS t2
+    FROM events e JOIN u1 ON e.user_id = u1.user_id
+    WHERE e.event_type = 'click' AND e.ts > u1.t1
+    GROUP BY e.user_id
+),
+u3 AS (
+    SELECT e.user_id, min(e.ts) AS t3
+    FROM events e JOIN u2 ON e.user_id = u2.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > u2.t2
+    GROUP BY e.user_id
+),
+c AS (
+    SELECT (SELECT n FROM n0) AS c0,
+           (SELECT count(*) FROM u1) AS c1,
+           (SELECT count(*) FROM u2) AS c2,
+           (SELECT count(*) FROM u3) AS c3
+)
+SELECT 1 AS step, 'view' AS step_name, c1 AS n_users,
+       CAST((c1 * 1000000) // c0 AS BIGINT) AS conv_ppm FROM c
+UNION ALL
+SELECT 2, 'view>click', c2, CAST((c2 * 1000000) // c1 AS BIGINT) FROM c
+UNION ALL
+SELECT 3, 'view>click>purchase', c3, CAST((c3 * 1000000) // c2 AS BIGINT) FROM c
+""",
+    tags=("A1", "W6", "funnel", "analytics"),
+)
+def event_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the event stream: per user, the
+    earliest view anchors step 1, the earliest click strictly after it
+    anchors step 2, the earliest purchase strictly after THAT anchors
+    step 3 — the product-analytics primitive (and, for a training-data
+    pipeline, the shape of any multi-stage document-lineage funnel).
+
+    Scale posture: three filtered min-aggregates, each map-side
+    combined and keyed by user_id, chained by user-keyed joins that
+    share one hash partitioning (no broadcast of user-sized sides, no
+    window over the raw stream); step counts are scalar aggregates and
+    the 3-row report is built driver-side. Conversion shares are
+    integer ppm (BIGINT div)."""
+    ev = T(spark, sf_dir, "events")
+    n0 = ev.agg(F.countDistinct("user_id").alias("c0"))
+    u1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    u2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(u1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    u3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(u2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    c = (
+        n0.crossJoin(u1.agg(F.count(F.lit(1)).alias("c1")))
+        .crossJoin(u2.agg(F.count(F.lit(1)).alias("c2")))
+        .crossJoin(u3.agg(F.count(F.lit(1)).alias("c3")))
+    )
+    step = lambda k, name, num, den: c.select(  # noqa: E731 — 3-row report
+        F.lit(k).alias("step"),
+        F.lit(name).alias("step_name"),
+        F.col(num).alias("n_users"),
+        F.expr(f"({num} * 1000000) div {den}").alias("conv_ppm"),
+    )
+    return (
+        step(1, "view", "c1", "c0")
+        .unionAll(step(2, "view>click", "c2", "c1"))
+        .unionAll(step(3, "view>click>purchase", "c3", "c2"))
+    )
+
+
+@_register(
     "event_type_shares",
     oracle="""
 WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type)
