@@ -1161,6 +1161,68 @@ def event_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "user_cohort_retention",
+    # Cohort retention matrix: users bucket into hourly cohorts by their
+    # FIRST event; each (cohort, hour-offset) cell counts distinct users
+    # still active — the companion report to the conversion funnel.
+    # Offsets and retention shares are exact integers (epoch-micro div,
+    # ppm div); hours come from the shared date_trunc domain.
+    oracle="""
+WITH f AS (
+    SELECT user_id, date_trunc('hour', min(ts)) AS cohort_hour
+    FROM events GROUP BY user_id
+),
+a AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events),
+cs AS (SELECT cohort_hour, count(*) AS cohort_size FROM f GROUP BY cohort_hour),
+r AS (
+    SELECT f.cohort_hour,
+           (epoch_us(a.h) - epoch_us(f.cohort_hour)) // 3600000000 AS offset_h,
+           count(DISTINCT a.user_id) AS n_active
+    FROM a JOIN f USING (user_id) GROUP BY 1, 2
+)
+SELECT r.cohort_hour, CAST(r.offset_h AS BIGINT) AS offset_h,
+       cs.cohort_size, r.n_active,
+       CAST((r.n_active * 1000000) // cs.cohort_size AS BIGINT) AS retention_ppm
+FROM r JOIN cs USING (cohort_hour)
+""",
+    tags=("A1", "W6", "cohort", "analytics"),
+)
+def user_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly cohort retention: first-event hour assigns each user a
+    cohort; every (cohort, offset) cell counts the distinct users with
+    any activity that many hours later, with an integer-ppm retention
+    share against the cohort size. Scale posture: one user-keyed min
+    aggregate, one distinct on (user, hour) — both map-side combined —
+    and a user-keyed join that reuses the same hash partitioning; the
+    matrix itself is (hours × offsets)-sized, never user-sized."""
+    ev = T(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("cohort_hour")
+    )
+    a = ev.select(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).distinct()
+    cs = f.groupBy("cohort_hour").agg(F.count(F.lit(1)).alias("cohort_size"))
+    r = (
+        a.join(f, "user_id")
+        .groupBy(
+            "cohort_hour",
+            F.expr(
+                "(unix_micros(h) - unix_micros(cohort_hour)) div 3600000000"
+            ).alias("offset_h"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return r.join(cs, "cohort_hour").select(
+        "cohort_hour",
+        "offset_h",
+        "cohort_size",
+        "n_active",
+        F.expr("(n_active * 1000000) div cohort_size").alias("retention_ppm"),
+    )
+
+
+@_register(
     "event_type_shares",
     oracle="""
 WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type)

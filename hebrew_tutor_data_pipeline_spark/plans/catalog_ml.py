@@ -724,6 +724,63 @@ def minhash_dedup_pairs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "cross_source_duplication",
+    # Provenance-leakage matrix: which SOURCES copy from each other —
+    # the report that decides per-source dedup policy (and catches a
+    # crawler ingesting the same mirror twice) before a 100 TB keep-one
+    # pass. Composes the MinHash tier-of-record oracle VERBATIM; the
+    # per-pair jaccard (already 6-dp-identical both engines) converts
+    # to milli-units per pair BEFORE averaging, so the mean is integer
+    # arithmetic with no summation-order surface.
+    oracle=f"""
+WITH pairs AS ({{}}),
+lab AS (
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           CAST(floor(p.jaccard * 1000 + 0.5) AS BIGINT) AS j_milli
+    FROM pairs p
+    JOIN documents da ON p.id_a = da.doc_id
+    JOIN documents db ON p.id_b = db.doc_id
+)
+SELECT source_a, source_b, count(*) AS n_pairs,
+       CAST(sum(j_milli) // count(*) AS BIGINT) AS mean_jaccard_milli
+FROM lab GROUP BY source_a, source_b
+""".format(CATALOG["minhash_dedup_pairs_corpus"].oracle),
+    tags=("dedup", "minhash", "provenance", "report", "curation"),
+)
+def cross_source_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplication matrix over the MinHash candidate
+    tier of record: every verified near-dup pair labels with its two
+    documents' sources (unordered — least/greatest), then aggregates to
+    (source_a, source_b, n_pairs, integer-milli mean jaccard). Scale
+    posture: adds two doc_id-keyed joins (the pair list is the SPARSE
+    near-dup set, orders of magnitude under the corpus) and one tiny
+    matrix aggregate on top of the measured n^0.55 banding plan."""
+    d = spread(T(spark, sf_dir, "documents"))
+    pairs = dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=32, bands=16, threshold=0.5
+    )
+    src = d.select("doc_id", "source")
+    lab = (
+        pairs.join(src.withColumnRenamed("source", "sa"), pairs["id_a"] == src["doc_id"])
+        .drop("doc_id")
+        .join(
+            src.withColumnRenamed("source", "sb"),
+            F.col("id_b") == F.col("doc_id"),
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            F.floor(F.col("jaccard") * 1000 + 0.5).cast("long").alias("j_milli"),
+        )
+    )
+    return lab.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.expr("sum(j_milli) div count(1)").alias("mean_jaccard_milli"),
+    )
+
+
 # Shared oracle fragment: documents → (doc_id, 16-bit simhash)
 def _simhash_fp_sql(bits: int = 16) -> str:
     """The simhash fingerprint CTE chain (sd → sh → fp) for a given
