@@ -215,6 +215,19 @@ EXPECTATIONS: dict[str, list[tuple[bool, str, str]]] = {
         (True, "!CartesianProduct", "no all-pairs plan"),
         (True, "!SortMergeJoin", "ranking join never shuffles the corpus"),
     ],
+    "event_conversion_funnel": [
+        (True, "HashAggregate", "per-step min/count aggregates combine map-side"),
+        (True, "!BatchEvalPython", "funnel chaining stays JVM-side"),
+        (True, "!CartesianProduct", "scalar-count crossJoins collapse to broadcast, never a product over data"),
+    ],
+    "user_cohort_retention": [
+        (True, "HashAggregate", "cohort/min + distinct aggregates combine map-side"),
+        (True, "!BatchEvalPython", "epoch arithmetic stays JVM-side"),
+    ],
+    "cross_source_duplication": [
+        (True, "SortMergeJoin|BroadcastHashJoin", "banded (band,value) equi join — never all-pairs"),
+        (True, "!CartesianProduct", "source labeling joins on doc_id keys"),
+    ],
     "pq_reconstruction_report": [
         (True, "MapInPandas", "error computation is one Arrow map pass"),
         (True, "HashAggregate", "per-cell report aggregates map-side"),
