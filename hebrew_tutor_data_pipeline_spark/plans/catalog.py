@@ -1161,6 +1161,52 @@ def event_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "event_order_audit",
+    # Ingest data-quality audit: how often a user's event timestamps
+    # run BACKWARD relative to ingest order (event_id) — the number
+    # that sizes a stream's watermark delay before trusting
+    # event-time processing. One window, integer-ppm shares.
+    oracle="""
+WITH o AS (
+    SELECT user_id, ts,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts
+    FROM events
+)
+SELECT user_id, count(*) AS n_events,
+       count(*) FILTER (WHERE ts < prev_ts) AS n_inversions,
+       CAST((count(*) FILTER (WHERE ts < prev_ts)) * 1000000 // count(*)
+            AS BIGINT) AS inversion_ppm
+FROM o GROUP BY user_id
+""",
+    tags=("T4", "quality", "audit", "analytics"),
+)
+def event_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order-arrival audit: per user, the count and ppm share of
+    events whose timestamp precedes the previous event in ingest order
+    (event_id) — the empirical disorder measure that justifies the
+    streaming entries' watermark delays. One user-keyed window (the
+    same shuffle any per-user sequence op pays), integer outputs."""
+    from pyspark.sql import Window
+
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    o = ev.select(
+        "user_id", "ts", F.lag("ts").over(w).alias("prev_ts")
+    )
+    inv = F.sum(
+        F.when(F.col("ts") < F.col("prev_ts"), 1).otherwise(0)
+    )
+    return o.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        inv.alias("n_inversions"),
+        F.expr(
+            "sum(CASE WHEN ts < prev_ts THEN 1 ELSE 0 END) * 1000000"
+            " div count(1)"
+        ).alias("inversion_ppm"),
+    )
+
+
+@_register(
     "user_cohort_retention",
     # Cohort retention matrix: users bucket into hourly cohorts by their
     # FIRST event; each (cohort, hour-offset) cell counts distinct users
