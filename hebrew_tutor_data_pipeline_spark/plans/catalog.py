@@ -1161,6 +1161,70 @@ def event_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "event_value_quantiles",
+    # Exact rank-based p50/p90/p99 per event type WITHOUT sorting the
+    # corpus — the latency-report primitive: cumulative counts over a
+    # (type, value) histogram pick the value at rank ceil(q·n). The
+    # rank thresholds use the identical IEEE double product on both
+    # engines, and the reported quantiles are raw data values (no
+    # derived float arithmetic), so the hash surface is exact.
+    oracle="""
+WITH h AS (
+    SELECT event_type, value, count(*) AS c FROM events GROUP BY 1, 2
+),
+n AS (SELECT event_type, sum(c) AS n FROM h GROUP BY 1),
+cum AS (
+    SELECT event_type, value, c,
+           sum(c) OVER (PARTITION BY event_type ORDER BY value ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+    FROM h
+)
+SELECT cum.event_type, n.n AS n_events,
+       min(CASE WHEN cc >= CAST(ceil(0.5 * n.n) AS BIGINT) THEN value END) AS p50,
+       min(CASE WHEN cc >= CAST(ceil(0.9 * n.n) AS BIGINT) THEN value END) AS p90,
+       min(CASE WHEN cc >= CAST(ceil(0.99 * n.n) AS BIGINT) THEN value END) AS p99
+FROM cum JOIN n USING (event_type)
+GROUP BY cum.event_type, n.n
+""",
+    tags=("A1", "quantile", "analytics", "report"),
+)
+def event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type value quantiles (p50/p90/p99) read off cumulative
+    counts over a (type, value) histogram — the quality_cutoff_
+    calibration move generalized to a multi-quantile report: the corpus
+    is never sorted, the histogram groupBy combines map-side, and the
+    cumulative window runs over histogram rows. Reported quantiles are
+    raw stored values at ceil(q·n) rank — rank thresholds evaluate the
+    same IEEE product on both engines."""
+    from pyspark.sql import Window
+
+    ev = T(spark, sf_dir, "events")
+    h = ev.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("c"))
+    n = h.groupBy("event_type").agg(F.sum("c").alias("n_events"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("value").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = h.withColumn("cc", F.sum("c").over(wcum)).join(
+        F.broadcast(n), "event_type"
+    )
+
+    def q(frac: float, name: str):
+        return F.min(
+            F.when(
+                F.col("cc")
+                >= F.ceil(F.lit(frac) * F.col("n_events")).cast("long"),
+                F.col("value"),
+            )
+        ).alias(name)
+
+    return cum.groupBy("event_type", "n_events").agg(
+        q(0.5, "p50"), q(0.9, "p90"), q(0.99, "p99")
+    )
+
+
+@_register(
     "event_order_audit",
     # Ingest data-quality audit: how often a user's event timestamps
     # run BACKWARD relative to ingest order (event_id) — the number

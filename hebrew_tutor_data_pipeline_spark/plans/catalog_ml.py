@@ -3704,6 +3704,54 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "bpe_vocab_coverage",
+    # Tokenizer-evaluation report: how well the learned merge table
+    # serves each LANGUAGE — per-lang fused-token share and compression
+    # ratio in integer ppm. A tokenizer trained on a mixed corpus
+    # compresses its majority language best; this is the report that
+    # quantifies that skew before committing a vocab. Composes the
+    # bpe_encode_corpus oracle verbatim (train + apply chains included).
+    oracle=f"""
+WITH enc AS ({{}}),
+lab AS (
+    SELECT d.lang, e.n_tokens_raw, e.n_tokens_bpe, e.n_fused
+    FROM enc e JOIN documents d USING (doc_id)
+)
+SELECT lang, count(*) AS n_docs,
+       sum(n_tokens_raw) AS tokens_raw,
+       sum(n_tokens_bpe) AS tokens_bpe,
+       CAST(sum(n_fused) * 1000000 // sum(n_tokens_raw) AS BIGINT) AS fused_ppm,
+       CAST(sum(n_tokens_bpe) * 1000000 // sum(n_tokens_raw) AS BIGINT)
+           AS compression_ppm
+FROM lab GROUP BY lang
+""".format(CATALOG["bpe_encode_corpus"].oracle),
+    tags=("tokenizer", "bpe", "report", "curation"),
+)
+def bpe_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language coverage of the learned BPE merge table: fused-token
+    share and encoded/raw compression in integer ppm — the tokenizer
+    skew report. Adds one doc_id-keyed label join and a language-sized
+    aggregate on top of the encode plan; sums are exact BIGINTs (the
+    per-doc counts are integers), so there is no float surface."""
+    enc = bpe_encode_corpus(spark, sf_dir).select(
+        "doc_id", "n_tokens_raw", "n_tokens_bpe", "n_fused"
+    )
+    d = T(spark, sf_dir, "documents").select("doc_id", "lang")
+    lab = enc.join(d, "doc_id")
+    return lab.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens_raw").alias("tokens_raw"),
+        F.sum("n_tokens_bpe").alias("tokens_bpe"),
+        F.expr("sum(n_fused) * 1000000 div sum(n_tokens_raw)").alias(
+            "fused_ppm"
+        ),
+        F.expr("sum(n_tokens_bpe) * 1000000 div sum(n_tokens_raw)").alias(
+            "compression_ppm"
+        ),
+    )
+
+
 # ===========================================================================
 # Dedup-tier recall report (candidate-generation quality harness)
 # ===========================================================================
