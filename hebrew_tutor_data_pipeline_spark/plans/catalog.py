@@ -1161,6 +1161,73 @@ def event_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "user_status_history",
+    # SCD2 history build — the warehouse transform that turns an event
+    # stream into validity intervals: keep only CHANGE points of the
+    # derived status (lag compare), then close each interval with the
+    # next change's timestamp (lead). (user_id, ts) is unique in the
+    # synthetic events at every SF, so the replay is deterministic.
+    oracle="""
+WITH s AS (
+    SELECT user_id, ts,
+           CASE event_type WHEN 'error' THEN 'Failed'
+                           WHEN 'purchase' THEN 'Succeeded'
+                           ELSE 'Running' END AS status
+    FROM events
+),
+o AS (
+    SELECT user_id, ts, status,
+           lag(status) OVER (PARTITION BY user_id ORDER BY ts) AS prev_status
+    FROM s
+),
+ch AS (
+    SELECT user_id, ts, status FROM o
+    WHERE prev_status IS NULL OR status <> prev_status
+)
+SELECT user_id, status, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+       (lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL) AS is_current,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts) AS version
+FROM ch
+""",
+    tags=("S9", "W6", "scd2", "warehouse"),
+)
+def user_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history from the event
+    stream: derive each user's status over time, compress to change
+    points (lag compare), and close every interval with the next
+    change's timestamp — the versioned dimension the upsert sink (S9)
+    would maintain incrementally. Two same-spec windows over ONE
+    user-keyed shuffle (Spark reuses the sort); output is change-point
+    sized, not event-sized."""
+    from pyspark.sql import Window
+
+    ev = T(spark, sf_dir, "events")
+    status = (
+        F.when(F.col("event_type") == "error", "Failed")
+        .when(F.col("event_type") == "purchase", "Succeeded")
+        .otherwise("Running")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts")
+    o = ev.select("user_id", "ts", status.alias("status")).withColumn(
+        "prev_status", F.lag("status").over(w)
+    )
+    ch = o.filter(
+        F.col("prev_status").isNull()
+        | (F.col("status") != F.col("prev_status"))
+    )
+    wc = Window.partitionBy("user_id").orderBy("ts")
+    return ch.select(
+        "user_id",
+        "status",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(wc).alias("valid_to"),
+        F.lead("ts").over(wc).isNull().alias("is_current"),
+        F.row_number().over(wc).alias("version"),
+    )
+
+
+@_register(
     "event_value_quantiles",
     # Exact rank-based p50/p90/p99 per event type WITHOUT sorting the
     # corpus — the latency-report primitive: cumulative counts over a
