@@ -215,6 +215,19 @@ EXPECTATIONS: dict[str, list[tuple[bool, str, str]]] = {
         (True, "!CartesianProduct", "no all-pairs plan"),
         (True, "!SortMergeJoin", "ranking join never shuffles the corpus"),
     ],
+    "sq8_reconstruction_report": [
+        (True, "Generate", "per-dimension explode feeds the min/max trainer"),
+        (True, "HashAggregate", "dim stats + error report combine map-side"),
+        (True, "!BatchEvalPython", "the whole quantizer is JVM expressions"),
+    ],
+    "event_value_quantiles": [
+        (True, "HashAggregate", "histogram groupBy combines map-side — corpus never sorted"),
+        (True, "Window", "cumulative counts run over histogram rows only"),
+    ],
+    "user_status_history": [
+        (True, "Window", "change-point + interval windows share one user-keyed sort"),
+        (True, "!BatchEvalPython", "SCD2 build stays JVM-side"),
+    ],
     "event_conversion_funnel": [
         (True, "HashAggregate", "per-step min/count aggregates combine map-side"),
         (True, "!BatchEvalPython", "funnel chaining stays JVM-side"),
