@@ -151,3 +151,102 @@ def test_curation_funnel_monotone(spark):
         assert r["n_total"] >= r["n_quality"] >= r["n_dedup"] >= r["n_sampled"] >= 0
         if r["n_sampled"] == 0:
             assert r["tokens_sampled"] == 0
+
+
+class TestReportValueReferences:
+    """Pure-Python VALUE references for the session's numeric report
+    entries — oracle parity alone is blind to semantics both engines
+    share, so the references recompute from first principles."""
+
+    def test_event_value_quantiles_vs_sorted_reference(self, spark):
+        import math
+
+        from hebrew_tutor_data_pipeline_spark.plans.catalog import (
+            event_value_quantiles,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = {
+            r["event_type"]: (r["n_events"], r["p50"], r["p90"], r["p99"])
+            for r in event_value_quantiles(spark, sf).collect()
+        }
+        rows = spark.read.parquet(f"{sf}/events.parquet").select(
+            "event_type", "value"
+        ).collect()
+        by_type: dict = {}
+        for r in rows:
+            by_type.setdefault(r["event_type"], []).append(r["value"])
+        for t, vals in by_type.items():
+            vals.sort()
+            n = len(vals)
+            expect = tuple(
+                vals[int(math.ceil(q * n)) - 1] for q in (0.5, 0.9, 0.99)
+            )
+            assert got[t] == (n,) + expect, t
+
+    def test_sq8_report_vs_python_replay(self, spark):
+        import math
+
+        from hebrew_tutor_data_pipeline_spark.plans.catalog_ml import (
+            sq8_reconstruction_report,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = {
+            r["dim"]: (r["mean_abs_err_micro"], r["max_abs_err_micro"])
+            for r in sq8_reconstruction_report(spark, sf).collect()
+        }
+        vecs = [
+            list(r["embedding"])
+            for r in spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+        ]
+        dim = len(vecs[0])
+        for d in range(dim):
+            xs = [v[d] for v in vecs]
+            dmin, dmax = min(xs), max(xs)
+            span = dmax - dmin
+            errs = []
+            for x in xs:
+                if span == 0:
+                    errs.append(0)
+                    continue
+                code = math.floor((x - dmin) * 255 / span + 0.5)
+                recon = dmin + (code * span) / 255
+                errs.append(math.floor(abs(x - recon) * 1_000_000 + 0.5))
+            assert got[d] == (sum(errs) // len(errs), max(errs)), d
+
+    def test_funnel_vs_python_replay(self, spark):
+        from hebrew_tutor_data_pipeline_spark.plans.catalog import (
+            event_conversion_funnel,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = {
+            r["step"]: (r["n_users"], r["conv_ppm"])
+            for r in event_conversion_funnel(spark, sf).collect()
+        }
+        rows = spark.read.parquet(f"{sf}/events.parquet").select(
+            "user_id", "event_type", "ts"
+        ).collect()
+        users: dict = {}
+        for r in rows:
+            users.setdefault(r["user_id"], []).append((r["ts"], r["event_type"]))
+        c0 = len(users)
+        c = [0, 0, 0]
+        for evs in users.values():
+            t1 = min((ts for ts, e in evs if e == "view"), default=None)
+            if t1 is None:
+                continue
+            c[0] += 1
+            t2 = min((ts for ts, e in evs if e == "click" and ts > t1), default=None)
+            if t2 is None:
+                continue
+            c[1] += 1
+            t3 = min(
+                (ts for ts, e in evs if e == "purchase" and ts > t2), default=None
+            )
+            if t3 is not None:
+                c[2] += 1
+        assert got[1] == (c[0], c[0] * 1_000_000 // c0)
+        assert got[2] == (c[1], c[1] * 1_000_000 // c[0])
+        assert got[3] == (c[2], c[2] * 1_000_000 // c[1])
