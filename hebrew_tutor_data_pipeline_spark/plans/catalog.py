@@ -1161,6 +1161,74 @@ def event_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "part_basket_lift",
+    # Market-basket co-occurrence with LIFT (the association-rule
+    # primitive): parts that ship together in the same order more often
+    # than independence predicts. The pair join is keyed on the ORDER —
+    # fan-out is Σ(basket choose 2), bounded by the ~13-line basket cap,
+    # so the "self-join" is linear in orders, never parts². Lift and
+    # support are exact BIGINT milli/ppm arithmetic.
+    oracle="""
+WITH b AS (
+    SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+nn AS (SELECT count(DISTINCT o) AS n_orders FROM b),
+ic AS (SELECT p, count(*) AS n_p FROM b GROUP BY p),
+pr AS (
+    SELECT a.p AS part_a, c.p AS part_b, count(*) AS n_ab
+    FROM b a JOIN b c ON a.o = c.o AND a.p < c.p
+    GROUP BY a.p, c.p HAVING count(*) >= 2
+)
+SELECT pr.part_a, pr.part_b, pr.n_ab,
+       CAST(pr.n_ab * 1000000 // nn.n_orders AS BIGINT) AS support_ppm,
+       CAST(pr.n_ab * nn.n_orders * 1000 // (ia.n_p * ib.n_p) AS BIGINT)
+           AS lift_milli
+FROM pr
+JOIN ic ia ON ia.p = pr.part_a
+JOIN ic ib ON ib.p = pr.part_b
+CROSS JOIN nn
+""",
+    tags=("J1", "A5", "basket", "analytics"),
+)
+def part_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over order baskets: for every part pair
+    co-occurring in ≥2 orders, exact support (ppm of orders) and lift
+    (observed/expected co-occurrence, milli-units) — the co-occurrence
+    analytics class (recommendations, 'frequently bought together').
+    Scale posture: ONE order-keyed self-join whose fan-out is
+    Σ(basket_size choose 2) — linear in orders under the bounded-basket
+    invariant; item counts broadcast back onto the sparse pair list;
+    all-integer outputs."""
+    li = T(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    nn = b.agg(F.countDistinct("o").alias("n_orders"))
+    ic = b.groupBy("p").agg(F.count(F.lit(1)).alias("n_p"))
+    a2 = b.withColumnRenamed("p", "part_a")
+    c2 = b.withColumnRenamed("p", "part_b")
+    pr = (
+        a2.join(c2, "o")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    return (
+        pr.join(F.broadcast(ic.withColumnRenamed("p", "part_a").withColumnRenamed("n_p", "na")), "part_a")
+        .join(F.broadcast(ic.withColumnRenamed("p", "part_b").withColumnRenamed("n_p", "nb")), "part_b")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.expr("n_ab * 1000000 div n_orders").alias("support_ppm"),
+            F.expr("n_ab * n_orders * 1000 div (na * nb)").alias("lift_milli"),
+        )
+    )
+
+
+@_register(
     "user_status_history",
     # SCD2 history build — the warehouse transform that turns an event
     # stream into validity intervals: keep only CHANGE points of the
