@@ -898,6 +898,146 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pr_round_sql(prev: str, c: str, out: str) -> str:
+    """One integer-nano PageRank round in SQL: contributions are
+    pr // deg (exact BIGINT div), the damping mix is (850·S) // 1000 —
+    no float anywhere, so summation order cannot flip a single bit."""
+    return f"""
+{c} AS (
+    SELECT e.t AS doc_id, sum(p.pr // deg.d) AS s
+    FROM e JOIN {prev} p ON p.doc_id = e.s JOIN deg ON deg.s = e.s
+    GROUP BY e.t
+),
+{out} AS (
+    SELECT nodes.doc_id,
+           (SELECT 150000000 // n FROM nn)
+             + (850 * coalesce({c}.s, 0)) // 1000 AS pr
+    FROM nodes LEFT JOIN {c} USING (doc_id)
+)"""
+
+
+@_register(
+    "pagerank_neardup_graph",
+    # The SECOND graph algorithm under the hash gate (connected
+    # components being the first): two unrolled PageRank rounds over
+    # the d ≤ 1 near-dup graph, in INTEGER nano-units end to end —
+    # contributions are pr // deg, damping is (850·S) // 1000 — so the
+    # classic float-summation-order hazard of distributed PageRank has
+    # no surface at all. Dangling/isolated nodes receive the base rank
+    # only (no dangling-mass redistribution — the standard single-pass
+    # simplification, same both engines). Edges compose the
+    # simhash_hamming_pairs oracle verbatim, restricted to d ≤ 1.
+    oracle=f"""
+WITH pairs AS ({{}}),
+e AS (
+    SELECT id_a AS s, id_b AS t FROM pairs WHERE hamming <= 1
+    UNION ALL
+    SELECT id_b AS s, id_a AS t FROM pairs WHERE hamming <= 1
+),
+nodes AS (SELECT doc_id FROM documents),
+nn AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT s, count(*) AS d FROM e GROUP BY s),
+pr0 AS (
+    SELECT doc_id, (SELECT 1000000000 // n FROM nn) AS pr FROM nodes
+),
+{_pr_round_sql('pr0', 'c1', 'pr1')},
+{_pr_round_sql('pr1', 'c2', 'pr2')}
+SELECT doc_id, pr AS pr_nano FROM pr2
+""".format(CATALOG["simhash_hamming_pairs"].oracle),
+    tags=("graph", "pagerank", "dedup", "iterative"),
+)
+def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two integer-nano PageRank rounds over the near-duplicate graph:
+    which documents sit at the CENTER of duplication neighborhoods —
+    the centrality view that complements the component view
+    (dedup_clusters tells you the groups; rank tells you each group's
+    hub).
+
+    Spark-first scale shape — the QUOTIENT graph: documents with EQUAL
+    fingerprints are structurally identical in the pairwise d ≤ 1
+    graph, so they provably carry identical rank at every round. The
+    plan therefore ranks DISTINCT fingerprints with multiplicities
+    (per-member degree = (m−1) + Σ m_neighbor; per-member inbox =
+    (m−1)·c_own + Σ m_g·c_g) and fans the rank back to documents at
+    the end. The naive per-document pair graph is Θ(Σ clique²) edges —
+    the SAME equal-fingerprint blowup the r06 scale runs killed in the
+    clustering tier (a first-cut pairwise probe of this entry died at
+    x30 on the homogeneous family); the quotient runs over the
+    star-collapse's distinct-fp banded join instead. The ORACLE stays
+    the naive pairwise formulation, so every run's hash equality
+    PROVES the quotient algebra — the dedup_clusters discipline. All
+    arithmetic is BIGINT div/sum, bit-identical by construction."""
+    d = spread(T(spark, sf_dir, "documents"))
+    n = d.count()
+    bits = _hamming_bits_for(n)
+    fps = dedup.simhash(d, "doc_id", "text", bits)  # (id, simhash)
+    g = fps.groupBy("simhash").agg(F.count(F.lit(1)).alias("m"))
+    adjp = dedup._banded_hamming_pairs(
+        g.select(F.col("simhash").alias("id"), "simhash"), bits, 2, 1
+    ).select("id_a", "id_b")
+    adj = adjp.unionAll(
+        adjp.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    nb = g.select(
+        F.col("simhash").alias("id_b"),
+        F.col("m").alias("mb"),
+    )
+    cross = adj.join(nb, "id_b").groupBy("id_a").agg(
+        F.sum("mb").alias("crossdeg")
+    )
+    pr = (
+        g.join(cross.withColumnRenamed("id_a", "simhash"), "simhash", "left")
+        .select(
+            "simhash",
+            "m",
+            (
+                F.col("m") - 1 + F.coalesce("crossdeg", F.lit(0))
+            ).cast("long").alias("deg"),
+        )
+        .withColumn("pr", F.lit(1_000_000_000 // n))
+    )
+    for _ in range(2):
+        cf = pr.select(
+            "simhash",
+            "m",
+            "deg",
+            F.when(F.col("deg") > 0, F.expr("pr div deg"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("c"),
+        )
+        crs = (
+            adj.join(
+                cf.select(
+                    F.col("simhash").alias("id_b"),
+                    F.col("m").alias("mb"),
+                    F.col("c").alias("cb"),
+                ),
+                "id_b",
+            )
+            .groupBy("id_a")
+            .agg(F.sum(F.expr("mb * cb")).alias("cs"))
+        )
+        pr = cf.join(
+            crs.withColumnRenamed("id_a", "simhash"), "simhash", "left"
+        ).select(
+            "simhash",
+            "m",
+            "deg",
+            (
+                F.lit(150_000_000 // n)
+                + F.expr(
+                    "(850 * ((m - 1) * c + coalesce(cs, CAST(0 AS BIGINT))))"
+                    " div 1000"
+                )
+            ).alias("pr"),
+        )
+    return fps.join(pr.select("simhash", "pr"), "simhash").select(
+        F.col("id").alias("doc_id"), F.col("pr").alias("pr_nano")
+    )
+
+
+
 @_register(
     "dedup_clusters",
     oracle=f"""

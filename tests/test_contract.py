@@ -250,3 +250,42 @@ class TestReportValueReferences:
         assert got[1] == (c[0], c[0] * 1_000_000 // c0)
         assert got[2] == (c[1], c[1] * 1_000_000 // c[0])
         assert got[3] == (c[2], c[2] * 1_000_000 // c[1])
+
+    def test_pagerank_vs_python_replay(self, spark):
+        from hebrew_tutor_data_pipeline_spark.plans.catalog_ml import (
+            pagerank_neardup_graph,
+            simhash_hamming_pairs,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        pairs = [
+            (r["id_a"], r["id_b"])
+            for r in simhash_hamming_pairs(spark, sf).collect()
+            if r["hamming"] <= 1
+        ]
+        nodes = [
+            r["doc_id"]
+            for r in spark.read.parquet(f"{sf}/documents.parquet")
+            .select("doc_id")
+            .collect()
+        ]
+        adj: dict = {}
+        for a, b in pairs:
+            adj.setdefault(a, []).append(b)
+            adj.setdefault(b, []).append(a)
+        n = len(nodes)
+        pr = {v: 1_000_000_000 // n for v in nodes}
+        for _ in range(2):
+            s = {v: 0 for v in nodes}
+            for u, nbrs in adj.items():
+                c = pr[u] // len(nbrs)
+                for v in nbrs:
+                    s[v] += c
+            pr = {v: 150_000_000 // n + (850 * s[v]) // 1000 for v in nodes}
+        got = {
+            r["doc_id"]: r["pr_nano"]
+            for r in pagerank_neardup_graph(spark, sf).collect()
+        }
+        assert got == pr
+        # non-degenerate: near-dup hubs must outrank isolated docs
+        assert max(pr.values()) > min(pr.values())

@@ -215,6 +215,17 @@ EXPECTATIONS: dict[str, list[tuple[bool, str, str]]] = {
         (True, "!CartesianProduct", "no all-pairs plan"),
         (True, "!SortMergeJoin", "ranking join never shuffles the corpus"),
     ],
+    "pagerank_neardup_graph": [
+        (True, "SortMergeJoin|BroadcastHashJoin", "banded distinct-fp join — never all-pairs"),
+        (True, "HashAggregate", "per-round inbox sums combine map-side"),
+        (True, "!CartesianProduct", "quotient graph, no clique materialization"),
+        (True, "!BatchEvalPython", "integer rank arithmetic stays JVM-side"),
+    ],
+    "part_basket_lift": [
+        (True, "HashAggregate", "pair counts combine map-side"),
+        (True, "BroadcastHashJoin|BroadcastExchange", "item counts broadcast onto the sparse pair list"),
+        (True, "!CartesianProduct", "pair join is keyed on the order"),
+    ],
     "sq8_reconstruction_report": [
         (True, "Generate", "per-dimension explode feeds the min/max trainer"),
         (True, "HashAggregate", "dim stats + error report combine map-side"),
