@@ -1161,6 +1161,52 @@ def event_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "event_type_pivot",
+    # The PIVOT twin of unpivot_lineitem_metrics: long (hour, type)
+    # counts reshaped wide, one column per event type. The pivot value
+    # list is EXPLICIT (no driver-side distinct scan to discover
+    # columns) — the only way a pivot stays one-pass at 100 TB.
+    oracle="""
+SELECT date_trunc('hour', ts) AS hour,
+       count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+       count(*) FILTER (WHERE event_type = 'view')     AS n_view,
+       count(*) AS n_total
+FROM events GROUP BY 1
+""",
+    tags=("A5", "pivot", "reshape", "analytics"),
+)
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide hourly activity matrix via PIVOT with an explicit value
+    list: one map-side-combined aggregate, no discovery pass, columns
+    stable across runs (the implicit-pivot distinct scan is both a
+    second job and a schema hazard at scale). Counts are exact; the
+    pivot compiles to the same conditional aggregation the oracle
+    spells out."""
+    ev = T(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        ev.select(F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type")
+        .groupBy("hour")
+        .pivot("event_type", types)
+        .count()
+    )
+    total = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    out = wide.join(total, "hour")
+    for t in types:
+        out = out.withColumnRenamed(t, f"n_{t}").withColumn(
+            f"n_{t}", F.coalesce(F.col(f"n_{t}"), F.lit(0))
+        )
+    return out.select(
+        "hour", "n_click", "n_error", "n_purchase", "n_signup", "n_view", "n_total"
+    )
+
+
+@_register(
     "part_basket_lift",
     # Market-basket co-occurrence with LIFT (the association-rule
     # primitive): parts that ship together in the same order more often
