@@ -1161,6 +1161,82 @@ def event_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "hourly_value_forward_fill",
+    # Time-series resample + forward fill — the gap-filling primitive
+    # (metrics dashboards, feature snapshots): each user's sparse
+    # events become a DENSE hourly grid between their first and last
+    # activity, carrying the last observed hourly sum forward through
+    # silent hours. The grid comes from sequence generation (F19), the
+    # fill from last_value IGNORE NULLS — one window over the grid.
+    # Grid is bounded to 10 users to keep the report result-sized.
+    oracle="""
+WITH h AS (
+    SELECT user_id, date_trunc('hour', ts) AS hour,
+           round(sum(value), 4) AS hour_sum
+    FROM events WHERE user_id < 10 GROUP BY 1, 2
+),
+span AS (
+    SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM h GROUP BY user_id
+),
+grid AS (
+    SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+    FROM span
+),
+j AS (
+    SELECT g.user_id, g.hour, h.hour_sum,
+           (h.hour_sum IS NOT NULL) AS observed
+    FROM grid g LEFT JOIN h USING (user_id, hour)
+)
+SELECT user_id, hour,
+       last_value(hour_sum IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum,
+       observed
+FROM j
+""",
+    tags=("F19", "W6", "timeseries", "resample"),
+)
+def hourly_value_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly resample with forward fill: per user (bounded
+    panel), generate every hour between first and last activity
+    (sequence + explode — no driver loop), left-join the observed
+    hourly sums, and carry the last observation forward with one
+    last_value-ignore-nulls window. Scale posture: the grid explode is
+    span-proportional (the operator a metrics store runs per series),
+    the fill is one series-keyed window; sums are 4-dp-rounded before
+    any comparison surface."""
+    from pyspark.sql import Window
+
+    ev = T(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    h = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.round(F.sum("value"), 4).alias("hour_sum"))
+    span = h.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    j = grid.join(h, ["user_id", "hour"], "left").withColumn(
+        "observed", F.col("hour_sum").isNotNull()
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "hour",
+        F.last("hour_sum", ignorenulls=True).over(w).alias("filled_sum"),
+        "observed",
+    )
+
+
+@_register(
     "event_type_pivot",
     # The PIVOT twin of unpivot_lineitem_metrics: long (hour, type)
     # counts reshaped wide, one column per event type. The pivot value
