@@ -592,6 +592,71 @@ def embedding_outliers(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVFADC (coarse IVF + PQ over residuals) — shared deterministic kernels.
+# ONE implementation of each bit-exactness-critical kernel, consumed by
+# both ivfpq_topk and ivfpq_reconstruction: any change to rounding or
+# accumulation order lands in both entries (and their oracles) at once.
+
+
+def _ivfpq_best_cells(
+    mat: "object", cent: "object", cent_norm: "object", n: int
+) -> "object":
+    """Indices (into the cell-sorted codebook) of the n best cells per
+    row: half-away-6dp cosine, stable sort = smallest cell on ties —
+    cell_assign's exact convention."""
+    import numpy as np
+
+    raw = (mat @ cent.T) / (
+        np.sqrt((mat * mat).sum(axis=1))[:, None] * cent_norm[None, :]
+    )
+    s = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
+    return np.argsort(-s, axis=1, kind="stable")[:, :n]
+
+
+def _ivfpq_sub_d2(X: "object", C: "object", j: int, sub: int) -> "object":
+    """(len(X), len(C)) squared L2 in subspace j, accumulated
+    dimension-sequentially — the list_dot_product op order (see
+    pq_topk; 2·ab is a power-of-two scale, exact in IEEE754)."""
+    import numpy as np
+
+    Xj = X[:, j * sub : (j + 1) * sub]
+    Cj = C[:, j * sub : (j + 1) * sub]
+    ab = np.zeros((len(Xj), len(Cj)))
+    aa = np.zeros(len(Xj))
+    bb = np.zeros(len(Cj))
+    for d in range(sub):
+        ab += Xj[:, d, None] * Cj[None, :, d]
+        aa += Xj[:, d] * Xj[:, d]
+        bb += Cj[:, d] * Cj[:, d]
+    return (aa[:, None] - 2.0 * ab) + bb[None, :]
+
+
+def _ivfpq_model(c: DataFrame, num_cells: int, m: int, ncent: int):
+    """Collect the deterministic IVFADC model artifacts in ONE bounded
+    driver read (num_cells + ncent smallest-id rows, sliced): coarse
+    codebook (cell id = vector id), its norms, the PQ codebook =
+    residuals of the ncent vectors AFTER the coarse ones (the coarse
+    centroids' own residuals are all-zero and would waste slots), and
+    the subspace width. Returns (cell_ids, cent, cent_norm, pq_res, sub)."""
+    import numpy as np
+
+    rows = c.orderBy("id").limit(num_cells + ncent).collect()
+    coarse = rows[:num_cells]
+    cell_ids = np.array([int(r["id"]) for r in coarse], dtype="int64")
+    cent = np.stack([np.asarray(r["vec"], dtype="float64") for r in coarse])
+    dim = cent.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} must divide into {m} subspaces")
+    cent_norm = np.sqrt((cent * cent).sum(axis=1))
+    pq_mat = np.stack(
+        [np.asarray(r["vec"], dtype="float64") for r in rows[num_cells:]]
+    )
+    best = _ivfpq_best_cells(pq_mat, cent, cent_norm, 1)[:, 0]
+    pq_res = pq_mat - cent[best]
+    return cell_ids, cent, cent_norm, pq_res, dim // m
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -616,22 +681,22 @@ def ivfpq_topk(
     smaller table.
 
     Deterministic model artifacts (the repo convention every ANN oracle
-    relies on): coarse codebook = the ``num_cells`` smallest-id corpus
-    vectors (cell id = vector id, as ``ivf_topk``); PQ codebook = the
-    RESIDUALS of the ``ncent`` smallest-id corpus vectors after their
-    own cell assignment (cidx = rank by id). Assignment uses the
-    half-away-6dp cosine + smallest-cell tiebreak of ``cell_assign``;
-    encoding/ADC use the ``(a·a − 2·a·b) + b·b`` dimension-sequential
-    subspace kernel of ``pq_topk`` so DuckDB's ``list_dot_product`` on
-    residual slices replays every float bit-for-bit.
+    relies on) come from ``_ivfpq_model`` — one bounded driver collect;
+    assignment uses the half-away-6dp cosine + smallest-cell tiebreak
+    of ``cell_assign``; encoding/ADC use the ``(a·a − 2·a·b) + b·b``
+    dimension-sequential subspace kernel of ``pq_topk`` so DuckDB's
+    ``list_dot_product`` on residual slices replays every float
+    bit-for-bit. All kernels are the SHARED module-level ones — the
+    reconstruction certificate consumes the identical code.
 
-    Plan shape: two bounded codebook collects (≤ num_cells + ncent
-    rows); assignment + residual-encode is ONE Arrow-batched map-only
-    pass (no shuffle — the corpus never moves to find its cell or its
-    codes); the query side emits ``nprobe`` (query, cell, ADC-table)
-    rows and broadcasts them, so the candidate scan is a broadcast hash
-    join restricted to probed cells; the only shuffle is the per-query
-    top-k window.
+    Plan shape: one bounded codebook collect; assignment +
+    residual-encode is ONE Arrow-batched map-only pass (no shuffle —
+    the corpus never moves to find its cell or its codes); the query
+    side emits ``nprobe`` (query, cell, ADC-table) rows and broadcasts
+    them, so the candidate scan is a broadcast hash join restricted to
+    probed cells; the only shuffle is the per-query top-k window. The
+    model ships to tasks ONLY via the sc.broadcast — the task closures
+    reference no driver-side arrays.
     """
     import numpy as np
     from pyspark.sql.types import (
@@ -645,66 +710,27 @@ def ivfpq_topk(
 
     qid = query_id_col or id_col
     c = _as_double_vec(corpus, id_col, vec_col)
-
-    # --- bounded model-artifact collects -------------------------------
-    coarse_rows = c.orderBy("id").limit(num_cells).collect()
-    cell_ids = np.array([int(r["id"]) for r in coarse_rows], dtype="int64")
-    cent = np.stack([np.asarray(r["vec"], dtype="float64") for r in coarse_rows])
-    dim = cent.shape[1]
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} must divide into {m} subspaces")
-    sub = dim // m
-    cent_norm = np.sqrt((cent * cent).sum(axis=1))
-
-    def _best_cells(mat: "np.ndarray", n: int) -> "np.ndarray":
-        """Indices (into the cell-sorted codebook) of the n best cells
-        per row: half-away-6dp cosine, stable sort = smallest cell on
-        ties — cell_assign's exact convention."""
-        raw = (mat @ cent.T) / (
-            np.sqrt((mat * mat).sum(axis=1))[:, None] * cent_norm[None, :]
-        )
-        s = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
-        return np.argsort(-s, axis=1, kind="stable")[:, :n]
-
-    # PQ codebook: residuals of the ncent smallest-id vectors AFTER the
-    # coarse ones (ranks num_cells+1..num_cells+ncent — the coarse
-    # centroids' own residuals are all-zero and would waste codebook
-    # slots), encoded driver-side (ncent×dim — model-sized).
-    pq_rows = c.orderBy("id").limit(num_cells + ncent).collect()[num_cells:]
-    pq_mat = np.stack([np.asarray(r["vec"], dtype="float64") for r in pq_rows])
-    pq_res = pq_mat - cent[_best_cells(pq_mat, 1)[:, 0]]
-
-    sc = corpus.sparkSession.sparkContext
-    bc = sc.broadcast((cell_ids, cent, pq_res))
-
-    def _sub_d2(X: "np.ndarray", C: "np.ndarray", j: int) -> "np.ndarray":
-        """(len(X), len(C)) squared L2 in subspace j, accumulated
-        dimension-sequentially — the list_dot_product op order (see
-        pq_topk; 2·ab is a power-of-two scale, exact in IEEE754)."""
-        Xj = X[:, j * sub : (j + 1) * sub]
-        Cj = C[:, j * sub : (j + 1) * sub]
-        ab = np.zeros((len(Xj), len(Cj)))
-        aa = np.zeros(len(Xj))
-        bb = np.zeros(len(Cj))
-        for d in range(sub):
-            ab += Xj[:, d, None] * Cj[None, :, d]
-            aa += Xj[:, d] * Xj[:, d]
-            bb += Cj[:, d] * Cj[:, d]
-        return (aa[:, None] - 2.0 * ab) + bb[None, :]
+    cell_ids, cent, cent_norm, pq_res, sub = _ivfpq_model(c, num_cells, m, ncent)
+    bc = corpus.sparkSession.sparkContext.broadcast(
+        (cell_ids, cent, cent_norm, pq_res, sub)
+    )
 
     # --- corpus pass: assign cell + encode residual, one map stage -----
     def encode(batches):
         import pandas as pd
 
-        ids, cm, cres = bc.value
+        ids, cm, cn, cres, sb = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             X = np.stack(pdf["vec"].to_numpy())
-            best = _best_cells(X, 1)[:, 0]
+            best = _ivfpq_best_cells(X, cm, cn, 1)[:, 0]
             R = X - cm[best]
             codes = np.stack(
-                [np.argmin(_sub_d2(R, cres, j), axis=1) for j in range(m)],
+                [
+                    np.argmin(_ivfpq_sub_d2(R, cres, j, sb), axis=1)
+                    for j in range(m)
+                ],
                 axis=1,
             )
             yield pd.DataFrame(
@@ -735,19 +761,20 @@ def ivfpq_topk(
     def adc_tables(batches):
         import pandas as pd
 
-        ids, cm, cres = bc.value
+        ids, cm, cn, cres, sb = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             Q = np.stack(pdf["qvec"].to_numpy())
-            probe_idx = _best_cells(Q, nprobe)
+            probe_idx = _ivfpq_best_cells(Q, cm, cn, nprobe)
             out_qid, out_cell, out_tab = [], [], []
             for r in range(len(Q)):
                 for p in range(nprobe):
                     ci = probe_idx[r, p]
                     qres = (Q[r] - cm[ci])[None, :]
                     tab = np.concatenate(
-                        [_sub_d2(qres, cres, j) for j in range(m)], axis=1
+                        [_ivfpq_sub_d2(qres, cres, j, sb) for j in range(m)],
+                        axis=1,
                     )[0]
                     out_qid.append(pdf["query_id"].iloc[r])
                     out_cell.append(int(ids[ci]))
@@ -808,70 +835,35 @@ def ivfpq_reconstruction(
     same subspace minima the encoder picks, so this is exactly the
     ADC self-distance of a vector to its own codes.
 
-    Same deterministic model artifacts and float conventions as
-    ``ivfpq_topk`` (coarse = smallest-id vectors, PQ = residuals of the
-    next ncent, half-away-6dp cosine assignment, dimension-sequential
-    subspace kernel); the per-vector error accumulates the m subspace
-    minima LEFT-ASSOCIATIVELY so the SQL twin's ((e0+e1)+e2)+e3 is
-    bit-identical, then floors to micro-units. One bounded codebook
-    collect + ONE map-only Arrow pass; no shuffle (callers aggregate).
-    Returns (id, cell, err_micro).
+    The model artifacts and every float kernel are the SAME shared
+    functions ``ivfpq_topk`` uses (``_ivfpq_model``,
+    ``_ivfpq_best_cells``, ``_ivfpq_sub_d2``) — a convention tweak
+    lands in both entries and their oracles at once. The per-vector
+    error accumulates the m subspace minima LEFT-ASSOCIATIVELY so the
+    SQL twin's ((e0+e1)+e2)+e3 is bit-identical, then floors to
+    micro-units. One bounded codebook collect + ONE map-only Arrow
+    pass; no shuffle (callers aggregate). Returns (id, cell, err_micro).
     """
     import numpy as np
     from pyspark.sql.types import LongType, StructField, StructType
 
     c = _as_double_vec(corpus, id_col, vec_col)
-    coarse_rows = c.orderBy("id").limit(num_cells).collect()
-    cell_ids = np.array([int(r["id"]) for r in coarse_rows], dtype="int64")
-    cent = np.stack([np.asarray(r["vec"], dtype="float64") for r in coarse_rows])
-    dim = cent.shape[1]
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} must divide into {m} subspaces")
-    sub = dim // m
-    cent_norm = np.sqrt((cent * cent).sum(axis=1))
-
-    def best_cell(mat: "np.ndarray") -> "np.ndarray":
-        raw = (mat @ cent.T) / (
-            np.sqrt((mat * mat).sum(axis=1))[:, None] * cent_norm[None, :]
-        )
-        s = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
-        return np.argsort(-s, axis=1, kind="stable")[:, 0]
-
-    pq_rows = c.orderBy("id").limit(num_cells + ncent).collect()[num_cells:]
-    pq_mat = np.stack([np.asarray(r["vec"], dtype="float64") for r in pq_rows])
-    pq_res = pq_mat - cent[best_cell(pq_mat)]
-    bc = corpus.sparkSession.sparkContext.broadcast((cell_ids, cent, pq_res))
-
-    def sub_d2(X: "np.ndarray", C: "np.ndarray", j: int) -> "np.ndarray":
-        Xj = X[:, j * sub : (j + 1) * sub]
-        Cj = C[:, j * sub : (j + 1) * sub]
-        ab = np.zeros((len(Xj), len(Cj)))
-        aa = np.zeros(len(Xj))
-        bb = np.zeros(len(Cj))
-        for d in range(sub):  # dimension-sequential == list_dot_product
-            ab += Xj[:, d, None] * Cj[None, :, d]
-            aa += Xj[:, d] * Xj[:, d]
-            bb += Cj[:, d] * Cj[:, d]
-        return (aa[:, None] - 2.0 * ab) + bb[None, :]
+    model = _ivfpq_model(c, num_cells, m, ncent)
+    bc = corpus.sparkSession.sparkContext.broadcast(model)
 
     def errors(batches):
         import pandas as pd
 
-        ids, cm, cres = bc.value
+        ids, cm, cn, cres, sb = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             X = np.stack(pdf["vec"].to_numpy())
-            raw = (X @ cm.T) / (
-                np.sqrt((X * X).sum(axis=1))[:, None]
-                * np.sqrt((cm * cm).sum(axis=1))[None, :]
-            )
-            s = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
-            best = np.argsort(-s, axis=1, kind="stable")[:, 0]
+            best = _ivfpq_best_cells(X, cm, cn, 1)[:, 0]
             R = X - cm[best]
             err = None
             for j in range(m):  # left-assoc subspace accumulation
-                ej = sub_d2(R, cres, j).min(axis=1)
+                ej = _ivfpq_sub_d2(R, cres, j, sb).min(axis=1)
                 err = ej if err is None else err + ej
             yield pd.DataFrame(
                 {

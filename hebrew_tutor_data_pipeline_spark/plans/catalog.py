@@ -1256,29 +1256,36 @@ FROM events GROUP BY 1
 )
 def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide hourly activity matrix via PIVOT with an explicit value
-    list: one map-side-combined aggregate, no discovery pass, columns
-    stable across runs (the implicit-pivot distinct scan is both a
-    second job and a schema hazard at scale). Counts are exact; the
-    pivot compiles to the same conditional aggregation the oracle
-    spells out."""
+    list: ONE map-side-combined aggregate carrying the per-type
+    conditional counts AND the total — no discovery pass, no second
+    scan, no hour-keyed join (the implicit-pivot distinct scan is both
+    a second job and a schema hazard at scale). n_total counts every
+    row — including any type outside the explicit list — so a domain
+    drift shows up as a loud n_total mismatch at the gate instead of a
+    silent column of zeros."""
     ev = T(spark, sf_dir, "events")
     types = ["click", "error", "purchase", "signup", "view"]
-    wide = (
+    return (
         ev.select(F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type")
         .groupBy("hour")
-        .pivot("event_type", types)
-        .count()
-    )
-    total = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
-        F.count(F.lit(1)).alias("n_total")
-    )
-    out = wide.join(total, "hour")
-    for t in types:
-        out = out.withColumnRenamed(t, f"n_{t}").withColumn(
-            f"n_{t}", F.coalesce(F.col(f"n_{t}"), F.lit(0))
+        .agg(
+            *[
+                F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(
+                    f"n_{t}"
+                )
+                for t in types
+            ],
+            F.count(F.lit(1)).alias("n_total"),
         )
-    return out.select(
-        "hour", "n_click", "n_error", "n_purchase", "n_signup", "n_view", "n_total"
+        .select(
+            "hour",
+            "n_click",
+            "n_error",
+            "n_purchase",
+            "n_signup",
+            "n_view",
+            "n_total",
+        )
     )
 
 
@@ -1514,16 +1521,19 @@ def event_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = ev.select(
         "user_id", "ts", F.lag("ts").over(w).alias("prev_ts")
     )
-    inv = F.sum(
-        F.when(F.col("ts") < F.col("prev_ts"), 1).otherwise(0)
-    )
-    return o.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        inv.alias("n_inversions"),
-        F.expr(
-            "sum(CASE WHEN ts < prev_ts THEN 1 ELSE 0 END) * 1000000"
-            " div count(1)"
-        ).alias("inversion_ppm"),
+    return (
+        o.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("ts") < F.col("prev_ts"), 1).otherwise(0)
+            ).alias("n_inversions"),
+        )
+        # ppm derives from the aggregated columns — ONE copy of the
+        # inversion predicate, so the two outputs cannot desynchronize
+        .withColumn(
+            "inversion_ppm", F.expr("n_inversions * 1000000 div n_events")
+        )
     )
 
 

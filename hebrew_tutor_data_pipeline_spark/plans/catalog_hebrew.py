@@ -1786,7 +1786,7 @@ def winnow_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _spectral_oracle() -> str:
+def _spectral_oracle() -> str | None:
     """DuckDB twin of the FFT spectral profile: the committed fixture
     tree's decode dims (md5 freq, sample count — the same formulas
     ``operators.multimodal._fake_waveform`` applies on the executors)
@@ -1807,6 +1807,12 @@ def _spectral_oracle() -> str:
             continue
         freq = 100 + hashlib.md5(payload).digest()[0]
         dims.append((p.name.replace("'", "''"), n, freq))
+    if not dims:
+        # every fixture is below the length thresholds — degrade to
+        # no-oracle rather than registering an empty (unparseable)
+        # VALUES list (the advisor's own-fixture-gate lesson applied to
+        # the ELIGIBLE set, not just the glob)
+        return None
     vals = ",\n  ".join(f"('{f}', {n}, {fr})" for f, n, fr in dims)
     return f"""
 WITH dims(filename, n, freq) AS (VALUES
@@ -1832,21 +1838,20 @@ dom AS (
 )
 SELECT d.filename, dm.n AS num_samples, CAST(d.k AS INTEGER) AS dominant_bin,
        CAST(d.k * 15.625 AS DOUBLE) AS dominant_freq_hz,
-       CAST(floor(1000 * d.mag / d.tot + 0.5) AS BIGINT) AS tonality_milli
+       CASE WHEN d.tot <= 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(floor(1000 * d.mag / d.tot + 0.5) AS BIGINT)
+       END AS tonality_milli
 FROM dom d JOIN dims dm USING (filename) WHERE d.r = 1
 """
 
 
 @_register(
     "audio_spectral_profile",
-    # Gate on the audio tree's OWN fixtures (the advisor's lesson from
-    # the PDF oracle): import of `plans` must survive a checkout that
-    # ships only some fixture families.
-    oracle=(
-        _spectral_oracle()
-        if next(Path(FIXTURE_AUDIO_TREE).glob("*/*.mp3"), None) is not None
-        else None
-    ),
+    # Gated on the audio tree's OWN fixtures (the advisor's lesson from
+    # the PDF oracle): _spectral_oracle returns None both when the tree
+    # is absent AND when no fixture clears the length thresholds, so
+    # import of `plans` survives any fixture subset.
+    oracle=_spectral_oracle(),
     tags=("S5", "U4", "multimodal", "spectral", "fft"),
 )
 def audio_spectral_profile(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -970,7 +970,12 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(T(spark, sf_dir, "documents"))
     n = d.count()
     bits = _hamming_bits_for(n)
-    fps = dedup.simhash(d, "doc_id", "text", bits)  # (id, simhash)
+    # fps feeds BOTH the quotient aggregate and the final fan-back join;
+    # persist (plain lineage-intact cache — safely evictable, unlike a
+    # checkpoint) so the per-token simhash fold runs the corpus ONCE,
+    # not once per consumer. The rank loop's own frames are
+    # fingerprint-sized and rebuild cheaply.
+    fps = dedup.simhash(d, "doc_id", "text", bits).persist()  # (id, simhash)
     g = fps.groupBy("simhash").agg(F.count(F.lit(1)).alias("m"))
     adjp = dedup._banded_hamming_pairs(
         g.select(F.col("simhash").alias("id"), "simhash"), bits, 2, 1
