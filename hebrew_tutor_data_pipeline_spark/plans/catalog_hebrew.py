@@ -1877,3 +1877,88 @@ def audio_spectral_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dominant_freq_hz",
         "tonality_milli",
     )
+
+
+def _wav_roundtrip_oracle() -> str | None:
+    """DuckDB twin of the S6 encode: per eligible fixture, the EXPECTED
+    WAV md5 and byte length are computed at oracle-build time by an
+    INDEPENDENT spec-level RIFF writer (struct-packed canonical 44-byte
+    header — verified byte-identical to the stdlib ``wave`` container
+    the operator uses) over the same deterministic fake waveform
+    (float32-truncated sine, half-away int16 quantization). Inputs
+    derive from the committed fixture bytes; the writer shares no code
+    with operators.multimodal.encode_wav."""
+    import hashlib
+    import math
+    import struct
+
+    import numpy as np
+
+    rows = []
+    for p in sorted(Path(FIXTURE_AUDIO_TREE).glob("*/*.mp3")):
+        payload = p.read_bytes()
+        if len(payload) < 1024:
+            continue
+        digest = hashlib.md5(payload).digest()
+        freq = 100 + digest[0]
+        n = max(160, int(len(payload) / 1024 * 0.05 * 16000))
+        x = np.array(
+            [float(np.float32(math.sin(2 * math.pi * freq * i / 16000)))
+             for i in range(n)]
+        )
+        x = np.clip(x, -1.0, 1.0)
+        pcm = (np.sign(x) * np.floor(np.abs(x) * 32767 + 0.5)).astype("<i2")
+        data = pcm.tobytes()
+        wav = (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        rows.append(
+            (
+                p.name.replace("'", "''"),
+                n,
+                hashlib.md5(wav).hexdigest(),
+                len(wav),
+            )
+        )
+    if not rows:
+        return None
+    vals = ",\n  ".join(
+        f"('{f}', {n}, '{h}', {ln})" for f, n, h, ln in rows
+    )
+    return f"""
+SELECT * FROM (VALUES
+  {vals}) AS t(filename, num_samples, wav_md5, wav_bytes)
+"""
+
+
+@_register(
+    "wav_roundtrip_digests",
+    # S6 under the value-hash gate: the operator's REAL RIFF/PCM encode
+    # must reproduce, byte for byte, what an independent spec-level
+    # writer predicts from the fixture-derived waveforms.
+    oracle=_wav_roundtrip_oracle(),
+    tags=("S5", "S6", "multimodal", "audio"),
+)
+def wav_roundtrip_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3→WAV conversion (S6) digest-certified: S2 glob scan → S5
+    decode → REAL 16-bit PCM RIFF encode (operators.multimodal.
+    encode_wav) → md5 + length of the produced container. The oracle's
+    expected digests come from an independent struct-packed RIFF
+    writer, so hash equality certifies the full byte stream — header,
+    quantization, sample order — not a replayed constant. Map-only
+    (decode → encode → digest pipeline in one Arrow stage chain)."""
+    from ..operators.multimodal import decode_audio, encode_wav
+    from ..sources.readers import read_binary_files
+
+    files = read_binary_files(spark, FIXTURE_AUDIO_TREE, glob="*.mp3").filter(
+        F.col("length") >= 1024
+    )
+    enc = encode_wav(decode_audio(files))
+    return enc.select(
+        F.regexp_extract("path", r"([^/]+)$", 1).alias("filename"),
+        "num_samples",
+        F.md5("wav").alias("wav_md5"),
+        F.length("wav").cast("bigint").alias("wav_bytes"),
+    )
