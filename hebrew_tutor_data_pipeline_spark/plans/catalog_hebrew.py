@@ -1962,3 +1962,54 @@ def wav_roundtrip_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("wav").alias("wav_md5"),
         F.length("wav").cast("bigint").alias("wav_bytes"),
     )
+
+
+@_register(
+    "blob_upload_manifest",
+    # S13 under the value-hash gate, with a FULLY independent oracle:
+    # DuckDB reads the ORIGINAL fixture bytes itself (read_blob) and
+    # digests them, while Spark digests what it reads back OUT of the
+    # upload container — equality proves the sink moved every byte,
+    # named blobs by the contract pattern, and overwrote idempotently.
+    # (md5 via lower(hex(bytes)) on both engines — DuckDB's md5 is
+    # VARCHAR-only.)
+    oracle=f"""
+SELECT 'audio/' || regexp_extract(filename, '([^/]+)$', 1) AS blob_name,
+       CAST(size AS BIGINT) AS n_bytes,
+       md5(lower(hex(content))) AS content_md5
+FROM read_blob('{FIXTURE_AUDIO_TREE}/*/*.mp3')
+WHERE size >= 1024
+""",
+    tags=("S13", "sink", "multimodal"),
+)
+def blob_upload_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blob-upload sink (S13) digest-certified end to end: S2 glob scan
+    → upload into the local-container fake (the full naming/overwrite/
+    partition-parallel contract; the SDK call is the documented slot) —
+    TWICE, so the overwrite-by-stable-name semantics execute — then a
+    binaryFile scan of the CONTAINER produces the manifest the oracle
+    checks against the original fixture bytes it reads independently.
+    App-scoped container dir: concurrent sessions never race."""
+    import shutil
+    import tempfile
+    from ..operators.binary_sink import upload_blobs
+    from ..sources.readers import read_binary_files
+
+    files = read_binary_files(spark, FIXTURE_AUDIO_TREE, glob="*.mp3").filter(
+        F.col("length") >= 1024
+    )
+    container = str(
+        Path(tempfile.gettempdir())
+        / f"htdp_blob_{spark.sparkContext.applicationId}"
+    )
+    shutil.rmtree(container, ignore_errors=True)
+    upload_blobs(files, container_dir=container)
+    upload_blobs(files, container_dir=container)  # idempotent overwrite
+    back = read_binary_files(spark, container, glob="*.mp3")
+    return back.select(
+        F.concat(
+            F.lit("audio/"), F.regexp_extract("path", r"([^/]+)$", 1)
+        ).alias("blob_name"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.md5(F.lower(F.hex(F.col("content")))).alias("content_md5"),
+    )
