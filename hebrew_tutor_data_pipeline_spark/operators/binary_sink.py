@@ -109,11 +109,16 @@ def upload_blobs(
     content_col: str = "content",
     prefix: str = "audio",
     fake: bool = True,
+    name_col: str | None = None,
 ) -> None:
     """S13: blob upload sink (`fixed_hebrew_aligner.py:335-342`).
 
     Blob names follow the reference pattern ``{prefix}/{filename}`` with
-    ``overwrite=True`` semantics. ``fake=True`` writes into a local
+    ``overwrite=True`` semantics; pass ``name_col`` to supply
+    collision-proof names (basenames silently merge when equal
+    filenames live under different directories — the same hazard the
+    trimmer manifest keys on book_dir/filename to avoid).
+    ``fake=True`` writes into a local
     container directory (the full contract: naming, overwrite,
     partition-parallel execution); ``fake=False`` is the documented slot
     where ``BlobClient.upload_blob`` belongs — the SDK is absent from
@@ -130,11 +135,13 @@ def upload_blobs(
     if container_dir is None:
         raise ValueError("fake upload needs a container_dir")
 
+    cols = [name_col or path_col, content_col]
+
     def run(rows: Iterator) -> None:
         for row in rows:
-            name = os.path.basename(row[path_col])
+            name = row[name_col] if name_col else os.path.basename(row[path_col])
             _atomic_write(
                 os.path.join(container_dir, prefix, name), bytes(row[content_col])
             )
 
-    df.select(path_col, content_col).foreachPartition(run)
+    df.select(*cols).foreachPartition(run)

@@ -298,7 +298,7 @@ SELECT regexp_extract(filename, '(\\d+)-([A-Za-z]+)_(\\d+)\\.mp3$', 2) AS abbr,
        CAST(regexp_extract(filename, '(\\d+)-([A-Za-z]+)_(\\d+)\\.mp3$', 3) AS INTEGER)
            AS chapter,
        size AS length
-FROM read_blob('{FIXTURE_AUDIO_TREE}/*/*.mp3')
+FROM read_blob('{FIXTURE_AUDIO_TREE}/**/*.mp3')
 WHERE size >= 1024
 """,
     tags=("S2", "S3", "F7", "P3"),
@@ -359,10 +359,10 @@ def nfc_normalize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH loc AS (
     SELECT regexp_extract(filename, '([^/]+)$', 1) AS fname, size, 0 AS pri
-    FROM read_blob('{FIXTURE_AUDIO_TREE}/*/*.mp3')),
+    FROM read_blob('{FIXTURE_AUDIO_TREE}/**/*.mp3')),
 rem AS (
     SELECT regexp_extract(filename, '([^/]+)$', 1) AS fname, size, 1 AS pri
-    FROM read_blob('{FIXTURE_REMOTE_TREE}/*/*.mp3')),
+    FROM read_blob('{FIXTURE_REMOTE_TREE}/**/*.mp3')),
 u AS (SELECT * FROM loc UNION ALL SELECT * FROM rem)
 SELECT fname AS filename,
        min_by(size, pri) AS length,
@@ -662,7 +662,7 @@ dur AS (
   SELECT regexp_extract(filename, '(\\d+)-([A-Za-z]+)_(\\d+)\\.mp3$', 2) AS book,
          CAST(regexp_extract(filename, '(\\d+)-([A-Za-z]+)_(\\d+)\\.mp3$', 3) AS INTEGER) AS chapter,
          size * 10 AS duration_ms
-  FROM read_blob('{FIXTURE_AUDIO_TREE}/*/*.mp3') WHERE size >= 1024),
+  FROM read_blob('{FIXTURE_AUDIO_TREE}/**/*.mp3') WHERE size >= 1024),
 chd AS (
   SELECT r.book, r.chapter, d.duration_ms
   FROM (SELECT DISTINCT book, chapter FROM tok) r
@@ -940,7 +940,7 @@ def _trimmer_analysis_oracle() -> str:
     import hashlib
 
     dims = []
-    for p in sorted(Path(FIXTURE_AUDIO_TREE).glob("*/*.mp3")):
+    for p in sorted(Path(FIXTURE_AUDIO_TREE).glob("**/*.mp3")):
         payload = p.read_bytes()
         if len(payload) < 1024:
             continue
@@ -1082,7 +1082,7 @@ def _trimmer_e2e_oracle() -> str:
         for r in duckdb.sql(_trimmer_analysis_oracle()).fetchall()
     }
     rows = []
-    for p in sorted(Path(FIXTURE_AUDIO_TREE).glob("*/*.mp3")):
+    for p in sorted(Path(FIXTURE_AUDIO_TREE).glob("**/*.mp3")):
         payload = p.read_bytes()
         if len(payload) < 1024:
             continue
@@ -1798,7 +1798,7 @@ def _spectral_oracle() -> str | None:
     import hashlib
 
     dims = []
-    for p in sorted(Path(FIXTURE_AUDIO_TREE).glob("*/*.mp3")):
+    for p in sorted(Path(FIXTURE_AUDIO_TREE).glob("**/*.mp3")):
         payload = p.read_bytes()
         if len(payload) < 1024:
             continue
@@ -1895,7 +1895,7 @@ def _wav_roundtrip_oracle() -> str | None:
     import numpy as np
 
     rows = []
-    for p in sorted(Path(FIXTURE_AUDIO_TREE).glob("*/*.mp3")):
+    for p in sorted(Path(FIXTURE_AUDIO_TREE).glob("**/*.mp3")):
         payload = p.read_bytes()
         if len(payload) < 1024:
             continue
@@ -1974,10 +1974,10 @@ def wav_roundtrip_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (md5 via lower(hex(bytes)) on both engines — DuckDB's md5 is
     # VARCHAR-only.)
     oracle=f"""
-SELECT 'audio/' || regexp_extract(filename, '([^/]+)$', 1) AS blob_name,
+SELECT 'audio/' || regexp_extract(filename, '([^/]+/[^/]+)$', 1) AS blob_name,
        CAST(size AS BIGINT) AS n_bytes,
        md5(lower(hex(content))) AS content_md5
-FROM read_blob('{FIXTURE_AUDIO_TREE}/*/*.mp3')
+FROM read_blob('{FIXTURE_AUDIO_TREE}/**/*.mp3')
 WHERE size >= 1024
 """,
     tags=("S13", "sink", "multimodal"),
@@ -1995,20 +1995,27 @@ def blob_upload_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.binary_sink import upload_blobs
     from ..sources.readers import read_binary_files
 
-    files = read_binary_files(spark, FIXTURE_AUDIO_TREE, glob="*.mp3").filter(
-        F.col("length") >= 1024
+    files = (
+        read_binary_files(spark, FIXTURE_AUDIO_TREE, glob="*.mp3")
+        .filter(F.col("length") >= 1024)
+        # blob name = book_dir/filename — collision-proof across book
+        # directories (the trimmer manifest's keying lesson; equal
+        # basenames under different books must stay distinct blobs)
+        .withColumn(
+            "blob_rel", F.regexp_extract("path", r"([^/]+/[^/]+)$", 1)
+        )
     )
     container = str(
         Path(tempfile.gettempdir())
         / f"htdp_blob_{spark.sparkContext.applicationId}"
     )
     shutil.rmtree(container, ignore_errors=True)
-    upload_blobs(files, container_dir=container)
-    upload_blobs(files, container_dir=container)  # idempotent overwrite
+    upload_blobs(files, container_dir=container, name_col="blob_rel")
+    upload_blobs(files, container_dir=container, name_col="blob_rel")  # idempotent overwrite
     back = read_binary_files(spark, container, glob="*.mp3")
     return back.select(
         F.concat(
-            F.lit("audio/"), F.regexp_extract("path", r"([^/]+)$", 1)
+            F.lit("audio/"), F.regexp_extract("path", r"([^/]+/[^/]+)$", 1)
         ).alias("blob_name"),
         F.col("length").cast("bigint").alias("n_bytes"),
         F.md5(F.lower(F.hex(F.col("content")))).alias("content_md5"),
