@@ -289,3 +289,65 @@ class TestReportValueReferences:
         assert got == pr
         # non-degenerate: near-dup hubs must outrank isolated docs
         assert max(pr.values()) > min(pr.values())
+
+    def test_pagerank_quotient_on_clique_heavy_corpus(self, spark, tmp_path):
+        """The quotient algebra's hazard topology: large equal-fingerprint
+        cliques. A synthetic corpus of heavy duplicate groups must match
+        the naive per-document pairwise replay exactly."""
+        from hebrew_tutor_data_pipeline_spark.operators import dedup
+        from hebrew_tutor_data_pipeline_spark.plans.catalog_ml import (
+            _hamming_bits_for,
+            pagerank_neardup_graph,
+        )
+
+        rows = (
+            [(i, "alpha beta gamma delta epsilon zeta", "en", "s0", 36) for i in range(50)]
+            + [(100 + i, "one two three four five six seven", "en", "s1", 33) for i in range(30)]
+            + [
+                (200 + i, f"unique{i} text{i} row{i} spark{i} value{i}", "en", "s2", 30)
+                for i in range(10)
+            ]
+        )
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        sf = str(tmp_path / "clique_sf")
+        df.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+        got = {
+            r["doc_id"]: r["pr_nano"]
+            for r in pagerank_neardup_graph(spark, sf).collect()
+        }
+
+        # naive pairwise replay from the SAME fingerprints
+        n = len(rows)
+        bits = _hamming_bits_for(n)
+        fps = {
+            r["id"]: r["simhash"]
+            for r in dedup.simhash(df, "doc_id", "text", bits).collect()
+        }
+        ids = sorted(fps)
+        adj: dict = {i: [] for i in ids}
+        for i_pos, a in enumerate(ids):
+            for b in ids[i_pos + 1 :]:
+                if bin(fps[a] ^ fps[b]).count("1") <= 1:
+                    adj[a].append(b)
+                    adj[b].append(a)
+        pr = {v: 1_000_000_000 // n for v in ids}
+        for _ in range(2):
+            s = {v: 0 for v in ids}
+            for u, nbrs in adj.items():
+                if not nbrs:
+                    continue
+                c = pr[u] // len(nbrs)
+                for v in nbrs:
+                    s[v] += c
+            pr = {v: 150_000_000 // n + (850 * s[v]) // 1000 for v in ids}
+        assert got == pr
+        # each equal-fingerprint clique must share exactly one rank (the
+        # symmetry the quotient exploits), and the topology must be
+        # non-degenerate (more than one distinct rank corpus-wide)
+        c0 = {pr[i] for i in range(50)}
+        c1 = {pr[100 + i] for i in range(30)}
+        assert len(c0) == 1 and len(c1) == 1
+        assert len(set(pr.values())) > 1
