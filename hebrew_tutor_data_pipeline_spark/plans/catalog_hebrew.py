@@ -1994,7 +1994,9 @@ def blob_upload_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     from ..operators.binary_sink import upload_blobs
     from ..sources.readers import read_binary_files
+    from ..streaming.sources import _sweep_stale_scratch
 
+    _sweep_stale_scratch(spark.sparkContext.applicationId)
     files = (
         read_binary_files(spark, FIXTURE_AUDIO_TREE, glob="*.mp3")
         .filter(F.col("length") >= 1024)

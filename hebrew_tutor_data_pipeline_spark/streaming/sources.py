@@ -95,9 +95,10 @@ _ORPHANS_SWEPT = False
 
 
 def _sweep_stale_scratch(app_id: str, max_age_seconds: float = 3600.0) -> None:
-    """Once per process, drop htdp_stream_* scratch trees left by DEAD
-    sessions: a different applicationId AND untouched for an hour (the
-    age guard keeps a concurrent live session's scratch safe)."""
+    """Once per process, drop htdp_* scratch trees (stream checkpoints,
+    blob containers, e2e sink dirs) left by DEAD sessions: a different
+    applicationId AND untouched for an hour (the age guard keeps a
+    concurrent live session's scratch safe)."""
     global _ORPHANS_SWEPT
     if _ORPHANS_SWEPT:
         return
@@ -108,7 +109,7 @@ def _sweep_stale_scratch(app_id: str, max_age_seconds: float = 3600.0) -> None:
     from pathlib import Path
 
     cutoff = time.time() - max_age_seconds
-    for d in Path(tempfile.gettempdir()).glob("htdp_stream_*"):
+    for d in Path(tempfile.gettempdir()).glob("htdp_*"):
         try:
             if not d.name.endswith(app_id) and d.stat().st_mtime < cutoff:
                 shutil.rmtree(d, ignore_errors=True)
