@@ -902,8 +902,8 @@ def streaming_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH w AS (
     -- epoch() yields a DOUBLE with fractional seconds and // on doubles
     -- does NOT floor in DuckDB — floor explicitly, then integer grid math
-    SELECT to_timestamp(CAST(floor(epoch(ts) / 900) AS BIGINT) * 900
-                        - k.k * 900) AS window_start,
+    SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 900) AS BIGINT) * 900
+                        - k.k * 900) AS TIMESTAMP) AS window_start,
            value
     FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
 )
@@ -1443,7 +1443,7 @@ cum AS (
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
     FROM h
 )
-SELECT cum.event_type, n.n AS n_events,
+SELECT cum.event_type, CAST(n.n AS BIGINT) AS n_events,
        min(CASE WHEN cc >= CAST(ceil(0.5 * n.n) AS BIGINT) THEN value END) AS p50,
        min(CASE WHEN cc >= CAST(ceil(0.9 * n.n) AS BIGINT) THEN value END) AS p90,
        min(CASE WHEN cc >= CAST(ceil(0.99 * n.n) AS BIGINT) THEN value END) AS p99

@@ -987,10 +987,10 @@ sg AS (
   FROM fl)
 SELECT s.filename, s.seg_idx,
        round(s.rms_raw, 6) AS rms,
-       s.start_time,
+       CAST(s.start_time AS DOUBLE) AS start_time,
        round(s.end_time, 6) AS end_time,
        round(t.threshold_raw, 6) AS threshold,
-       g.first_loud_start,
+       CAST(g.first_loud_start AS DOUBLE) AS first_loud_start,
        round(g.suggested_raw, 2) AS suggested_trim,
        g.suggested_raw > 1.0 AS should_trim,
        CASE WHEN g.suggested_raw > 1.0
@@ -1114,7 +1114,7 @@ SELECT filename,
        CAST(trimmed_length AS BIGINT) AS trimmed_length, trimmed_md5,
        CAST(orig_length AS BIGINT) AS restored_length,
        orig_md5 AS restored_md5,
-       suggested_trim, should_trim
+       CAST(suggested_trim AS DOUBLE) AS suggested_trim, should_trim
 FROM t
 """
 
@@ -1706,7 +1706,7 @@ fr AS (
   SELECT filename, unnest(range(CAST(floor(duration / 0.5) AS BIGINT))) AS i FROM f)
 SELECT filename,
        CAST(i AS INTEGER) AS frame_idx,
-       round(i * 0.5, 6) AS t
+       CAST(round(i * 0.5, 6) AS DOUBLE) AS t
 FROM fr
 """,
     tags=("U9", "multimodal"),

@@ -210,7 +210,8 @@ kept AS (
            coalesce(sum(CASE WHEN h.logit_micro > k.cutoff_logit_micro THEN h.tok END), 0) AS kept_tokens
     FROM h JOIN cut k USING (lang) GROUP BY h.lang
 )
-SELECT l.lang, l.n_docs, k.cutoff_logit_micro, kp.n_kept,
+SELECT l.lang, CAST(l.n_docs AS BIGINT) AS n_docs, k.cutoff_logit_micro,
+       CAST(kp.n_kept AS BIGINT) AS n_kept,
        CAST((kp.kept_tokens * 1000000) // l.total_tokens AS BIGINT) AS kept_token_ppm
 FROM l JOIN cut k USING (lang) JOIN kept kp USING (lang)
 """,
@@ -942,7 +943,7 @@ pr0 AS (
 ),
 {_pr_round_sql('pr0', 'c1', 'pr1')},
 {_pr_round_sql('pr1', 'c2', 'pr2')}
-SELECT doc_id, pr AS pr_nano FROM pr2
+SELECT doc_id, CAST(pr AS BIGINT) AS pr_nano FROM pr2
 """.format(CATALOG["simhash_hamming_pairs"].oracle),
     tags=("graph", "pagerank", "dedup", "iterative"),
 )
@@ -2108,8 +2109,8 @@ SELECT CAST(s.doc_id AS VARCHAR) AS group_key,
        r.rw AS ref_word,
        CASE WHEN b.sim >= 0.6 AND b.sim > 0.0 THEN b.j END AS matched_idx,
        CASE WHEN b.sim >= 0.6 AND b.sim > 0.0 THEN b.tw END AS matched_word,
-       CASE WHEN b.sim >= 0.6 AND b.sim > 0.0 THEN b.ts END AS start,
-       CASE WHEN b.sim >= 0.6 AND b.sim > 0.0 THEN b.te END AS "end",
+       CAST(CASE WHEN b.sim >= 0.6 AND b.sim > 0.0 THEN b.ts END AS DOUBLE) AS start,
+       CAST(CASE WHEN b.sim >= 0.6 AND b.sim > 0.0 THEN b.te END AS DOUBLE) AS "end",
        round(coalesce(CASE WHEN b.sim > 0.0 THEN b.sim END, 0.0), 6) AS similarity,
        CASE WHEN b.sim >= 0.6 AND b.sim > 0.0 THEN 1 ELSE 0 END AS matched
 FROM step s
@@ -3871,8 +3872,8 @@ lab AS (
     FROM enc e JOIN documents d USING (doc_id)
 )
 SELECT lang, count(*) AS n_docs,
-       sum(n_tokens_raw) AS tokens_raw,
-       sum(n_tokens_bpe) AS tokens_bpe,
+       CAST(sum(n_tokens_raw) AS BIGINT) AS tokens_raw,
+       CAST(sum(n_tokens_bpe) AS BIGINT) AS tokens_bpe,
        CAST(sum(n_fused) * 1000000 // sum(n_tokens_raw) AS BIGINT) AS fused_ppm,
        CAST(sum(n_tokens_bpe) * 1000000 // sum(n_tokens_raw) AS BIGINT)
            AS compression_ppm
@@ -3953,7 +3954,7 @@ fn AS (
     SELECT threshold, count(c.id_a) AS n_found
     FROM th LEFT JOIN cand c ON c.jaccard >= threshold GROUP BY threshold
 )
-SELECT tn.threshold, tn.n_truth, fn.n_found,
+SELECT CAST(tn.threshold AS DOUBLE) AS threshold, tn.n_truth, fn.n_found,
        round(coalesce(fn.n_found / nullif(tn.n_truth, 0), 0), 6) AS recall
 FROM tn JOIN fn USING (threshold)
 """

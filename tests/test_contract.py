@@ -128,6 +128,30 @@ def oracle_con():
     return con
 
 
+def test_no_banned_oracle_output_dtypes(oracle_con):
+    """Every oracle's OUTPUT types must be driver-canonicalizable: no
+    HUGEINT/UHUGEINT (bare integer sum() → int128), no DECIMAL (str()
+    rendering is scale-dependent: Decimal('0.50') != repr(0.5)), no
+    TIMESTAMP WITH TIME ZONE (to_timestamp(double) — Spark emits naive).
+    This is the exact audit that isolated the five r7 gate failures;
+    it binds (doesn't execute) each oracle, so it runs in seconds.
+    """
+    from tools.parity import oracle_type_problems
+
+    offenders = {}
+    for name, spec in CATALOG.items():
+        if spec.oracle is None:
+            continue
+        probs = oracle_type_problems(oracle_con, spec.oracle)
+        if probs:
+            offenders[name] = probs
+    assert not offenders, (
+        f"oracles emitting driver-divergent output types: {offenders} — "
+        "CAST integer sums AS BIGINT, decimals AS DOUBLE, "
+        "to_timestamp(...) AS TIMESTAMP"
+    )
+
+
 @pytest.mark.parametrize("name", PARITY_SUBSET)
 def test_oracle_parity_sf0001(spark, oracle_con, name):
     q, o = entry_mod.queries(), entry_mod.oracle_sql()

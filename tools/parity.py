@@ -20,6 +20,91 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
+# DuckDB output types the driver's canonicalizer renders differently from
+# any Spark output type — an oracle emitting one of these can be locally
+# hash-green (str() erases the distinction) yet fail the driver gate.
+# r7 lost 5 rows to exactly this: bare integer sum() → HUGEINT (int128)
+# and to_timestamp(double) → TIMESTAMP WITH TIME ZONE. Ban them outright.
+BANNED_DUCK_TYPES = (
+    "HUGEINT",
+    "UHUGEINT",
+    "DECIMAL",
+    "TIMESTAMP WITH TIME ZONE",
+)
+
+
+def oracle_type_problems(con, sql: str) -> list[str]:
+    """Bind (don't execute) an oracle and return banned-output-type
+    diagnostics, e.g. ['n_events:HUGEINT']. Empty list = clean."""
+    rel = con.sql(sql)
+    probs = []
+    for col, typ in zip(rel.columns, rel.types):
+        t = str(typ)
+        if any(b in t for b in BANNED_DUCK_TYPES):
+            probs.append(f"{col}:{t}")
+    return probs
+
+
+# DuckDB type string → coarse value family, matched against Spark dtypes.
+# A family mismatch means norm_cell/the driver canonicalizer will render
+# the same value differently ('5' vs '5.0'), i.e. a guaranteed hash
+# divergence — catch it at bind time instead of hash time.
+def _duck_family(t: str) -> str:
+    t = t.upper()
+    if t.endswith("[]") or t.startswith(("STRUCT", "MAP", "UNION")):
+        return "nested"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT", "UHUGEINT"):
+        return "int"
+    if t in ("FLOAT", "DOUBLE", "REAL") or t.startswith("DECIMAL"):
+        return "float"
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    if t == "DATE":
+        return "date"
+    if t == "BOOLEAN":
+        return "bool"
+    if t == "BLOB":
+        return "binary"
+    return "str"
+
+
+def _spark_family(t: str) -> str:
+    t = t.lower()
+    if t.startswith(("array", "map", "struct")):
+        return "nested"
+    if t in ("tinyint", "smallint", "int", "bigint", "long"):
+        return "int"
+    if t in ("float", "double") or t.startswith("decimal"):
+        return "float"
+    if t.startswith("timestamp"):
+        return "timestamp"
+    if t == "date":
+        return "date"
+    if t == "boolean":
+        return "bool"
+    if t == "binary":
+        return "binary"
+    return "str"
+
+
+def type_family_problems(
+    spark_dtypes: list[tuple[str, str]], con, sql: str
+) -> list[str]:
+    """Compare Spark output dtypes against the oracle's DuckDB types by
+    value family; return diagnostics for any divergence."""
+    rel = con.sql(sql)
+    duck = {c: str(t) for c, t in zip(rel.columns, rel.types)}
+    probs = []
+    for col, st in spark_dtypes:
+        dt = duck.get(col)
+        if dt is None:
+            continue  # name mismatch is reported separately
+        sf, df_ = _spark_family(st), _duck_family(dt)
+        if sf != df_:
+            probs.append(f"{col}: spark {st}({sf}) vs duckdb {dt}({df_})")
+    return probs
+
 
 def norm_cell(v) -> str:
     import datetime
@@ -104,6 +189,15 @@ def main() -> int:
             problems.append(f"rowcount {len(srows)} vs {len(orows)}")
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols {sorted(scols)} vs {sorted(ocols)}")
+        try:
+            banned = oracle_type_problems(con, spec.oracle)
+            if banned:
+                problems.append(f"banned oracle dtypes {banned}")
+            fam = type_family_problems(sdf.dtypes, con, spec.oracle)
+            if fam:
+                problems.append(f"dtype family mismatch {fam}")
+        except Exception as e:  # binding failure — surface, don't mask
+            problems.append(f"dtype check error: {str(e)[:200]}")
         if not problems:
             sh, oh = table_hash(srows, scols), table_hash(orows, ocols)
             if sh != oh:
