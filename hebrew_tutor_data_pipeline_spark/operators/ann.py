@@ -642,6 +642,13 @@ def _ivfpq_model(c: DataFrame, num_cells: int, m: int, ncent: int):
     import numpy as np
 
     rows = c.orderBy("id").limit(num_cells + ncent).collect()
+    if len(rows) < num_cells + ncent:
+        raise ValueError(
+            f"corpus has {len(rows)} rows but IVFADC training needs "
+            f"num_cells + ncent = {num_cells + ncent}; shrink the codebook "
+            "or grow the corpus (an undersized slice would train a silently "
+            "degenerate PQ codebook)"
+        )
     coarse = rows[:num_cells]
     cell_ids = np.array([int(r["id"]) for r in coarse], dtype="int64")
     cent = np.stack([np.asarray(r["vec"], dtype="float64") for r in coarse])

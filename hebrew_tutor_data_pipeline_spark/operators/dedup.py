@@ -1146,6 +1146,25 @@ def ngram_contamination(
     )
 
 
+_PACK_ID_BITS = 44
+
+
+def _pack_id_guarded(id_col: F.Column) -> F.Column:
+    """0 ≤ id < 2^44 or fail LOUDLY: an out-of-range id would silently
+    bleed into the rank bits of the packed-BIGINT argmin and corrupt the
+    winner (wrong or negative match), not error. The guard is one codegen
+    comparison per candidate row — noise next to the join it follows."""
+    ok = (id_col >= 0) & (id_col < F.lit(1 << _PACK_ID_BITS))
+    return F.when(ok, id_col).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"packed-argmin id outside [0, 2^{_PACK_ID_BITS}): "),
+                id_col.cast("string"),
+            )
+        )
+    )
+
+
 def simhash_lookup_pairs(
     batch: DataFrame,
     index: DataFrame,
@@ -1200,7 +1219,9 @@ def simhash_lookup_pairs(
     # BEFORE any exchange. Both a row_number window and min(struct(...))
     # (object aggregate, sort-based fallback) had to SORT every
     # candidate instead: measured 13 GB spill at x100, → zero packed.
-    packed = F.col("hamming").cast("long") * F.lit(1 << 44) + F.col("x_id")
+    packed = F.col("hamming").cast("long") * F.lit(1 << 44) + _pack_id_guarded(
+        F.col("x_id")
+    )
     best = (
         cand.groupBy("b_id")
         .agg(F.min(packed).alias("p"))
@@ -1302,18 +1323,44 @@ def minhash_lookup_pairs(
     # and the id pack into one BIGINT whose min() is highest-jaccard-
     # then-smallest-id — plain HashAggregate, map-side combined.
     jscaled = F.round(F.col("jaccard") * 1e6, 0).cast("long")
-    packed = (F.lit(1_000_000) - jscaled) * F.lit(1 << 44) + F.col("x_id")
-    best = (
-        verified.groupBy("b_id")
-        .agg(F.min(packed).alias("p"))
-        .select(
-            F.col("b_id").alias("id"),
-            F.col("p").bitwiseAND(F.lit((1 << 44) - 1)).alias("match_id"),
-            (
-                (F.lit(1_000_000) - F.shiftright(F.col("p"), 44)) / F.lit(1e6)
-            ).alias("jaccard"),
+    # The rank (1e6 − jaccard·1e6) must fit the 63−44=19 bits above the
+    # id or the pack silently overflows long and corrupts the argmin;
+    # that bounds threshold ≥ 1 − (2^19−1)/1e6 ≈ 0.4757.
+    if 1_000_000 - int(round(threshold * 1e6)) <= (1 << 19) - 1:
+        packed = (F.lit(1_000_000) - jscaled) * F.lit(1 << 44) + _pack_id_guarded(
+            F.col("x_id")
         )
-    )
+        best = (
+            verified.groupBy("b_id")
+            .agg(F.min(packed).alias("p"))
+            .select(
+                F.col("b_id").alias("id"),
+                F.col("p").bitwiseAND(F.lit((1 << 44) - 1)).alias("match_id"),
+                (
+                    (F.lit(1_000_000) - F.shiftright(F.col("p"), 44)) / F.lit(1e6)
+                ).alias("jaccard"),
+            )
+        )
+    else:
+        # Low-threshold fallback: min(struct(...)) — an object aggregate
+        # (sort-based, spills on dense candidate streams) but correct for
+        # any rank range. Production thresholds live well above 0.48.
+        best = (
+            verified.groupBy("b_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        (F.lit(1_000_000) - jscaled).alias("r"),
+                        F.col("x_id").alias("match_id"),
+                    )
+                ).alias("s")
+            )
+            .select(
+                F.col("b_id").alias("id"),
+                F.col("s.match_id").alias("match_id"),
+                ((F.lit(1_000_000) - F.col("s.r")) / F.lit(1e6)).alias("jaccard"),
+            )
+        )
     ids = batch.select(F.col(id_col).alias("id"))
     return ids.join(best, "id", "left").select(
         "id",

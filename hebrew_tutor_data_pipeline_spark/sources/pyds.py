@@ -216,11 +216,18 @@ class ChapterAudioStreamReader(DataSourceStreamReader):
         return {"i": 0}
 
     def latestOffset(self) -> dict:
+        # The offset contract requires end ≥ start even after a restart:
+        # a fresh reader's cursor starts at 0, but the checkpoint may
+        # already be committed past that — partitions()/commit() fold the
+        # positions Spark reveals back into the cursor, so the advance
+        # below is always monotone past the last committed offset (no
+        # end < start, no empty catch-up micro-batches).
         step = self.books_per_batch or len(self._books)
         self._cursor = min(len(self._books), self._cursor + step)
         return {"i": self._cursor}
 
     def partitions(self, start: dict, end: dict) -> list[_BookPartition]:
+        self._cursor = max(self._cursor, start["i"], end["i"])
         return [_BookPartition(d) for d in self._books[start["i"] : end["i"]]]
 
     def read(self, partition: _BookPartition | None) -> Iterator[tuple]:
@@ -229,9 +236,10 @@ class ChapterAudioStreamReader(DataSourceStreamReader):
         yield from _scan_book(self.root, partition.dirname, self.max_chapter)
 
     def commit(self, end: dict) -> None:
-        # nothing to release — the source is a static fixture tree; a
-        # live ingest would GC acknowledged upstream resources here
-        pass
+        # the source is a static fixture tree, so there is nothing to
+        # release; a live ingest would GC acknowledged upstream resources
+        # here — but the committed position still ratchets the cursor
+        self._cursor = max(self._cursor, end["i"])
 
 
 @dataclass

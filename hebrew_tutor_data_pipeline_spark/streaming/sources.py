@@ -108,10 +108,26 @@ def _sweep_stale_scratch(app_id: str, max_age_seconds: float = 3600.0) -> None:
     import time
     from pathlib import Path
 
+    def _tree_mtime(root: Path) -> float:
+        # POSIX mtime does NOT propagate upward: a stream writing into
+        # out/ or ckpt/ leaves the scratch ROOT's mtime at creation time,
+        # so a >1h-running concurrent session would look dead by the root
+        # stat alone and get its live checkpoint rmtree'd. Liveness is
+        # the NEWEST mtime anywhere in the tree.
+        newest = root.stat().st_mtime
+        for p in root.rglob("*"):
+            try:
+                m = p.stat().st_mtime
+            except OSError:  # file vanished mid-walk (live writer) = alive
+                return float("inf")
+            if m > newest:
+                newest = m
+        return newest
+
     cutoff = time.time() - max_age_seconds
     for d in Path(tempfile.gettempdir()).glob("htdp_*"):
         try:
-            if not d.name.endswith(app_id) and d.stat().st_mtime < cutoff:
+            if not d.name.endswith(app_id) and _tree_mtime(d) < cutoff:
                 shutil.rmtree(d, ignore_errors=True)
         except OSError:
             continue

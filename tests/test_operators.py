@@ -1204,6 +1204,29 @@ class TestMinhashLookup:
         r = minhash_lookup_pairs(batch, index, "doc_id", "text").first()
         assert (r["match_id"], r["jaccard"], r["is_unique"]) == (5, 1.0, False)
 
+    def test_low_threshold_uses_struct_fallback_correctly(self, spark):
+        """threshold < ~0.4757 would overflow the 19 rank bits of the
+        packed-BIGINT argmin (rank·2^44 > 2^63); the struct-argmin
+        fallback must kick in and still return the best match with the
+        smallest-id tiebreak — not a silently corrupted winner."""
+        from hebrew_tutor_data_pipeline_spark.operators.dedup import (
+            minhash_lookup_pairs,
+        )
+
+        index = spark.createDataFrame(
+            [
+                (9, "a b c d e f g h i j"),
+                (5, "a b c d e f g h i j"),  # tie with 9 — smaller id wins
+                (2, "a b c d zz yy xx ww vv uu"),  # weaker overlap
+            ],
+            ["doc_id", "text"],
+        )
+        batch = spark.createDataFrame([(200, "a b c d e f g h i j")], ["doc_id", "text"])
+        r = minhash_lookup_pairs(
+            batch, index, "doc_id", "text", threshold=0.2
+        ).first()
+        assert (r["match_id"], r["jaccard"], r["is_unique"]) == (5, 1.0, False)
+
 
 class TestMixturePlan:
     def test_invariants_and_temperature_upweighting(self, spark):
@@ -1735,6 +1758,23 @@ class TestIVFPQ:
             assert [i for _, i in expect[q]] == [i for _, i in mine], q
             for (de, _), (dm, _) in zip(expect[q], mine):
                 assert abs(de - dm) < 1e-6
+
+    def test_undersized_corpus_raises_clearly(self, spark):
+        """A corpus smaller than num_cells + ncent must fail with a clear
+        ValueError, not an opaque np.stack error or a silently degenerate
+        PQ codebook trained on a short slice."""
+        import pytest as _pytest
+
+        from hebrew_tutor_data_pipeline_spark.operators.ann import ivfpq_topk
+
+        rows = [(i, [float(i + d) for d in range(8)]) for i in range(10)]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        qs = df.filter(F.col("vec_id") < 1)
+        with _pytest.raises(ValueError, match="num_cells \\+ ncent"):
+            ivfpq_topk(
+                df, qs, "vec_id", "embedding",
+                k=5, num_cells=8, nprobe=2, m=4, ncent=16,
+            )
 
     def test_partition_invariance(self, spark):
         import random

@@ -680,6 +680,28 @@ class TestPythonDataSource:
         rows = list(r2.read(r2.partitions({"i": 0}, {"i": 3})[0]))
         assert rows and all(len(t) == 7 for t in rows)
 
+    def test_stream_reader_offset_monotone_after_restart(self):
+        """After a checkpoint restart the reader is a FRESH object whose
+        cursor starts at 0 while Spark's committed offset may be ahead;
+        the committed position (revealed via partitions()/commit()) must
+        ratchet the cursor so latestOffset never regresses below it —
+        the offset contract forbids end < start."""
+        import os
+
+        from hebrew_tutor_data_pipeline_spark.sources.pyds import (
+            ChapterAudioStreamReader,
+        )
+
+        root = os.path.abspath(self.ROOT)
+        # restart replaying a committed batch: partitions() reveals i=2
+        r = ChapterAudioStreamReader({"root": root, "books_per_batch": 1})
+        r.partitions({"i": 2}, {"i": 2})
+        assert r.latestOffset()["i"] == 3  # 2+1, not 0+1
+        # restart where only commit() fires before the next trigger
+        r2 = ChapterAudioStreamReader({"root": root, "books_per_batch": 1})
+        r2.commit({"i": 2})
+        assert r2.latestOffset()["i"] == 3
+
     def test_stream_scan_equals_batch_scan(self, spark):
         """End-to-end paced stream (processing-time micro-batches, one
         book each) commits exactly the batch scan's rows across ≥3

@@ -686,3 +686,46 @@ class TestCatalogStreamingEntries:
         )
         assert got.count() == 0
         assert got.columns == ["event_id", "value"]
+
+
+class TestScratchSweep:
+    def test_live_tree_with_fresh_nested_write_survives(self, tmp_path, monkeypatch):
+        """POSIX mtime does not propagate upward: a scratch ROOT created
+        >1h ago whose stream is still writing into ckpt/ must NOT be
+        swept — liveness is the newest mtime anywhere in the tree."""
+        import os
+        import time
+
+        from hebrew_tutor_data_pipeline_spark.streaming import sources as src
+
+        monkeypatch.setattr("tempfile.gettempdir", lambda: str(tmp_path))
+        old = time.time() - 7200
+        live = tmp_path / "htdp_live_otherapp"
+        (live / "ckpt").mkdir(parents=True)
+        (live / "ckpt" / "offsets").write_text("42")  # fresh nested write
+        os.utime(live, (old, old))
+        os.utime(live / "ckpt", (old, old))
+        dead = tmp_path / "htdp_dead_otherapp"
+        (dead / "out").mkdir(parents=True)
+        (dead / "out" / "part-0").write_text("x")
+        for p in (dead, dead / "out", dead / "out" / "part-0"):
+            os.utime(p, (old, old))
+        monkeypatch.setattr(src, "_ORPHANS_SWEPT", False)
+        src._sweep_stale_scratch("thisapp")
+        assert live.exists(), "live tree with fresh nested write was swept"
+        assert not dead.exists(), "dead tree (all mtimes stale) survived"
+
+    def test_own_app_tree_never_swept(self, tmp_path, monkeypatch):
+        import os
+        import time
+
+        from hebrew_tutor_data_pipeline_spark.streaming import sources as src
+
+        monkeypatch.setattr("tempfile.gettempdir", lambda: str(tmp_path))
+        mine = tmp_path / "htdp_x_thisapp"
+        mine.mkdir()
+        old = time.time() - 7200
+        os.utime(mine, (old, old))
+        monkeypatch.setattr(src, "_ORPHANS_SWEPT", False)
+        src._sweep_stale_scratch("thisapp")
+        assert mine.exists()
