@@ -161,6 +161,71 @@ def corpus_verses(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "corpus_first_chapters_sample",
+    oracle=f"""
+WITH {_CORPUS_SQL},
+first_books AS (
+    SELECT book FROM (SELECT DISTINCT book FROM vs ORDER BY book LIMIT 5)
+)
+SELECT book, chapter, verse_num,
+       array_to_string(words, ' ') AS text,
+       len(words) AS word_count
+FROM vs
+WHERE chapter <= 2 AND book IN (SELECT book FROM first_books)
+""",
+    tags=("P7", "O2", "S1"),
+)
+def corpus_first_chapters_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 first-N sampling predicate — the reference's smoke-run scoping
+    (`fixed_hebrew_aligner.py:180-184,803`): first 2 chapters per book,
+    first 5 books only. The book cut is a LIMIT over the tiny distinct
+    book list semi-joined back (broadcast at any corpus size — the
+    sampled key set is bounded by N, never by the data), the chapter cut
+    a plain pushed-down predicate."""
+    vs = corpus_verses_df(spark).filter(F.col("chapter") <= 2)
+    first_books = (
+        vs.select("book").distinct().orderBy("book").limit(5)
+    )
+    return (
+        vs.join(F.broadcast(first_books), "book", "semi")
+        .select(
+            "book",
+            "chapter",
+            "verse_num",
+            F.concat_ws(" ", "words").alias("text"),
+            F.size("words").alias("word_count"),
+        )
+    )
+
+
+@_register(
+    "corpus_grand_summary",
+    # A11 grand corpus summaries (`hebrew_alignment_optimized.py:205`:
+    # total_chapters = sum(len(chapters))): one row of corpus-wide
+    # totals. Integer sums are CAST — bare DuckDB sum() is HUGEINT.
+    oracle=f"""
+WITH {_CORPUS_SQL}
+SELECT CAST(count(DISTINCT book) AS BIGINT) AS n_books,
+       CAST(count(DISTINCT book || '/' || chapter) AS BIGINT) AS n_chapters,
+       CAST(count(*) AS BIGINT) AS n_verses,
+       CAST(sum(len(words)) AS BIGINT) AS n_words
+FROM vs
+""",
+    tags=("A11", "A3", "A4"),
+)
+def corpus_grand_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 grand summaries of the corpus: books / chapters / verses /
+    words in one partial-aggregated pass (map-side combine; the
+    distinct counts shuffle only the tiny key sets)."""
+    return corpus_verses_df(spark).agg(
+        F.countDistinct("book").alias("n_books"),
+        F.countDistinct("book", "chapter").alias("n_chapters"),
+        F.count(F.lit(1)).alias("n_verses"),
+        F.sum(F.size("words")).alias("n_words"),
+    )
+
+
+@_register(
     "corpus_word_spread",
     oracle=f"""
 WITH {_CORPUS_SQL},
@@ -520,7 +585,7 @@ WITH {_CORPUS_SQL}
 SELECT book, chapter, verse_num, array_to_string(words, ' ') AS text
 FROM vs WHERE book IN ('Gen', 'Obad')
 """,
-    tags=("S7", "S8", "S13"),
+    tags=("S7", "S8", "S13", "F15"),
 )
 def alignment_sink_pyds_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7/S8 on the engine-native WRITER surface

@@ -2256,7 +2256,7 @@ SELECT doc_id,
        CAST(least(10, len(toks) - chunk_idx * 10) AS INT) AS n_tokens
 FROM c
 """,
-    tags=("U-udtf", "chunking", "text-analysis"),
+    tags=("U5", "U-udtf", "chunking", "text-analysis"),
 )
 def doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking through Spark's Python UDTF surface

@@ -128,6 +128,27 @@ def oracle_con():
     return con
 
 
+def test_every_survey_s2_id_has_a_tagged_carrier():
+    """SURVEY.md §2 traceability: every operator ID must grep to at
+    least one catalog entry's tags — coverage claims ride the tag
+    index, not prose."""
+    tags = {t for s in CATALOG.values() for t in s.tags}
+    ids = (
+        [f"S{i}" for i in range(1, 15)]
+        + [f"P{i}" for i in range(1, 8)]
+        + [f"J{i}" for i in range(1, 10)]
+        + [f"A{i}" for i in range(1, 12)]
+        + [f"W{i}" for i in range(1, 7)]
+        + [f"O{i}" for i in range(1, 5)]
+        + [f"E{i}" for i in range(1, 4)]
+        + [f"F{i}" for i in range(1, 20)]
+        + [f"U{i}" for i in range(1, 10)]
+        + [f"T{i}" for i in range(1, 6)]
+    )
+    missing = [i for i in ids if i not in tags]
+    assert not missing, f"§2 IDs with no tagged catalog carrier: {missing}"
+
+
 def test_no_banned_oracle_output_dtypes(oracle_con):
     """Every oracle's OUTPUT types must be driver-canonicalizable: no
     HUGEINT/UHUGEINT (bare integer sum() → int128), no DECIMAL (str()
