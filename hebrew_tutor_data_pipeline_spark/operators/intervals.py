@@ -39,15 +39,20 @@ def point_in_interval_join(
     end_col: str,
     bin_width: float,
     how: str = "inner",
+    keys: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Join every point to every interval with start ≤ point ≤ end.
+    """Join every point to every interval with start ≤ point ≤ end
+    (within the same ``keys`` group when given — e.g. intervals are
+    per-track and a point may only match its own track's intervals).
 
     Both inputs may be arbitrarily large: the equi-join key is
-    ``floor(value / bin_width)``, so pick ``bin_width`` near the typical
-    interval span — each interval then lands in O(1) bins and the join
-    becomes a shuffle-partitioned hash join on the bin (AQE handles
-    residual bin skew). Each matching pair appears exactly once because
-    a point owns exactly one bin.
+    ``floor(value / bin_width)`` (plus ``keys``), so pick ``bin_width``
+    near the typical interval span — each interval then lands in O(1)
+    bins and the join becomes a shuffle-partitioned hash join on the bin
+    (AQE handles residual bin skew). Each matching pair appears exactly
+    once because a point owns exactly one bin. A single-literal point
+    side folds its bin to a constant, so the equi-key prunes the
+    interval scan — the sub-second viewer point-lookup path.
     """
     p_num = _bin_domain(points, point_col)
     s_num = _bin_domain(intervals, start_col)
@@ -57,13 +62,16 @@ def point_in_interval_join(
         "_bin", F.explode(F.sequence(F.floor(s_num / bin_width), F.floor(e_num / bin_width)))
     )
     binned_points = points.withColumn("_bin", F.floor(p_num / bin_width))
-    joined = binned_points.join(
-        binned_intervals,
+    cond = (
         (binned_points["_bin"] == binned_intervals["_bin"])
         & (F.col(point_col) >= F.col(start_col))
-        & (F.col(point_col) <= F.col(end_col)),
-        how,
+        & (F.col(point_col) <= F.col(end_col))
     )
+    for k in keys:
+        cond = cond & (binned_points[k] == binned_intervals[k])
+    joined = binned_points.join(binned_intervals, cond, how)
+    if keys:  # keep one copy of each join key (the points side)
+        joined = joined.drop(*[binned_intervals[k] for k in keys])
     return joined.drop("_bin")
 
 

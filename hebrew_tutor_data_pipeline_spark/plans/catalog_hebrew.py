@@ -18,9 +18,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import similarity
-from ..operators import alignment
+from ..operators import alignment, intervals
 from ..sources.readers import read_nested_json_corpus
-from .catalog import T, _register
+from .catalog import CATALOG, T, _register
 from .catalog_ml import (
     HASH_BASE,
     HASH_BASE2,
@@ -287,6 +287,79 @@ def corpus_word_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return spread.select(
         "book", "chapter", "verse_num", "word", "word_pos", "word_start", "word_end"
+    )
+
+
+@_register(
+    "verse_at_time",
+    # The consumer-facing viewer query (`standalone_hebrew_tester.html:
+    # 458-492`): playback time → FIRST verse/word whose [start, end]
+    # contains it (inclusive bounds, array order = (verse_num, word_pos)
+    # ascending). Probe times derive in integer centiseconds
+    # ((dur_centi·k) // 10, k ∈ {1,3,5,7,9} — 10%..90% of each track) so
+    # both engines build bit-identical probe doubles; the word bounds
+    # are the already-hash-matched corpus_word_spread doubles, composed
+    # verbatim.
+    oracle="""
+WITH wsp AS ({}),
+dur AS (
+  SELECT book, chapter,
+         CAST(floor(max(word_end) * 100 + 0.5) AS BIGINT) AS dur_centi
+  FROM wsp GROUP BY book, chapter),
+probes AS (
+  SELECT book, chapter, (dur_centi * k.k // 10) / 100.0 AS t
+  FROM dur CROSS JOIN (SELECT unnest([1, 3, 5, 7, 9]) AS k) k),
+hits AS (
+  SELECT p.book, p.chapter, p.t, w.verse_num, w.word_pos, w.word,
+         row_number() OVER (PARTITION BY p.book, p.chapter, p.t
+                            ORDER BY w.verse_num, w.word_pos) AS rn
+  FROM probes p
+  LEFT JOIN wsp w ON w.book = p.book AND w.chapter = p.chapter
+                 AND p.t >= w.word_start AND p.t <= w.word_end)
+SELECT book, chapter, t, verse_num, word_pos, word
+FROM hits WHERE rn = 1
+""".format(CATALOG["corpus_word_spread"].oracle),
+    tags=("J7", "viewer", "point-lookup"),
+)
+def verse_at_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-lookup form of J7 — the HTML viewer's time→verse/word query
+    as a prepared plan over the alignment output: bin the probe time,
+    equi-join (book, chapter, bin) against the binned word intervals,
+    re-check containment, keep the first match in verse order. With a
+    literal probe the bin folds to a constant and prunes the interval
+    scan — the sub-second serving path (tools/point_lookup_latency.py
+    measures it against a partitioned serving layout)."""
+    words = corpus_word_spread(spark, sf_dir)
+    dur = words.groupBy("book", "chapter").agg(
+        F.floor(F.max("word_end") * 100 + F.lit(0.5)).cast("long").alias("dur_centi")
+    )
+    probes = dur.select(
+        "book",
+        "chapter",
+        F.explode(F.array(*[F.lit(k) for k in (1, 3, 5, 7, 9)])).alias("k"),
+        "dur_centi",
+    ).select(
+        "book",
+        "chapter",
+        (F.expr("(dur_centi * k) div 10") / F.lit(100.0)).alias("t"),
+    )
+    hits = intervals.point_in_interval_join(
+        probes,
+        words,
+        "t",
+        "word_start",
+        "word_end",
+        bin_width=5.0,
+        how="left",
+        keys=("book", "chapter"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("book", "chapter", "t").orderBy("verse_num", "word_pos")
+    return (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("book", "chapter", "t", "verse_num", "word_pos", "word")
     )
 
 
