@@ -249,8 +249,9 @@ def dsir_weights(
     Features are the paper's hashed n-grams: unigrams + bigrams bucketed
     by the shared polynomial ``token_hash`` into ``buckets`` cells. Both
     bag-of-buckets distributions get add-one smoothing; the per-bucket
-    log-ratio ``ln(p_target) - ln(p_raw)`` is rounded 8 dp and a doc's
-    weight is the 6-dp-rounded MEAN log-ratio over its gram instances
+    log-ratio ``ln(p_target) - ln(p_raw)`` is quantized to integer 1e-8
+    units and a doc's weight is the 6-dp MEAN log-ratio (derived from
+    the exact integer sum) over its gram instances
     (the mean, not the paper's sum, so weights are length-neutral and
     the downstream top-k is not a long-document detector).
 
@@ -287,19 +288,29 @@ def dsir_weights(
     tot = counts.agg(
         F.sum("q_ct").alias("q_tot"), F.sum("p_ct").alias("p_tot")
     )
+    # per-bucket log-ratio as an INTEGER (1e-8 units, floor(x*1e8+0.5) =
+    # round-half-up both engines): the per-doc mean then rides an exact
+    # BIGINT sum, so float-summation order can't flip the 6-dp weight
+    # (round(avg(float8),6) lost a 1-ulp hash at sf0.1)
     ratios = counts.crossJoin(F.broadcast(tot)).select(
         "b",
-        F.round(
-            F.log((F.col("p_ct") + F.lit(1.0)) / (F.col("p_tot") + buckets))
-            - F.log((F.col("q_ct") + F.lit(1.0)) / (F.col("q_tot") + buckets)),
-            8,
-        ).alias("lr"),
+        F.floor(
+            (
+                F.log((F.col("p_ct") + F.lit(1.0)) / (F.col("p_tot") + buckets))
+                - F.log((F.col("q_ct") + F.lit(1.0)) / (F.col("q_tot") + buckets))
+            )
+            * F.lit(100000000)
+            + F.lit(0.5)
+        ).alias("lr_e8"),
     )
     return (
         grams.join(F.broadcast(ratios), "b")
         .groupBy("id")
         .agg(
             F.count("*").alias("gram_ct"),
-            F.round(F.avg("lr"), 6).alias("avg_logratio"),
+            F.round(
+                F.sum("lr_e8").cast("double") / F.lit(100000000.0) / F.count("*"),
+                6,
+            ).alias("avg_logratio"),
         )
     )

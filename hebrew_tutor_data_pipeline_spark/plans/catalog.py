@@ -521,8 +521,14 @@ def top5_recent_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "avg_after_skip2",
+    # per-row value quantized to INTEGER micro-units so the mean rides
+    # an exact BIGINT sum — round(avg(float8),4) flipped 1 ulp at sf0.1
+    # (cross-engine float-summation order)
     oracle="""
-SELECT user_id, round(avg(value), 4) AS avg_value, count(*) AS n
+SELECT user_id,
+       round(CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 / count(*), 6) AS avg_value,
+       count(*) AS n
 FROM (
     SELECT user_id, value,
            row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
@@ -542,18 +548,30 @@ def avg_after_skip2(spark: SparkSession, sf_dir: str) -> DataFrame:
         T(spark, sf_dir, "events")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") > 2)
+        .withColumn("vm", F.floor(F.col("value") * F.lit(1000000) + F.lit(0.5)))
         .groupBy("user_id")
-        .agg(F.round(F.avg("value"), 4).alias("avg_value"), F.count("*").alias("n"))
+        .agg(
+            F.round(
+                F.sum("vm").cast("double") / F.lit(1000000.0) / F.count("*"), 6
+            ).alias("avg_value"),
+            F.count("*").alias("n"),
+        )
     )
 
 
 @_register(
     "tumbling_hour_stats",
+    # value and value² quantized per row to INTEGER micro-units: the
+    # RMS/mean ride exact BIGINT sums (order-independent), and sqrt of
+    # the identical derived double is identical IEEE on both engines —
+    # round(avg(float8),4) flipped 1 ulp at sf0.1
     oracle="""
 SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n,
-       round(sqrt(avg(value * value)), 4) AS rms_value,
-       round(avg(value), 4) AS avg_value
+       round(sqrt(CAST(sum(CAST(floor(value * value * 1000000 + 0.5) AS BIGINT))
+                       AS DOUBLE) / 1000000.0 / count(*)), 6) AS rms_value,
+       round(CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 / count(*), 6) AS avg_value
 FROM events
 GROUP BY 1, 2
 """,
@@ -564,13 +582,23 @@ def tumbling_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7/T2: tumbling-window RMS aggregate — the 2-second energy windows
     (`scripts/hebrew_audio_trimmer.py:113-124`) on the events table; the
     identical plan runs under Structured Streaming (streaming.windows)."""
+    sq = F.col("value") * F.col("value")
     return (
         T(spark, sf_dir, "events")
+        .withColumn("vm", F.floor(F.col("value") * F.lit(1000000) + F.lit(0.5)))
+        .withColumn("sm", F.floor(sq * F.lit(1000000) + F.lit(0.5)))
         .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type"))
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sqrt(F.avg(F.col("value") * F.col("value"))), 4).alias("rms_value"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(
+                F.sqrt(
+                    F.sum("sm").cast("double") / F.lit(1000000.0) / F.count("*")
+                ),
+                6,
+            ).alias("rms_value"),
+            F.round(
+                F.sum("vm").cast("double") / F.lit(1000000.0) / F.count("*"), 6
+            ).alias("avg_value"),
         )
     )
 

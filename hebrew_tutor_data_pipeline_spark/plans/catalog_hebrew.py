@@ -775,9 +775,21 @@ def aligned_verse_rollup(spark: SparkSession, ch: DataFrame) -> DataFrame:
             F.sum("matched").alias("n_matched"),
             F.min("start").cast("long").alias("verse_start_ms"),
             F.max("end").cast("long").alias("verse_end_ms"),
-            F.round(F.avg(F.when(F.col("matched") == 1, F.col("similarity"))), 6).alias(
-                "mean_sim"
-            ),
+            # similarity is 6dp-gridded, so a float mean's exact value
+            # lands ON a 6dp round boundary ~1% of groups — summation
+            # order then decides the hash. Integer micro-unit sum is
+            # exact and order-independent; NULL when nothing matched.
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("matched") == 1,
+                        F.floor(F.col("similarity") * F.lit(1000000) + F.lit(0.5)),
+                    )
+                ).cast("double")
+                / F.lit(1000000.0)
+                / F.sum("matched"),
+                6,
+            ).alias("mean_sim"),
         )
     )
 
@@ -872,7 +884,10 @@ aligned AS (
          count(*) AS word_count,
          CAST(min(start) AS BIGINT) AS start_ms,
          CAST(max("end") AS BIGINT) AS end_ms,
-         round(avg(CASE WHEN matched = 1 THEN similarity END), 6) AS confidence,
+         round(CAST(sum(CASE WHEN matched = 1
+                             THEN CAST(floor(similarity * 1000000 + 0.5) AS BIGINT)
+                        END) AS DOUBLE) / 1000000.0
+               / sum(matched), 6) AS confidence,
          'aligned' AS source
   FROM al GROUP BY book, chapter, verse_num),
 est AS (

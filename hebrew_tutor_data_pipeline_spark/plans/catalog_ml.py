@@ -286,8 +286,9 @@ def quality_cutoff_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_lm_perplexity",
     # Two-pass corpus-trained bigram LM, replayed exactly: identical
     # tokenization (_TOKENS_SQL), identical add-one smoothing, per-term
-    # nll rounded 8 dp before the 6-dp per-doc average so cross-engine
-    # float-summation order can't flip the hash.
+    # nll quantized to INTEGER 1e-8 units so the per-doc mean rides an
+    # exact BIGINT sum — cross-engine float-summation order has no
+    # surface (8dp-round-then-float-avg flipped 1 ulp at sf0.1).
     oracle=f"""
 WITH t AS (
     SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
@@ -304,10 +305,15 @@ bi AS (
 ),
 bc AS (SELECT bg, count(*) AS c2 FROM bi GROUP BY bg),
 model AS (
-    SELECT bg, round(-ln((c2 + 1.0) / (c1 + v)), 8) AS nll
+    -- per-term nll as an INTEGER (1e-8 units): the per-doc mean then
+    -- rides an exact BIGINT sum, so cross-engine float-summation order
+    -- has no surface (round(avg(float8),6) flipped 1 ulp at sf0.1)
+    SELECT bg, CAST(floor(-ln((c2 + 1.0) / (c1 + v)) * 100000000 + 0.5)
+                AS BIGINT) AS nll_e8
     FROM bc JOIN uc ON split_part(bg, ' ', 1) = w CROSS JOIN vv
 )
-SELECT doc_id, count(*) AS bigram_ct, round(avg(nll), 6) AS avg_nll
+SELECT doc_id, count(*) AS bigram_ct,
+       round(CAST(sum(nll_e8) AS DOUBLE) / 100000000.0 / count(*), 6) AS avg_nll
 FROM bi JOIN model USING (bg)
 GROUP BY doc_id
 """,
@@ -348,9 +354,11 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(vocab))
         .select(
             "bg",
-            F.round(
-                -F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("v"))), 8
-            ).alias("nll"),
+            F.floor(
+                -F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("v")))
+                * F.lit(100000000)
+                + F.lit(0.5)
+            ).alias("nll_e8"),
         )
     )
     return (
@@ -358,7 +366,10 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("bigram_ct"),
-            F.round(F.avg("nll"), 6).alias("avg_nll"),
+            F.round(
+                F.sum("nll_e8").cast("double") / F.lit(100000000.0) / F.count("*"),
+                6,
+            ).alias("avg_nll"),
         )
     )
 
@@ -1649,8 +1660,9 @@ _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 # Shared BM25 CTE chain ending in ``bmt`` (the top-20 result) so the
 # plain keyword query and the PRF rerank replay the IDENTICAL scorer.
 # Identical decimal literals (2.2, 1.2, 0.25, 0.75) on both engines
-# parse to the same doubles; per-term contributions round 8 dp before
-# the 6 dp sum so summation order can't flip the hash.
+# parse to the same doubles; per-term contributions quantize to INTEGER
+# 1e-8 units so the per-doc score rides an exact BIGINT sum — even a
+# 3-term float sum reorders across engines/runs (1-ulp flip at sf0.1).
 _BM25_CTES_SQL = f"""
 WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
 dl AS (SELECT doc_id, len(toks) AS dl FROM t),
@@ -1668,12 +1680,14 @@ idf AS (
 ),
 sc AS (
     SELECT tf.doc_id,
-           round(idf.idf * (tf.tf * 2.2)
-                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)), 8) AS contrib
+           CAST(floor(idf.idf * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))
+                 * 100000000 + 0.5) AS BIGINT) AS contrib_e8
     FROM tf JOIN idf USING (w) JOIN dl USING (doc_id) CROSS JOIN st
 ),
 bmt AS (
-    SELECT doc_id, count(*) AS n_terms, round(sum(contrib), 6) AS bm25
+    SELECT doc_id, count(*) AS n_terms,
+           round(CAST(sum(contrib_e8) AS DOUBLE) / 100000000.0, 6) AS bm25
     FROM sc GROUP BY doc_id
     ORDER BY bm25 DESC, doc_id ASC LIMIT 20
 )"""
@@ -1730,21 +1744,27 @@ def _bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avgdl",
         )
     )
-    contrib = F.round(
+    contrib_e8 = F.floor(
         F.col("idf")
         * (F.col("tf") * F.lit(2.2))
         / (
             F.col("tf")
             + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
-        ),
-        8,
+        )
+        * F.lit(100000000)
+        + F.lit(0.5)
     )
     return (
         tf.join(F.broadcast(idf), "w")
         .join(dl, "doc_id")
-        .withColumn("contrib", contrib)
+        .withColumn("contrib_e8", contrib_e8)
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_terms"), F.round(F.sum("contrib"), 6).alias("bm25"))
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.round(
+                F.sum("contrib_e8").cast("double") / F.lit(100000000.0), 6
+            ).alias("bm25"),
+        )
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(20)
     )
@@ -3307,18 +3327,22 @@ _DSIR_GRAMS_SQL = f"""
 @_register(
     "dsir_importance_select",
     # Replays the full two-distribution pipeline: same hash buckets,
-    # add-one smoothing, 8-dp per-bucket log-ratio, 6-dp per-doc mean,
-    # and the deterministic (weight DESC, doc_id ASC) top-k cutoff.
+    # add-one smoothing, integer-1e-8 per-bucket log-ratio (exact BIGINT
+    # sum → order-independent 6-dp per-doc mean), and the deterministic
+    # (weight DESC, doc_id ASC) top-k cutoff.
     oracle=f"""
 WITH g AS ({_DSIR_GRAMS_SQL}),
 c AS (SELECT b, count(*) AS q_ct,
              sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS p_ct
       FROM g GROUP BY b),
 tot AS (SELECT sum(q_ct) AS q_tot, sum(p_ct) AS p_tot FROM c),
-r AS (SELECT b, round(ln((p_ct + 1.0) / (p_tot + {_DSIR_BUCKETS}))
-                    - ln((q_ct + 1.0) / (q_tot + {_DSIR_BUCKETS})), 8) AS lr
+r AS (SELECT b, CAST(floor((ln((p_ct + 1.0) / (p_tot + {_DSIR_BUCKETS}))
+                    - ln((q_ct + 1.0) / (q_tot + {_DSIR_BUCKETS})))
+                    * 100000000 + 0.5) AS BIGINT) AS lr_e8
       FROM c CROSS JOIN tot),
-s AS (SELECT doc_id, count(*) AS gram_ct, round(avg(lr), 6) AS avg_logratio
+s AS (SELECT doc_id, count(*) AS gram_ct,
+             round(CAST(sum(lr_e8) AS DOUBLE) / 100000000.0 / count(*), 6)
+                 AS avg_logratio
       FROM g JOIN r USING (b) GROUP BY doc_id),
 k AS (SELECT doc_id FROM s
       ORDER BY avg_logratio DESC, doc_id ASC LIMIT {_DSIR_TOPK})
