@@ -389,6 +389,19 @@ EXPECTATIONS: dict[str, list[tuple[bool, str, str]]] = {
     "streaming_chapter_source_pyds": [
         (True, "Scan parquet", "returned plan is the committed streaming sink read-back"),
     ],
+    "verse_at_time": [
+        (True, "SortMergeJoin|BroadcastHashJoin", "binned containment = equi join on (book, chapter, bin)"),
+        (True, "Window", "first-match per probe is one bounded window"),
+        (True, "!BatchEvalPython", "the viewer lookup stays JVM-side"),
+        (True, "!CartesianProduct", "never all-pairs"),
+    ],
+    "corpus_grand_summary": [
+        (True, "HashAggregate", "grand totals partial-aggregate map-side"),
+        (True, "Expand", "multi-distinct rides one Expand, not N scans"),
+    ],
+    "corpus_first_chapters_sample": [
+        (True, "BroadcastHashJoin", "first-5-books key set broadcasts back as a semi join"),
+    ],
 }
 
 
