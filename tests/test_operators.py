@@ -92,6 +92,26 @@ class TestIntervalJoins:
             (r["t"], r["iv"]) for r in naive.collect()
         )
 
+    def test_point_join_keys_isolate_groups(self, spark):
+        """With keys=, a point may only match intervals of its OWN group
+        (per-track containment): identical time ranges in another group
+        must not leak in, and left-how keeps unmatched points with NULLs."""
+        points = spark.createDataFrame(
+            [("a", 5.0), ("b", 5.0), ("b", 99.0)], ["grp", "t"]
+        )
+        intervals = spark.createDataFrame(
+            [("a", 1, 0.0, 10.0), ("b", 2, 0.0, 10.0), ("a", 3, 90.0, 100.0)],
+            ["grp", "iv", "s", "e"],
+        )
+        got = {
+            (r["grp"], r["t"], r["iv"])
+            for r in point_in_interval_join(
+                points, intervals, "t", "s", "e", bin_width=5.0,
+                how="left", keys=("grp",),
+            ).collect()
+        }
+        assert got == {("a", 5.0, 1), ("b", 5.0, 2), ("b", 99.0, None)}
+
     def test_overlap_join_matches_naive_and_dedups(self, spark):
         left = spark.createDataFrame(
             [(i, float(i * 3), float(i * 3 + 10)) for i in range(10)], ["li", "ls", "le"]
