@@ -77,13 +77,23 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 @_register(
     "pricing_summary",
+    # sum_qty / sum_base_price / avg_qty stay float aggregates: quantity
+    # is integer-valued (double sums are EXACT below 2^53, any order) and
+    # extendedprice is a 2dp grid whose sum lands ON the cent grid —
+    # 0.005 away from every round boundary, beyond reach of float error.
+    # disc_price is a 4dp grid (2dp × 2dp): its exact sum CAN sit on (or
+    # within float-sum error of) an x.xx5 boundary, and discount means
+    # divide a 2dp grid — both go through exact integer grids instead.
     oracle="""
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2)                                AS sum_qty,
        round(sum(l_extendedprice), 2)                           AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)        AS sum_disc_price,
+       CAST((sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                      AS BIGINT)) + 50) // 100 AS BIGINT) / 100.0
+                                                                AS sum_disc_price,
        round(avg(l_quantity), 4)                                AS avg_qty,
-       round(avg(l_discount), 4)                                AS avg_disc,
+       round(CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 100.0 / count(*), 6)                             AS avg_disc,
        count(*)                                                 AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'
@@ -101,11 +111,20 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "sum_disc_price"
-        ),
+        (
+            F.expr(
+                "CAST((sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000"
+                " + 0.5) AS BIGINT)) + 50) DIV 100 AS DOUBLE)"
+            )
+            / F.lit(100.0)
+        ).alias("sum_disc_price"),
         F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.round(
+            F.sum(F.floor(F.col("l_discount") * 100 + F.lit(0.5))).cast("double")
+            / F.lit(100.0)
+            / F.count("*"),
+            6,
+        ).alias("avg_disc"),
         F.count("*").alias("count_order"),
     )
 
