@@ -182,12 +182,17 @@ def corpus_first_chapters_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     book list semi-joined back (broadcast at any corpus size — the
     sampled key set is bounded by N, never by the data), the chapter cut
     a plain pushed-down predicate."""
-    vs = corpus_verses_df(spark).filter(F.col("chapter") <= 2)
+    # the book cut comes from the UNFILTERED corpus (matching the
+    # oracle's DISTINCT over vs): a book whose verses all sit in
+    # chapters >2 still occupies one of the 5 slots, as the reference's
+    # "first 5 books" file cut would
+    vs_all = corpus_verses_df(spark)
     first_books = (
-        vs.select("book").distinct().orderBy("book").limit(5)
+        vs_all.select("book").distinct().orderBy("book").limit(5)
     )
     return (
-        vs.join(F.broadcast(first_books), "book", "semi")
+        vs_all.filter(F.col("chapter") <= 2)
+        .join(F.broadcast(first_books), "book", "semi")
         .select(
             "book",
             "chapter",

@@ -211,24 +211,32 @@ class ChapterAudioStreamReader(DataSourceStreamReader):
             if os.path.isdir(os.path.join(self.root, d))
         ]
         self._cursor = 0
+        #: highest batch START Spark has revealed — on a checkpoint
+        #: restart the committed offset arrives here first. Slices never
+        #: reach below it, so even if one post-restart trigger logged a
+        #: regressed end (latestOffset on a FRESH reader knows nothing
+        #: and may return below the checkpoint; Spark 4.1 records it
+        #: anyway), the already-committed prefix is never re-emitted.
+        self._floor = 0
 
     def initialOffset(self) -> dict:
         return {"i": 0}
 
     def latestOffset(self) -> dict:
-        # The offset contract requires end ≥ start even after a restart:
-        # a fresh reader's cursor starts at 0, but the checkpoint may
-        # already be committed past that — partitions()/commit() fold the
-        # positions Spark reveals back into the cursor, so the advance
-        # below is always monotone past the last committed offset (no
-        # end < start, no empty catch-up micro-batches).
+        # Monotone once the checkpoint position is known: the first
+        # post-restart call has no committed-offset input (API limit), so
+        # that one trigger may return low — partitions()/commit() then
+        # ratchet the cursor and the log converges next trigger; the
+        # _floor guard in partitions() keeps the low offset harmless.
         step = self.books_per_batch or len(self._books)
         self._cursor = min(len(self._books), self._cursor + step)
         return {"i": self._cursor}
 
     def partitions(self, start: dict, end: dict) -> list[_BookPartition]:
+        self._floor = max(self._floor, start["i"])
         self._cursor = max(self._cursor, start["i"], end["i"])
-        return [_BookPartition(d) for d in self._books[start["i"] : end["i"]]]
+        lo = max(start["i"], self._floor)
+        return [_BookPartition(d) for d in self._books[lo : end["i"]]]
 
     def read(self, partition: _BookPartition | None) -> Iterator[tuple]:
         if partition is None:

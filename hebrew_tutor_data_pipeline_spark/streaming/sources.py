@@ -108,26 +108,28 @@ def _sweep_stale_scratch(app_id: str, max_age_seconds: float = 3600.0) -> None:
     import time
     from pathlib import Path
 
-    def _tree_mtime(root: Path) -> float:
+    def _tree_is_live(root: Path, cutoff: float) -> bool:
         # POSIX mtime does NOT propagate upward: a stream writing into
         # out/ or ckpt/ leaves the scratch ROOT's mtime at creation time,
         # so a >1h-running concurrent session would look dead by the root
         # stat alone and get its live checkpoint rmtree'd. Liveness is
-        # the NEWEST mtime anywhere in the tree.
-        newest = root.stat().st_mtime
+        # ANY fresh mtime in the tree — return on the first one found,
+        # so a big live checkpoint costs O(1)-ish stats; only genuinely
+        # dead trees (about to be removed anyway) pay the full walk.
+        if root.stat().st_mtime >= cutoff:
+            return True
         for p in root.rglob("*"):
             try:
-                m = p.stat().st_mtime
+                if p.stat().st_mtime >= cutoff:
+                    return True
             except OSError:  # file vanished mid-walk (live writer) = alive
-                return float("inf")
-            if m > newest:
-                newest = m
-        return newest
+                return True
+        return False
 
     cutoff = time.time() - max_age_seconds
     for d in Path(tempfile.gettempdir()).glob("htdp_*"):
         try:
-            if not d.name.endswith(app_id) and _tree_mtime(d) < cutoff:
+            if not d.name.endswith(app_id) and not _tree_is_live(d, cutoff):
                 shutil.rmtree(d, ignore_errors=True)
         except OSError:
             continue

@@ -702,6 +702,33 @@ class TestPythonDataSource:
         r2.commit({"i": 2})
         assert r2.latestOffset()["i"] == 3
 
+    def test_clean_restart_never_reemits_committed_books(self):
+        """The clean-restart flow: with books[0:2] committed, the fresh
+        reader's FIRST call is latestOffset() (no committed-offset input
+        in the API), which may return below the checkpoint; Spark then
+        plans (start=2, end=low) and logs the regressed end, so the NEXT
+        batch can arrive as (1, 3) overlapping the committed prefix. The
+        floor learned from the first post-restart partitions() start must
+        keep book index 1 out of the re-read — exactly-once holds even
+        through the one degenerate trigger."""
+        import os
+
+        from hebrew_tutor_data_pipeline_spark.sources.pyds import (
+            ChapterAudioStreamReader,
+        )
+
+        root = os.path.abspath(self.ROOT)
+        r = ChapterAudioStreamReader({"root": root, "books_per_batch": 1})
+        assert r.latestOffset() == {"i": 1}  # fresh cursor, below committed
+        # Spark plans the degenerate batch (committed start=2, logged end=1)
+        assert r.partitions({"i": 2}, {"i": 1}) == []
+        # offset log now says 1; the overlapping catch-up batch (1, 3)
+        # must NOT include the committed book at index 1
+        parts = r.partitions({"i": 1}, {"i": 3})
+        assert [p.dirname for p in parts] == ["18_Obadiah"]  # books[2:3] only
+        # and the cursor has converged past the checkpoint
+        assert r.latestOffset() == {"i": 3}
+
     def test_stream_scan_equals_batch_scan(self, spark):
         """End-to-end paced stream (processing-time micro-batches, one
         book each) commits exactly the batch scan's rows across ≥3

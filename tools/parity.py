@@ -33,16 +33,25 @@ BANNED_DUCK_TYPES = (
 )
 
 
-def oracle_type_problems(con, sql: str) -> list[str]:
-    """Bind (don't execute) an oracle and return banned-output-type
-    diagnostics, e.g. ['n_events:HUGEINT']. Empty list = clean."""
+def oracle_output_types(con, sql: str) -> dict[str, str]:
+    """Bind (don't execute) an oracle; return {column: duckdb type}."""
     rel = con.sql(sql)
-    probs = []
-    for col, typ in zip(rel.columns, rel.types):
-        t = str(typ)
-        if any(b in t for b in BANNED_DUCK_TYPES):
-            probs.append(f"{col}:{t}")
-    return probs
+    return {c: str(t) for c, t in zip(rel.columns, rel.types)}
+
+
+def banned_type_problems(duck_types: dict[str, str]) -> list[str]:
+    """Banned-output-type diagnostics from a bound type map,
+    e.g. ['n_events:HUGEINT']. Empty list = clean."""
+    return [
+        f"{col}:{t}"
+        for col, t in duck_types.items()
+        if any(b in t for b in BANNED_DUCK_TYPES)
+    ]
+
+
+def oracle_type_problems(con, sql: str) -> list[str]:
+    """Bind an oracle and return banned-output-type diagnostics."""
+    return banned_type_problems(oracle_output_types(con, sql))
 
 
 # DuckDB type string → coarse value family, matched against Spark dtypes.
@@ -89,15 +98,13 @@ def _spark_family(t: str) -> str:
 
 
 def type_family_problems(
-    spark_dtypes: list[tuple[str, str]], con, sql: str
+    spark_dtypes: list[tuple[str, str]], duck_types: dict[str, str]
 ) -> list[str]:
     """Compare Spark output dtypes against the oracle's DuckDB types by
     value family; return diagnostics for any divergence."""
-    rel = con.sql(sql)
-    duck = {c: str(t) for c, t in zip(rel.columns, rel.types)}
     probs = []
     for col, st in spark_dtypes:
-        dt = duck.get(col)
+        dt = duck_types.get(col)
         if dt is None:
             continue  # name mismatch is reported separately
         sf, df_ = _spark_family(st), _duck_family(dt)
@@ -190,10 +197,11 @@ def main() -> int:
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols {sorted(scols)} vs {sorted(ocols)}")
         try:
-            banned = oracle_type_problems(con, spec.oracle)
+            duck_types = oracle_output_types(con, spec.oracle)  # one bind
+            banned = banned_type_problems(duck_types)
             if banned:
                 problems.append(f"banned oracle dtypes {banned}")
-            fam = type_family_problems(sdf.dtypes, con, spec.oracle)
+            fam = type_family_problems(sdf.dtypes, duck_types)
             if fam:
                 problems.append(f"dtype family mismatch {fam}")
         except Exception as e:  # binding failure — surface, don't mask
