@@ -211,32 +211,43 @@ class ChapterAudioStreamReader(DataSourceStreamReader):
             if os.path.isdir(os.path.join(self.root, d))
         ]
         self._cursor = 0
-        #: highest batch START Spark has revealed — on a checkpoint
-        #: restart the committed offset arrives here first. Slices never
-        #: reach below it, so even if one post-restart trigger logged a
-        #: regressed end (latestOffset on a FRESH reader knows nothing
-        #: and may return below the checkpoint; Spark 4.1 records it
-        #: anyway), the already-committed prefix is never re-emitted.
-        self._floor = 0
+
+    def _trace(self, msg: str) -> None:
+        # The stream reader lives in a separate Python worker process —
+        # driver-side monkeypatching can't see it. HTDP_PYDS_TRACE=<path>
+        # appends the reader's call sequence there for protocol debugging.
+        path = os.environ.get("HTDP_PYDS_TRACE")
+        if path:
+            with open(path, "a") as f:
+                f.write(f"{msg} (cursor={self._cursor})\n")
 
     def initialOffset(self) -> dict:
+        self._trace("initialOffset()")
         return {"i": 0}
 
     def latestOffset(self) -> dict:
-        # Monotone once the checkpoint position is known: the first
-        # post-restart call has no committed-offset input (API limit), so
-        # that one trigger may return low — partitions()/commit() then
-        # ratchet the cursor and the log converges next trigger; the
-        # _floor guard in partitions() keeps the low offset harmless.
+        # Monotone once the checkpoint position is known: a fresh
+        # reader's first call has no committed-offset input (API limit),
+        # but Spark's restart flow invokes partitions() on the logged
+        # offsets BEFORE asking for a new batch (measured trace), so the
+        # cursor is ratcheted past the checkpoint by the time this runs.
         step = self.books_per_batch or len(self._books)
         self._cursor = min(len(self._books), self._cursor + step)
+        self._trace(f"latestOffset() -> {self._cursor}")
         return {"i": self._cursor}
 
     def partitions(self, start: dict, end: dict) -> list[_BookPartition]:
-        self._floor = max(self._floor, start["i"])
+        # NO floor/clamp on the slice: Spark's restart flow probes
+        # partitions(loggedEnd, loggedEnd) BEFORE replaying an
+        # uncommitted batch (measured trace in tests — see
+        # test_checkpoint_restart_exactly_once), so any "never slice
+        # below a previously seen start" guard would suppress the replay
+        # and LOSE data. Exactly-once across restarts is Spark's offset
+        # log's job; ours is to honor every (start, end) verbatim and
+        # keep the cursor ratcheted so latestOffset never regresses.
         self._cursor = max(self._cursor, start["i"], end["i"])
-        lo = max(start["i"], self._floor)
-        return [_BookPartition(d) for d in self._books[lo : end["i"]]]
+        self._trace(f"partitions({start}, {end})")
+        return [_BookPartition(d) for d in self._books[start["i"] : end["i"]]]
 
     def read(self, partition: _BookPartition | None) -> Iterator[tuple]:
         if partition is None:
@@ -248,6 +259,7 @@ class ChapterAudioStreamReader(DataSourceStreamReader):
         # release; a live ingest would GC acknowledged upstream resources
         # here — but the committed position still ratchets the cursor
         self._cursor = max(self._cursor, end["i"])
+        self._trace(f"commit({end})")
 
 
 @dataclass
