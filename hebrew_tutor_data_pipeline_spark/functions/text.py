@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .hashing import HASH_BASE, HASH_MOD, token_hash
+
 # ---------------------------------------------------------------------------
 # Tokenization / counting
 
@@ -120,26 +122,21 @@ def predict_lang(col: Column) -> Column:
 # ---------------------------------------------------------------------------
 # Document fingerprinting (rolling polynomial hash)
 
-FP_MOD = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
-FP_BASE = 31
+# aliases of the single hash convention (functions/hashing.py)
+FP_MOD = HASH_MOD
+FP_BASE = HASH_BASE
 
 
 def doc_fingerprint(col: Column) -> Column:
     """Order-sensitive rolling hash over whitespace tokens:
-    ``h = (h*31 + token_hash) mod (2^31-1)`` where ``token_hash`` is the
-    same polynomial over the token's codepoints. Pure bigint arithmetic →
-    identical in any engine; collision rate ~n²/2³¹."""
-    def char_hash(tok: Column) -> Column:
-        return F.aggregate(
-            F.split(tok, ""),
-            F.lit(0).cast("long"),
-            lambda acc, c: (acc * FP_BASE + F.ascii(c)) % FP_MOD,
-        )
-
+    ``h = (h*31 + token_hash(token)) mod (2^31-1)`` — the shared
+    polynomial (functions/hashing.py) lifted from codepoints to the
+    token sequence. Pure bigint arithmetic → identical in any engine;
+    collision rate ~n²/2³¹."""
     return F.aggregate(
         whitespace_tokens(col),
         F.lit(0).cast("long"),
-        lambda acc, t: (acc * FP_BASE + char_hash(t)) % FP_MOD,
+        lambda acc, t: (acc * HASH_BASE + token_hash(t)) % HASH_MOD,
     )
 
 
@@ -176,18 +173,11 @@ def hashed_weight_sum(col: Column, weights: list[float]) -> Column:
     d = len(weights)
     warr = F.lit(weights)
 
-    def tok_hash(tok: Column) -> Column:
-        return F.aggregate(
-            F.split(tok, ""),
-            F.lit(0).cast("long"),
-            lambda acc, c: (acc * FP_BASE + F.ascii(c)) % FP_MOD,
-        )
-
     toks = whitespace_tokens(col)
     return F.aggregate(
         toks,
         F.lit(0.0),
-        lambda acc, t: acc + F.element_at(warr, (tok_hash(t) % d + 1).cast("int")),
+        lambda acc, t: acc + F.element_at(warr, (token_hash(t) % d + 1).cast("int")),
     )
 
 

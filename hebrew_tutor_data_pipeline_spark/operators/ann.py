@@ -36,9 +36,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import HASH_MOD
 from ..functions.similarity import cosine_similarity, dot
-
-HASH_MOD = 2_147_483_647
 
 
 def _as_double_vec(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -85,6 +84,7 @@ def cell_assign(
     id_col: str,
     vec_col: str,
     codebook: list[tuple[int, list[float]]],
+    _model_bc=None,
 ) -> DataFrame:
     """Map-only nearest-centroid assignment: the codebook (a bounded
     model artifact, rows sorted by cell id) ships as an ``sc.broadcast``
@@ -106,10 +106,15 @@ def cell_assign(
     )
 
     c = _as_double_vec(corpus, id_col, vec_col)
-    cell_ids = np.array([cid for cid, _ in codebook], dtype="int64")
-    cent = np.stack([np.asarray(v, dtype="float64") for _, v in codebook])
-    cent_norm = np.sqrt((cent * cent).sum(axis=1))
-    bc = corpus.sparkSession.sparkContext.broadcast((cell_ids, cent, cent_norm))
+    if _model_bc is not None:
+        bc = _model_bc  # caller already broadcast the identical model
+    else:
+        cell_ids = np.array([cid for cid, _ in codebook], dtype="int64")
+        cent = np.stack([np.asarray(v, dtype="float64") for _, v in codebook])
+        cent_norm = np.sqrt((cent * cent).sum(axis=1))
+        bc = corpus.sparkSession.sparkContext.broadcast(
+            (cell_ids, cent, cent_norm)
+        )
 
     def assign(batches):
         ids, cm, cn = bc.value
@@ -185,6 +190,10 @@ def ivf_topk(
     if codebook is None:
         cent_rows = c.orderBy("id").limit(num_cells).collect()
         codebook = [(int(r["id"]), list(r["vec"])) for r in cent_rows]
+    # probing more cells than exist is just an exhaustive probe — clamp
+    # instead of crashing inside executor tasks (argsort has only
+    # len(codebook) columns to offer)
+    nprobe = min(nprobe, len(codebook))
     cell_ids = np.array([cid for cid, _ in codebook], dtype="int64")
     cent = np.stack([np.asarray(v, dtype="float64") for _, v in codebook])
     cent_norm = np.sqrt((cent * cent).sum(axis=1))
@@ -195,7 +204,7 @@ def ivf_topk(
         raw = (mat @ cm.T) / (np.sqrt((mat * mat).sum(axis=1))[:, None] * cn[None, :])
         return np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6  # half-away 6dp
 
-    assigned = cell_assign(c, "id", "vec", codebook)
+    assigned = cell_assign(c, "id", "vec", codebook, _model_bc=bc)
     q = queries.select(
         F.col(qid).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qvec")
     )
@@ -268,6 +277,18 @@ def signed_projection_bucket(vec: Column, bits: int, dim: int = 64, table: int =
     collide with probability ``1 - θ/π`` per bit. ``table`` selects a
     disjoint hyperplane set (seed offset ``table*PLANE_SEED_STRIDE``) so
     multi-table LSH can union candidates from independent buckets."""
+    # a vector whose length differs from ``dim`` would NULL-poison every
+    # dot product (zip_with pads with NULL) and silently hash ALL rows to
+    # bucket 0, collapsing the LSH prefilter to one all-pairs bucket —
+    # fail loudly instead
+    vec = F.when(F.size(vec) == dim, vec).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"signed_projection_bucket: vector length != dim={dim}: "),
+                F.size(vec).cast("string"),
+            )
+        )
+    )
     acc = F.lit(0).cast("long")
     for b in range(bits):
         plane = F.lit(
@@ -324,6 +345,7 @@ def kmeans_codebook(
 
     partial_schema = StructType(
         [
+            StructField("pid", LongType(), False),
             StructField("cell", LongType(), False),
             StructField("psum", ArrayType(DoubleType()), False),
             StructField("n", LongType(), False),
@@ -336,6 +358,9 @@ def kmeans_codebook(
         def assign_partials(batches, _cn=cn):
             # map-side combine: one (cell, sum, count) per cell per
             # PARTITION (accumulated across its Arrow batches)
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
             cm = bc.value
             acc: dict[int, list] = {}
             for pdf in batches:
@@ -356,6 +381,7 @@ def kmeans_codebook(
             if acc:
                 yield pd.DataFrame(
                     {
+                        "pid": [pid] * len(acc),
                         "cell": [int(c_) for c_ in acc],
                         "psum": [list(v[0]) for v in acc.values()],
                         "n": [int(v[1]) for v in acc.values()],
@@ -364,8 +390,13 @@ def kmeans_codebook(
 
         partials = c.mapInPandas(assign_partials, partial_schema)
 
-        # merge ≤ partitions×k tiny partials into k centroids
+        # merge ≤ partitions×k tiny partials into k centroids. Partials
+        # arrive in SHUFFLE order — float addition is order-sensitive,
+        # so sum them sorted by their source partition id or the same
+        # corpus on the same splits could yield 1-ulp-different
+        # centroids across runs (bit-exactness contract).
         def cell_mean(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            pdf = pdf.sort_values("pid")
             s = np.stack(pdf["psum"].to_numpy()).sum(axis=0)
             n = int(pdf["n"].sum())
             return pd.DataFrame(
@@ -718,6 +749,9 @@ def ivfpq_topk(
     qid = query_id_col or id_col
     c = _as_double_vec(corpus, id_col, vec_col)
     cell_ids, cent, cent_norm, pq_res, sub = _ivfpq_model(c, num_cells, m, ncent)
+    # probing more cells than exist is an exhaustive probe — clamp
+    # instead of an executor-side IndexError on probe_idx[r, p]
+    nprobe = min(nprobe, num_cells)
     bc = corpus.sparkSession.sparkContext.broadcast(
         (cell_ids, cent, cent_norm, pq_res, sub)
     )

@@ -37,51 +37,62 @@ from ..functions.text import whitespace_tokens, word_ngrams
 
 # Same constants as functions.text.doc_fingerprint — shared so oracle SQL
 # strings can inline them.
-HASH_MOD = 2_147_483_647  # 2^31 - 1
-HASH_BASE = 31
-
-
-def token_hash(tok: Column) -> Column:
-    """Polynomial rolling hash over a token's codepoints:
-    ``h = (h*31 + codepoint) mod (2^31-1)``. Engine-portable (no xxhash)."""
-    return F.aggregate(
-        F.split(tok, ""),
-        F.lit(0).cast("long"),
-        lambda acc, c: (acc * HASH_BASE + F.ascii(c)) % HASH_MOD,
-    )
-
-
-#: second independent hash chain — paired with the first to form the
-#: 62-bit k-gram keys (see _kgram_hash); a lone 31-bit chain collides.
-HASH_MOD2 = 2_147_483_629  # largest prime below 2^31-1 distinct from HASH_MOD
-HASH_BASE2 = 131
-
-
-def token_hash2(tok: Column) -> Column:
-    """The independent second polynomial (base 131, different prime)."""
-    return F.aggregate(
-        F.split(tok, ""),
-        F.lit(0).cast("long"),
-        lambda acc, c: (acc * HASH_BASE2 + F.ascii(c)) % HASH_MOD2,
-    )
+# The polynomial hash convention lives in functions/hashing.py (ONE
+# definition shared with text.py and every SQL oracle); re-exported here
+# because the whole plans/ layer and the k-gram keys import it from
+# dedup. Backwards-compatible aliases, not copies.
+from ..functions.hashing import (  # noqa: F401,E402 — re-export
+    HASH_BASE,
+    HASH_BASE2,
+    HASH_MOD,
+    HASH_MOD2,
+    token_hash,
+    token_hash2,
+)
 
 
 # ---------------------------------------------------------------------------
 # Exact dedup
 
-def exact_dedup(
-    df: DataFrame, content_cols: list[str], order_col: str, keep: str = "first"
-) -> DataFrame:
-    """Exact dedup: keep one row per identical content, deterministically.
+def _content_digest(content_cols: list[str]) -> Column:
+    """Boundary- and NULL-proof multi-column content digest: each column
+    hashes independently (fixed-width hex, so values containing the
+    separator can't shift boundaries) and NULL gets a marker outside the
+    hex alphabet (concat_ws SKIPS nulls, which made ('x', NULL) and
+    (NULL, 'x') collide) before the outer md5 combines them."""
+    parts = [
+        F.when(F.col(c).isNull(), F.lit("\u2205")).otherwise(
+            F.md5(F.col(c).cast("string"))
+        )
+        for c in content_cols
+    ]
+    return F.md5(F.concat_ws("|", *parts))
 
-    ``md5`` digest of the concatenated content columns → one
-    hash-partitioned ``row_number`` window. The digest (not the raw
-    content) is the shuffle key, so wide documents don't inflate shuffle
-    size beyond the key+row itself.
+
+def exact_dedup(
+    df: DataFrame,
+    content_cols: list[str],
+    order_col: str,
+    keep: str = "first",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Exact dedup: keep one row per identical content.
+
+    ``md5`` digest of the content columns (boundary/NULL-proof — see
+    ``_content_digest``) → one hash-partitioned ``row_number`` window.
+    The digest (not the raw content) is the shuffle key, so wide
+    documents don't inflate shuffle size beyond the key+row itself.
+
+    The keeper is deterministic only when ``order_col`` (plus
+    ``tiebreak_col`` when given — always ascending, typically the row
+    id) is unique within each duplicate group; with ties and no
+    tiebreak, partition-internal input order decides.
     """
-    digest = F.md5(F.concat_ws("", *[F.col(c) for c in content_cols]))
-    order = F.col(order_col).asc() if keep == "first" else F.col(order_col).desc()
-    w = Window.partitionBy(digest).orderBy(order)
+    digest = _content_digest(content_cols)
+    order = [F.col(order_col).asc() if keep == "first" else F.col(order_col).desc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(digest).orderBy(*order)
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -93,7 +104,7 @@ def duplicate_groups(df: DataFrame, id_col: str, content_cols: list[str]) -> Dat
     """Exact-dup audit: one row per content digest with its cardinality
     and member ids. The training-pipeline twin of the reference's
     integrity audits (`debug_book_codes.py:45-59`)."""
-    digest = F.md5(F.concat_ws("", *[F.col(c) for c in content_cols]))
+    digest = _content_digest(content_cols)
     return (
         df.select(digest.alias("digest"), F.col(id_col).alias("id"))
         .groupBy("digest")
@@ -112,6 +123,11 @@ def shingle_sets(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
     """(id, shingles) with distinct word n-gram shingles per document.
+    Empty/whitespace-only documents yield an EMPTY set (they're the
+    exact tier's business, not a similarity signal — and the posting
+    generator in ngram_jaccard_pairs skips them, so the Jaccard tiers
+    must agree; an artifact [''] shingle used to make every pair of
+    empty docs a jaccard-1.0 "near-duplicate" here but not there).
 
     Tokens materialize as a column first: slicing the raw split
     expression inside the n-gram lambda re-tokenizes the document once
@@ -122,7 +138,12 @@ def shingle_sets(
         "_toks", whitespace_tokens(F.col(text_col))
     ).select(
         F.col(id_col).alias("id"),
-        F.array_distinct(word_ngrams(F.col("_toks"), n)).alias("shingles"),
+        F.when(
+            F.concat_ws("", F.col("_toks")) == "",
+            F.array().cast("array<string>"),
+        )
+        .otherwise(F.array_distinct(word_ngrams(F.col("_toks"), n)))
+        .alias("shingles"),
     )
 
 
@@ -360,6 +381,12 @@ def minhash_lsh_pairs(
     width. Candidates are then verified with exact shingle Jaccard (the
     MinHash estimate never reaches the output — no false positives).
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into bands "
+            f"({bands}) — a remainder would silently drop trailing "
+            "signature rows and skew the (b, r) recall curve"
+        )
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
     banded = sigs.select(
@@ -1005,8 +1032,9 @@ def connected_components(
     reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Connected components of an undirected edge list → (node, component),
-    where component is the smallest node id reachable from node. Nodes
-    with no edges don't appear; callers union isolated ids back in.
+    where component is the smallest node id reachable from node (one row
+    per edge-touching node, roots included with component = themselves).
+    Nodes with no edges don't appear; callers union isolated ids back in.
 
     Near-dup candidate generators (MinHash/SimHash/embedding LSH) emit
     PAIRS; turning pairs into duplicate CLUSTERS with one canonical
@@ -1102,9 +1130,16 @@ def connected_components(
     else:
         raise RuntimeError(f"connected_components: no fixpoint in {max_iterations} rounds")
     # At the fixpoint every edge points child→root (root = component min);
-    # roots appear only as v. min() guards the (never-observed) case of a
-    # child carrying two edges mid-collision.
-    return e.groupBy(F.col("u").alias("node")).agg(F.min("v").alias("component"))
+    # roots appear only as v, so they'd be missing from a u-only rollup —
+    # union each component's root back in (component = itself) so every
+    # edge-touching node gets a row. min() guards the (never-observed)
+    # case of a child carrying two edges mid-collision.
+    members = e.groupBy(F.col("u").alias("node")).agg(F.min("v").alias("component"))
+    roots = (
+        members.select("component").distinct()
+        .select(F.col("component").alias("node"), "component")
+    )
+    return members.unionByName(roots)
 
 
 def ngram_contamination(
@@ -1266,6 +1301,12 @@ def minhash_lookup_pairs(
     batch docs. At 100 TB the index side's banding output is the thing
     you persist — this function re-derives it only because the sandbox
     has no standing store."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into bands "
+            f"({bands}) — a remainder would silently drop trailing "
+            "signature rows and skew the (b, r) recall curve"
+        )
     rows_per_band = num_hashes // bands
 
     def banded(df: DataFrame, side: str) -> DataFrame:

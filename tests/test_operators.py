@@ -140,6 +140,54 @@ class TestDedup:
         )
         assert kept_last == [2, 3]
 
+    def test_exact_dedup_multicol_null_positions_distinct(self, spark):
+        """('x', NULL), (NULL, 'x') and ('x', '') are three DIFFERENT
+        contents — concat_ws skips NULLs, so a naive concatenated digest
+        collapses them and silently deletes non-duplicate rows."""
+        df = spark.createDataFrame(
+            [(1, "x", None), (2, None, "x"), (3, "x", ""), (4, "x", None)],
+            "id long, a string, b string",
+        )
+        kept = sorted(r["id"] for r in exact_dedup(df, ["a", "b"], "id").collect())
+        assert kept == [1, 2, 3]  # only the true duplicate (4) dropped
+
+    def test_exact_dedup_tiebreak_col(self, spark):
+        """Equal order_col values: the tiebreak column decides the
+        keeper deterministically."""
+        df = spark.createDataFrame(
+            [(9, 0, "same"), (5, 0, "same")], ["id", "ts", "text"]
+        )
+        kept = [
+            r["id"]
+            for r in exact_dedup(df, ["text"], "ts", tiebreak_col="id").collect()
+        ]
+        assert kept == [5]
+
+    def test_minhash_bands_must_divide_num_hashes(self, spark):
+        from hebrew_tutor_data_pipeline_spark.operators.dedup import (
+            minhash_lookup_pairs,
+            minhash_lsh_pairs,
+        )
+
+        df = spark.createDataFrame([(1, "a b c")], ["id", "text"])
+        with pytest.raises(ValueError, match="divide evenly"):
+            minhash_lsh_pairs(df, "id", "text", num_hashes=32, bands=5)
+        with pytest.raises(ValueError, match="divide evenly"):
+            minhash_lookup_pairs(df, df, "id", "text", num_hashes=32, bands=5)
+
+    def test_shingle_sets_empty_docs_yield_empty_sets(self, spark):
+        """Empty/whitespace docs must not carry an artifact [''] shingle
+        (which made every pair of empty docs a jaccard-1.0 'near-dup' in
+        the LSH verify arm while the posting arm skipped them)."""
+        from hebrew_tutor_data_pipeline_spark.operators.dedup import shingle_sets
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, "   "), (3, "a b c d")], ["id", "text"]
+        )
+        got = {r["id"]: r["shingles"] for r in shingle_sets(df, "id", "text", 3).collect()}
+        assert got[1] == [] and got[2] == []
+        assert got[3] == ["a b c", "b c d"]
+
     def test_jaccard_pairs_match_python(self, spark):
         docs = [
             (1, "the quick brown fox jumps over the lazy dog"),
@@ -1859,3 +1907,55 @@ class TestIVFPQReconstruction:
             )
         )
         assert ra == rb
+
+
+class TestAnnGuards:
+    def test_ivf_nprobe_clamped_to_num_cells(self, spark):
+        """nprobe > num_cells is just an exhaustive probe — it must
+        return full results, not crash in executor tasks (argsort only
+        has num_cells columns)."""
+        from hebrew_tutor_data_pipeline_spark.operators.ann import ivf_topk
+
+        rows = [(i, [float(i + d) for d in range(4)]) for i in range(20)]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        qs = df.filter(F.col("vec_id") < 1)
+        got = ivf_topk(
+            df, qs, "vec_id", "embedding", k=5, num_cells=4, nprobe=8
+        ).collect()
+        assert len(got) == 5
+
+    def test_srp_bucket_rejects_wrong_dim(self, spark):
+        """A vector length != dim used to NULL-poison every projection
+        and silently hash ALL rows to bucket 0 (one all-pairs bucket);
+        it must fail loudly instead."""
+        from pyspark.sql.utils import PythonException
+
+        from hebrew_tutor_data_pipeline_spark.operators.ann import (
+            signed_projection_bucket,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [0.1] * 32)], ["id", "vec"]
+        )
+        bad = df.select(signed_projection_bucket(F.col("vec"), bits=4, dim=64))
+        with pytest.raises(Exception, match="vector length"):
+            bad.collect()
+        ok = df.select(
+            signed_projection_bucket(F.col("vec"), bits=4, dim=32).alias("b")
+        ).first()
+        assert ok["b"] is not None
+
+
+class TestConnectedComponentRoots:
+    def test_roots_present_with_self_component(self, spark):
+        from hebrew_tutor_data_pipeline_spark.operators.dedup import (
+            connected_components,
+        )
+
+        df = spark.createDataFrame([(1, 2), (2, 3), (10, 12)], ["src", "dst"])
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(df).collect()
+        }
+        # every edge-touching node appears, roots map to themselves
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 12: 10}
