@@ -82,13 +82,23 @@ def allocate_proportional(
         .orderBy(*[F.col(c) for c in order_cols])
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    run_incl = (
+        Window.partitionBy(*group_cols)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     with_dur = df.withColumn("_dur", dur)
+    # end derives from the INCLUSIVE running sum — the same expression
+    # the next row rounds as its start, so end_i == start_{i+1} exactly.
+    # Rounding the already-rounded start plus the raw duration instead
+    # broke contiguity by ±0.01 whenever the cumulative sum and the
+    # duration round in different directions off the 2-dp grid.
     return (
         with_dur.withColumn(
             start_name,
             F.round(F.coalesce(F.sum("_dur").over(run), F.lit(0.0)) + ROUND_EPS, 2),
         )
-        .withColumn(end_name, F.round(F.col(start_name) + F.col("_dur") + ROUND_EPS, 2))
+        .withColumn(end_name, F.round(F.sum("_dur").over(run_incl) + ROUND_EPS, 2))
         .drop("_dur")
     )
 
@@ -224,7 +234,15 @@ def fuzzy_cursor_align(
 ) -> DataFrame:
     """J5 as a grouped-map pandas UDF: one group = one chapter's ordered
     word lists; state (the cursor) lives inside the group, the operator
-    shuffles once on the group key and scales across groups."""
+    shuffles once on the group key and scales across groups.
+
+    INDEX CONTRACT: ``ref_idx``/``matched_idx`` are 0-based POSITIONS
+    within each group's sorted word lists — ``ref_order_col`` /
+    ``trans_order_col`` define the sort only, their VALUES are not
+    echoed. A caller joining ``ref_idx`` back to its order column must
+    therefore construct that column 0-based and contiguous per group
+    (as aligned_verse_rollup's row_number()-1 token_idx does); a 1-based
+    or gapped order key would silently join every row to the wrong word."""
     ref = ref_words.select(
         F.col(group_col).cast("string").alias("group_key"),
         F.col(ref_order_col).cast("long").alias("_ord"),
@@ -282,16 +300,29 @@ def validate_total_duration(
     end_col: str,
     duration_col: str,
     factor: float = 1.1,
+    out_col: str = "total_duration",
 ) -> DataFrame:
     """The reference's output-validation invariant
     (`hebrew_alignment_tool.py:405-415` `_validate_output`): a group's
     aligned total duration (max end) must not exceed the audio duration
-    × ``factor`` (1.1). Adds ``total_duration`` and boolean ``valid``
-    via one unbounded window — when ``df`` arrives already partitioned
-    by the group key (the usual case, straight out of a grouped
-    aggregate) no extra shuffle is introduced."""
+    × ``factor`` (1.1). Adds ``out_col`` and boolean ``valid`` via one
+    unbounded window — when ``df`` arrives already partitioned by the
+    group key (the usual case, straight out of a grouped aggregate) no
+    extra shuffle is introduced.
+
+    ``valid`` compares the window expression itself (never the added
+    column), and overwriting the audio-duration column is rejected —
+    composing with estimate_verse_alignment (whose default duration
+    column is also named ``total_duration``) used to silently replace
+    the audio duration and make the check vacuously true."""
+    if out_col == duration_col:
+        raise ValueError(
+            f"out_col ({out_col!r}) would overwrite duration_col before the "
+            "comparison — pass a different out_col"
+        )
     w = Window.partitionBy(*group_cols)
-    return df.withColumn("total_duration", F.max(F.col(end_col)).over(w)).withColumn(
+    observed = F.max(F.col(end_col)).over(w)
+    return df.withColumn(out_col, observed).withColumn(
         "valid",
-        F.col("total_duration") <= F.col(duration_col) * F.lit(float(factor)),
+        observed <= F.col(duration_col) * F.lit(float(factor)),
     )

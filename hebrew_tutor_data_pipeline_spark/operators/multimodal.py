@@ -216,13 +216,23 @@ def image_features(
                         "`scripts/convert_hebrew_grammar_pdf.py:34-42`)"
                     )
                 d = hashlib.md5(payload).digest()
+                # extend the digest material deterministically (chained
+                # md5 blocks) so feature_dim > 12 yields a FULL-length
+                # vector — a silent slice of the 16-byte digest returned
+                # 12 elements max, feeding dimension-mismatched vectors
+                # into fixed-dim consumers (NULL cosines, no error)
+                mat = d
+                while len(mat) < 4 + feature_dim:
+                    mat += hashlib.md5(mat).digest()
                 out.append(
                     {
                         "path": row[path_col],
                         "width": 64 + d[1],
                         "height": 64 + d[2],
                         "mean_luma": round(d[3] / 255.0, 6),
-                        "feature": [round(b / 255.0, 6) for b in d[4 : 4 + feature_dim]],
+                        "feature": [
+                            round(b / 255.0, 6) for b in mat[4 : 4 + feature_dim]
+                        ],
                     }
                 )
             yield pd.DataFrame(
@@ -408,11 +418,28 @@ def _pdf_extract_pages(payload: bytes) -> list[tuple[bytes, str]]:
         # decodes latin-1 byte-per-code like literal strings.
         import unicodedata
 
+        # ONE left-to-right pass over every escape (ISO 32000-1 §7.3.4.2):
+        # sequential substitutions mis-decoded an escaped backslash
+        # followed by digits — in (C:\\101) the octal pass consumed the
+        # second backslash plus '101' as an octal escape, yielding 'C:\A'
+        # instead of 'C:\101'. A single alternation consumes each escape
+        # exactly once in document order.
+        _ESC = {
+            b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+            b"(": b"(", b")": b")", b"\\": b"\\",
+        }
+
+        def _esc_repl(m: "re.Match[bytes]") -> bytes:
+            g = m.group(1)
+            if g in (b"\r\n", b"\r", b"\n"):
+                return b""  # escaped EOL = line continuation
+            if g[:1].isdigit():
+                return bytes([int(g, 8) & 0xFF])
+            # known escape, else the spec drops the backslash
+            return _ESC.get(g, g)
+
         def unescape(s: bytes) -> str:
-            s = re.sub(rb"\\([0-7]{1,3})", lambda m: bytes([int(m.group(1), 8)]), s)
-            for a, b in ((b"\\n", b"\n"), (b"\\r", b"\r"), (b"\\t", b"\t"),
-                         (b"\\(", b"("), (b"\\)", b")"), (b"\\\\", b"\\")):
-                s = s.replace(a, b)
+            s = re.sub(rb"\\(\r\n|[0-7]{1,3}|.)", _esc_repl, s, flags=re.DOTALL)
             return s.decode("latin-1")
 
         def unhex(s: bytes) -> str:
@@ -455,8 +482,46 @@ def _pdf_extract_pages(payload: bytes) -> list[tuple[bytes, str]]:
             "NFC", " ".join(p.strip() for p in parts if p.strip())
         )
 
+    def _kids_order() -> list[int]:
+        # page order = the /Pages tree's /Kids order (ISO 32000-1
+        # §7.7.3.2), NOT object-number order — incremental updates and
+        # some generators emit page objects with arbitrary numbering,
+        # and object-number order then attaches texts to the wrong
+        # page_number. Falls back to object order when no intact
+        # Catalog→Pages tree exists.
+        cat = next(
+            (b for b in objs.values() if re.search(rb"/Type\s*/Catalog\b", b)),
+            None,
+        )
+        if cat is None:
+            return []
+        root = re.search(rb"/Pages\s+(\d+)\s+\d+\s+R", cat)
+        if not root:
+            return []
+        order: list[int] = []
+        seen: set[int] = set()
+
+        def walk(num: int) -> None:
+            if num in seen:  # defensive: malformed cyclic tree
+                return
+            seen.add(num)
+            body = objs.get(num, b"")
+            if re.search(rb"/Type\s*/Page\b(?!s)", body):
+                order.append(num)
+                return
+            kids = re.search(rb"/Kids\s*\[([^\]]*)\]", body)
+            if kids:
+                for r in re.finditer(rb"(\d+)\s+\d+\s+R", kids.group(1)):
+                    walk(int(r.group(1)))
+
+        walk(int(root.group(1)))
+        return order
+
+    page_nums = _kids_order() or [
+        n for n in sorted(objs) if re.search(rb"/Type\s*/Page\b(?!s)", objs[n])
+    ]
     pages: list[tuple[bytes, str]] = []
-    for num in sorted(objs):
+    for num in page_nums:
         body = objs[num]
         if not re.search(rb"/Type\s*/Page\b(?!s)", body):
             continue

@@ -207,9 +207,14 @@ def mixture_plan(
     accept_hash = token_hash(
         F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))
     ) % resolution
+    # null-safe joins throughout: groupBy keeps a NULL source as a real
+    # group, so the acceptance pass must too — a plain equi-join dropped
+    # NULL-group docs and the plan row then claimed a positive rate with
+    # n_accepted=0, an internally inconsistent audit record
     tagged = df.select(F.col(group_col).alias("group"), accept_hash.alias("_ah")).join(
-        F.broadcast(rates.select("group", "rate_ppm")), "group"
-    )
+        F.broadcast(rates.select(F.col("group").alias("_rg"), "rate_ppm")),
+        F.col("group").eqNullSafe(F.col("_rg")),
+    ).drop("_rg")
     if allow_upsample:
         # `div` keeps the whole chain in BIGINT — a double intermediate
         # would silently lose exactness past 2^53 summed copies
@@ -225,7 +230,11 @@ def mixture_plan(
             .groupBy("group")
             .agg(F.count("*").alias("n_accepted"))
         )
-    return rates.join(accepted, "group", "left").select(
+    return rates.join(
+        accepted.select(F.col("group").alias("_ag"), "n_accepted"),
+        F.col("group").eqNullSafe(F.col("_ag")),
+        "left",
+    ).select(
         "group",
         "n_docs",
         "weight",
@@ -303,7 +312,7 @@ def dsir_weights(
             + F.lit(0.5)
         ).alias("lr_e8"),
     )
-    return (
+    scored = (
         grams.join(F.broadcast(ratios), "b")
         .groupBy("id")
         .agg(
@@ -313,4 +322,14 @@ def dsir_weights(
                 6,
             ).alias("avg_logratio"),
         )
+    )
+    # restore zero-gram docs (empty/whitespace text emits no gram rows,
+    # so the explode path silently dropped them): gram_ct 0, weight NULL
+    # — the documented one-row-per-input-doc contract, and downstream
+    # reconciliation joins keep every id
+    ids = df.select(F.col(id_col).alias("id"))
+    return ids.join(scored, "id", "left").select(
+        "id",
+        F.coalesce(F.col("gram_ct"), F.lit(0).cast("long")).alias("gram_ct"),
+        "avg_logratio",
     )

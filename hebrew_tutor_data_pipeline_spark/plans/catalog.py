@@ -460,10 +460,10 @@ SELECT l_orderkey, l_linenumber,
        round(coalesce(sum(dur) OVER (PARTITION BY l_orderkey
                       ORDER BY l_linenumber, l_partkey, l_suppkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 0.0000001, 2) AS start,
-       round(round(coalesce(sum(dur) OVER (PARTITION BY l_orderkey
+       round(sum(dur) OVER (PARTITION BY l_orderkey
                       ORDER BY l_linenumber, l_partkey, l_suppkey
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 0.0000001, 2)
-             + dur + 0.0000001, 2) AS "end"
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             + 0.0000001, 2) AS "end"
 FROM d
 """,
     tags=("W2", "W3", "A4"),

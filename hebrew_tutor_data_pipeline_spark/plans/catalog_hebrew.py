@@ -251,7 +251,10 @@ bounds AS (
                + 0.0000001, 2) AS start
   FROM alloc),
 bounds2 AS (
-  SELECT *, round(start + dur + 0.0000001, 2) AS "end" FROM bounds)
+  SELECT *, round(sum(dur) OVER (PARTITION BY book, chapter
+                  ORDER BY verse_num
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            + 0.0000001, 2) AS "end" FROM bounds)
 SELECT book, chapter, verse_num,
        unnest(words) AS word,
        generate_subscripts(words, 1) AS word_pos,
@@ -501,16 +504,20 @@ def nfc_normalize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     "local_first_audio",
     oracle=f"""
 WITH loc AS (
-    SELECT regexp_extract(filename, '([^/]+)$', 1) AS fname, size, 0 AS pri
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS fname,
+           regexp_extract(filename, '{Path(FIXTURE_AUDIO_TREE).name}/(.*)$', 1) AS rel,
+           size, 0 AS pri
     FROM read_blob('{FIXTURE_AUDIO_TREE}/**/*.mp3')),
 rem AS (
-    SELECT regexp_extract(filename, '([^/]+)$', 1) AS fname, size, 1 AS pri
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS fname,
+           regexp_extract(filename, '{Path(FIXTURE_REMOTE_TREE).name}/(.*)$', 1) AS rel,
+           size, 1 AS pri
     FROM read_blob('{FIXTURE_REMOTE_TREE}/**/*.mp3')),
 u AS (SELECT * FROM loc UNION ALL SELECT * FROM rem)
-SELECT fname AS filename,
+SELECT min_by(fname, pri) AS filename,
        min_by(size, pri) AS length,
        CASE WHEN min(pri) = 0 THEN 'local' ELSE 'remote' END AS source
-FROM u GROUP BY fname
+FROM u GROUP BY rel
 """,
     tags=("S4", "S2"),
 )

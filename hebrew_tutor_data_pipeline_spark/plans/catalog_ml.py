@@ -3340,10 +3340,13 @@ r AS (SELECT b, CAST(floor((ln((p_ct + 1.0) / (p_tot + {_DSIR_BUCKETS}))
                     - ln((q_ct + 1.0) / (q_tot + {_DSIR_BUCKETS})))
                     * 100000000 + 0.5) AS BIGINT) AS lr_e8
       FROM c CROSS JOIN tot),
-s AS (SELECT doc_id, count(*) AS gram_ct,
-             round(CAST(sum(lr_e8) AS DOUBLE) / 100000000.0 / count(*), 6)
-                 AS avg_logratio
-      FROM g JOIN r USING (b) GROUP BY doc_id),
+s AS (SELECT d.doc_id, CAST(coalesce(s0.gram_ct, 0) AS BIGINT) AS gram_ct,
+             s0.avg_logratio
+      FROM documents d
+      LEFT JOIN (SELECT doc_id, count(*) AS gram_ct,
+                        round(CAST(sum(lr_e8) AS DOUBLE) / 100000000.0
+                              / count(*), 6) AS avg_logratio
+                 FROM g JOIN r USING (b) GROUP BY doc_id) s0 USING (doc_id)),
 k AS (SELECT doc_id FROM s
       ORDER BY avg_logratio DESC, doc_id ASC LIMIT {_DSIR_TOPK})
 SELECT s.doc_id, s.gram_ct, s.avg_logratio,

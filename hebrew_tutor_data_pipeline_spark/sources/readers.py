@@ -157,24 +157,34 @@ def local_first_scan(
     prunes the ``content`` column when unreferenced) — resolving 1M
     files reads bytes from neither tree.
     """
+    import re as _re
+    from pathlib import PurePath
+
     cols = ["path", "length", "modificationTime"] + (["content"] if with_content else [])
 
     def scan(d: str, pri: int, src: str) -> DataFrame:
+        # identity = path RELATIVE to this scan's root: the recursive
+        # scan can surface the same basename at different depths within
+        # one tree (two real files), and file identity across the
+        # local/remote pair is "same place in the tree", not "same leaf
+        # name anywhere"
+        tail = _re.escape(PurePath(d.rstrip("/")).name)
         return (
             read_binary_files(spark, d, glob)
             .select(*cols)
             .withColumn("_pri", F.lit(pri))
             .withColumn("source", F.lit(src))
             .withColumn("filename", F.regexp_extract("path", r"([^/]+)$", 1))
+            .withColumn("_relkey", F.regexp_replace("path", f"^.*?{tail}/", ""))
         )
 
     both = scan(local_dir, 0, "local").unionByName(scan(remote_dir, 1, "remote"))
-    # min_by over a struct keyed on priority: one shuffle on filename,
-    # no join — at scale this is a plain aggregate over the file listing
-    picked = both.groupBy("filename").agg(
-        F.min_by(F.struct(*cols, "source"), F.col("_pri")).alias("best")
+    # min_by over a struct keyed on priority: one shuffle on the relative
+    # key, no join — at scale this is a plain aggregate over the listing
+    picked = both.groupBy("_relkey").agg(
+        F.min_by(F.struct("filename", *cols, "source"), F.col("_pri")).alias("best")
     )
-    return picked.select("filename", "best.*")
+    return picked.select("best.*")
 
 
 def expected_grid(df: DataFrame, key_col: str, n_col: str, out_col: str = "chapter") -> DataFrame:
@@ -182,10 +192,19 @@ def expected_grid(df: DataFrame, key_col: str, n_col: str, out_col: str = "chapt
 
     Reference: `fixed_hebrew_aligner.py:692` iterates
     ``range(1, len(chapters)+1)`` per book to probe for missing audio.
+
+    ``sequence(1, n)`` DESCENDS when n < 1 (sequence(1, 0) = [1, 0]), so
+    a zero-count key would emit two phantom grid rows instead of none —
+    guard with an empty array, matching Python's empty ``range(1, 1)``.
     """
     return df.select(
         F.col(key_col),
-        F.explode(F.sequence(F.lit(1), F.col(n_col))).alias(out_col),
+        F.explode(
+            F.when(
+                F.col(n_col) >= 1,
+                F.sequence(F.lit(1).cast("long"), F.col(n_col).cast("long")),
+            ).otherwise(F.array().cast("array<long>"))
+        ).alias(out_col),
     )
 
 

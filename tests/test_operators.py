@@ -1959,3 +1959,76 @@ class TestConnectedComponentRoots:
         }
         # every edge-touching node appears, roots map to themselves
         assert got == {1: 1, 2: 1, 3: 1, 10: 10, 12: 10}
+
+
+class TestReviewBatch2Guards:
+    def test_allocate_proportional_contiguous_off_grid(self, spark):
+        """Durations off the 2-dp grid (1.006 each): end must derive from
+        the INCLUSIVE running sum, or end_2=round(start_2+dur) lands on
+        2.02 while start_3=round(cumsum) lands on 2.01 — overlap."""
+        from hebrew_tutor_data_pipeline_spark.operators.alignment import (
+            allocate_proportional,
+        )
+
+        df = spark.createDataFrame(
+            [("g", i, 1.0, 3.018) for i in range(1, 4)],
+            ["grp", "i", "w", "total"],
+        )
+        rows = sorted(
+            allocate_proportional(df, ["grp"], "i", "w", "total").collect(),
+            key=lambda r: r["i"],
+        )
+        for prev, cur in zip(rows, rows[1:]):
+            assert prev["end"] == cur["start"], (prev, cur)
+
+    def test_validate_total_duration_rejects_column_collision(self, spark):
+        from hebrew_tutor_data_pipeline_spark.operators import alignment
+
+        df = spark.createDataFrame(
+            [("a", 1, 900.0, 1000.0)], "grp string, i int, end double, total_duration double"
+        )
+        with pytest.raises(ValueError, match="overwrite"):
+            alignment.validate_total_duration(
+                df, ["grp"], "end", "total_duration"
+            )
+
+    def test_mixture_plan_null_group_is_consistent(self, spark):
+        """A NULL source must be a real group: its plan row's n_accepted
+        reconciles with its rate instead of reporting 0."""
+        from hebrew_tutor_data_pipeline_spark.operators.sampling import mixture_plan
+
+        df = spark.createDataFrame(
+            [(i, None if i < 40 else "en") for i in range(100)],
+            "id long, lang string",
+        )
+        rows = {r["group"]: r for r in mixture_plan(
+            df, "id", "lang", alpha=1.0, target_frac=1.0
+        ).collect()}
+        null_row = rows[None]
+        assert null_row["n_docs"] == 40
+        assert null_row["rate_ppm"] == 1_000_000
+        assert null_row["n_accepted"] == 40  # rate 1.0 accepts all
+
+    def test_dsir_weights_keeps_zero_gram_docs(self, spark):
+        from hebrew_tutor_data_pipeline_spark.operators.sampling import dsir_weights
+
+        df = spark.createDataFrame(
+            [(1, "some normal text here", True), (2, None, False), (3, "", False)],
+            "id long, text string, is_t boolean",
+        )
+        got = {r["id"]: r for r in dsir_weights(df, "id", "text", F.col("is_t")).collect()}
+        assert set(got) == {1, 2, 3}  # one row per input doc
+        # NULL text emits no gram rows — the explode path used to drop
+        # the doc entirely; now it stays with gram_ct 0 / NULL weight
+        assert got[2]["gram_ct"] == 0 and got[2]["avg_logratio"] is None
+        assert got[1]["gram_ct"] > 0
+
+
+def test_expected_grid_zero_count_key_emits_no_rows(spark):
+    """sequence(1, 0) DESCENDS ([1, 0]) — a zero-count key used to emit
+    two phantom grid rows, corrupting the J9 missing-audio audit."""
+    from hebrew_tutor_data_pipeline_spark.sources.readers import expected_grid
+
+    df = spark.createDataFrame([("a", 3), ("b", 0)], ["k", "n"])
+    got = sorted((r["k"], r["chapter"]) for r in expected_grid(df, "k", "n").collect())
+    assert got == [("a", 1), ("a", 2), ("a", 3)]
