@@ -50,21 +50,38 @@ def asof_join(
     payload = [f"{c}{suffix}" for c in right_cols]
     matched_ts = f"{right_ts}{suffix}"
 
+    # the whole right payload travels as ONE struct per right row: an
+    # independent last(col, ignorenulls) per payload column skips NULLs
+    # PER COLUMN and can stitch fields from DIFFERENT right rows into a
+    # row that never existed (e.g. a_right from ts=1 with b_right from
+    # ts=2 when the true match's a is NULL). The struct is non-NULL for
+    # every right row (its ts field is), so one last(struct, ignorenulls)
+    # carries the nearest right ROW intact, NULL fields included.
+    from pyspark.sql.types import StructField, StructType
+
+    pay_type = StructType(
+        [StructField("_mts", right.schema[right_ts].dataType, True)]
+        + [
+            StructField(p, right.schema[c].dataType, True)
+            for c, p in zip(right_cols, payload)
+        ]
+    )
     l_tag = left.select(
         *on,
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_is_left"),
         *[F.col(c) for c in left.columns if c not in on and c != left_ts],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(p) for c, p in zip(right_cols, payload)],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias(matched_ts),
+        F.lit(None).cast(pay_type).alias("_rpay"),
     ).withColumn(left_ts, F.col("_ts"))
     r_tag = right.select(
         *on,
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in on and c != left_ts],
-        *[F.col(c).alias(p) for c, p in zip(right_cols, payload)],
-        F.col(right_ts).alias(matched_ts),
+        F.struct(
+            F.col(right_ts).alias("_mts"),
+            *[F.col(c).alias(p) for c, p in zip(right_cols, payload)],
+        ).alias("_rpay"),
     ).withColumn(left_ts, F.lit(None).cast(left.schema[left_ts].dataType))
 
     unioned = l_tag.unionByName(r_tag)
@@ -76,31 +93,38 @@ def asof_join(
             .orderBy(F.col("_ts").asc(), F.col("_is_left").asc())
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        carried = [F.last(c, ignorenulls=True).over(w).alias(c) for c in [*payload, matched_ts]]
+        carried = F.last("_rpay", ignorenulls=True).over(w)
     else:
         w = (
             Window.partitionBy(*on)
             .orderBy(F.col("_ts").asc(), F.col("_is_left").desc())
             .rowsBetween(0, Window.unboundedFollowing)
         )
-        carried = [F.first(c, ignorenulls=True).over(w).alias(c) for c in [*payload, matched_ts]]
+        carried = F.first("_rpay", ignorenulls=True).over(w)
 
-    keep = [c for c in unioned.columns if c not in (*payload, matched_ts, "_is_left", "_ts")]
-    out = unioned.select(*keep, F.col("_is_left"), F.col("_ts"), *carried).filter(
+    keep = [c for c in unioned.columns if c not in ("_rpay", "_is_left", "_ts")]
+    out = unioned.select(*keep, F.col("_is_left"), F.col("_ts"), carried.alias("_rp")).filter(
         F.col("_is_left") == 1
     )
+    fields = [(matched_ts, "_mts")] + list(zip(payload, payload))
 
     if tolerance is not None:
         # NTZ-safe: epoch_seconds routes TIMESTAMP_NTZ through ltz
         # (session tz pinned UTC) before the double cast.
-        gap = F.abs(epoch_seconds(out, "_ts") - epoch_seconds(out, matched_ts))
+        out = out.withColumn("_mts_x", F.col("_rp._mts"))
+        gap = F.abs(epoch_seconds(out, "_ts") - epoch_seconds(out, "_mts_x"))
         out = out.select(
             *keep,
             *[
-                F.when(gap <= tolerance, F.col(c)).otherwise(F.lit(None)).alias(c)
-                for c in [*payload, matched_ts]
+                F.when(gap <= tolerance, F.col(f"_rp.{src}"))
+                .otherwise(F.lit(None))
+                .alias(dst)
+                for dst, src in fields
             ],
         )
     else:
-        out = out.select(*keep, *payload, matched_ts)
-    return out
+        out = out.select(
+            *keep, *[F.col(f"_rp.{src}").alias(dst) for dst, src in fields]
+        )
+    # restore the historical column order: payload columns, then the ts
+    return out.select(*keep, *payload, matched_ts)

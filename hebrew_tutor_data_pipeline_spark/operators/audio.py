@@ -78,9 +78,17 @@ def suggest_intro_trim(
 ) -> DataFrame:
     """W1+P5: first segment over threshold ⇒ intro end; subtract a
     0.5 s buffer, clamp at 0, and only suggest trims > 1 s
-    (`scripts/hebrew_audio_trimmer.py:132-140,464`)."""
+    (`scripts/hebrew_audio_trimmer.py:132-140,464`).
+
+    Files too short to own a baseline (no segments at index ≥
+    skip_segments) keep a row with NULL first_loud_start and
+    should_trim = false — an inner threshold join silently DROPPED
+    them, leaving callers unable to tell 'no trim needed' from 'never
+    analyzed'."""
     with_thr = segments.join(
-        F.broadcast(intro_threshold(segments, skip_segments, factor)), "path"
+        F.broadcast(intro_threshold(segments, skip_segments, factor)),
+        "path",
+        "left",
     )
     first_loud = with_thr.groupBy("path").agg(
         F.min(
@@ -100,12 +108,19 @@ def suggest_intro_trim(
 
 def energy_bars(segments: DataFrame, width: int = 20) -> DataFrame:
     """F18: per-file normalized bar length ``floor(rms/max · width)`` for
-    the preview display (`scripts/hebrew_audio_trimmer.py:437-442`)."""
+    the preview display (`scripts/hebrew_audio_trimmer.py:437-442`).
+    An all-silent file (per-file max rms == 0) gets bar_len 0 — the bare
+    division is 0/0, which THROWS under the session's default ANSI mode
+    instead of drawing an empty bar."""
     w = Window.partitionBy("path")
     return segments.withColumn(
         "bar_len",
-        F.floor(
-            F.col("rms_energy") / F.max("rms_energy").over(w) * F.lit(width)
+        F.coalesce(
+            F.floor(
+                F.try_divide(F.col("rms_energy"), F.max("rms_energy").over(w))
+                * F.lit(width)
+            ),
+            F.lit(0),
         ).cast("int"),
     )
 

@@ -71,7 +71,14 @@ def overwrite_with_backup(
             if not os.path.exists(backup):
                 os.makedirs(os.path.dirname(backup), exist_ok=True)
                 if os.path.exists(path):
-                    shutil.copy2(path, backup)
+                    # the backup itself must be atomic: a task killed
+                    # mid-copy would leave a TRUNCATED backup that a
+                    # retry's exists() check then trusts, after which
+                    # the overwrite below destroys the only good copy —
+                    # stage to a task-private tmp, then os.replace
+                    tmp = f"{backup}.tmp.{os.getpid()}"
+                    shutil.copy2(path, tmp)
+                    os.replace(tmp, backup)
             _atomic_write(path, bytes(row[content_col]))
 
     df.select(path_col, content_col).foreachPartition(run)

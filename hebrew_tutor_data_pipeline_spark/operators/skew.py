@@ -72,7 +72,11 @@ def with_salt(
     if spread_identical_rows:
         cols.append(F.monotonically_increasing_id())
     return df.withColumn(
-        salt_col, F.pmod(F.abs(F.hash(*cols)), F.lit(n_salts))
+        # pmod alone (no abs): pmod already maps negative hashes into
+        # [0, n), and abs(hash) THROWS under ANSI mode when a row's
+        # 32-bit hash lands exactly on INT_MIN (p = 2^-32 per row — a
+        # statistical certainty at the trillion-row design point)
+        salt_col, F.pmod(F.hash(*cols), F.lit(n_salts))
     )
 
 

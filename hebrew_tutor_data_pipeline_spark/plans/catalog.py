@@ -667,6 +667,9 @@ def streaming_tumbling_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     from ..streaming.windows import tumbling_window_stats
 
+    # avg_value already derives from the 4dp-agreed sum INSIDE
+    # tumbling_window_stats (the module-wide policy): round(avg,6) as a
+    # second float aggregation flipped 1 ulp across engines at sf0.1.
     agg = tumbling_window_stats(
         events_parquet_stream(spark, sf_dir),
         ts_col="ts",
@@ -674,13 +677,6 @@ def streaming_tumbling_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         watermark_delay="10 minutes",
         key_cols=("event_type",),
         value_col="value",
-    ).withColumn(
-        # avg derived from the 4dp-agreed sum instead of a second
-        # float aggregation: round(avg,6) flips 1 ulp across engines
-        # at sf0.1 (incremental streaming-state summation order), while
-        # round(sum,4)/n is engine-exact by construction.
-        "avg_value",
-        F.round(F.col("sum_value") / F.col("n_events"), 6),
     )
     return run_available_now_to_parquet(
         agg,

@@ -66,9 +66,13 @@ def terminal_jobs(
             return
         last, n = state.get if state.exists else (None, 0)
         terminal: str | None = None
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
-            for s in pdf[status_col]:
+        # concat BEFORE sorting: one key's micro-batch can span several
+        # Arrow chunks (maxRecordsPerBatch), and per-chunk sorts make
+        # "latest status" chunk-order-dependent instead of ts-latest
+        all_pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(all_pdf):
+            all_pdf = all_pdf.sort_values(ts_col)
+            for s in all_pdf[status_col]:
                 n += 1
                 last = s
                 if s in TERMINAL_STATES:
@@ -129,9 +133,12 @@ def terminal_jobs_tws(
                 tuple(self._state.get()) if self._state.exists() else (None, 0)
             )
             terminal = None
-            for pdf in rows:
-                pdf = pdf.sort_values(ts_col)
-                for s in pdf[status_col]:
+            # same chunk-spanning sort discipline as the
+            # applyInPandasWithState face above
+            all_pdf = pd.concat(list(rows), ignore_index=True)
+            if len(all_pdf):
+                all_pdf = all_pdf.sort_values(ts_col)
+                for s in all_pdf[status_col]:
                     n += 1
                     last = s
                     if s in TERMINAL_STATES:

@@ -238,6 +238,13 @@ def run_available_now_to_parquet(
                     drained = True
                     break
                 _time.sleep(0.5)
+            if q.exception() is not None:
+                # a dead query exits the loop with isActive False — that
+                # is a FAILURE, not a drain; silently returning the
+                # pre-committed empty/partial parquet would be a wrong
+                # answer (the self_terminates path re-raises via
+                # awaitTermination, this path must too)
+                raise q.exception()
             if not drained and q.isActive:
                 raise TimeoutError(f"{query_name}: stream never drained")
     finally:

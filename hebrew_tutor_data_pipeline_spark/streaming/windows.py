@@ -48,7 +48,13 @@ def tumbling_window_stats(
         .agg(
             F.count("*").alias("n_events"),
             F.round(F.sum(value_col), 4).alias("sum_value"),
-            F.round(F.avg(value_col), 6).alias("avg_value"),
+        )
+        # avg derives from the 4dp-agreed sum — the module-wide policy
+        # (see sliding_window_stats): a second independent float
+        # aggregation re-exposes incremental-state summation order,
+        # which flips round(avg, 6) by 1 ulp against any batch oracle
+        .withColumn(
+            "avg_value", F.round(F.col("sum_value") / F.col("n_events"), 6)
         )
         .select(
             F.col("window.start").alias("window_start"),

@@ -2032,3 +2032,59 @@ def test_expected_grid_zero_count_key_emits_no_rows(spark):
     df = spark.createDataFrame([("a", 3), ("b", 0)], ["k", "n"])
     got = sorted((r["k"], r["chapter"]) for r in expected_grid(df, "k", "n").collect())
     assert got == [("a", 1), ("a", 2), ("a", 3)]
+
+
+class TestReviewBatch3Guards:
+    def test_asof_null_payload_fields_stay_with_their_row(self, spark):
+        """The as-of match is a ROW: a NULL field in the matched right
+        row must come through as NULL, not be backfilled from an older
+        right row (per-column last(ignorenulls) stitched rows together)."""
+        from hebrew_tutor_data_pipeline_spark.operators.asof import asof_join
+
+        right = spark.createDataFrame(
+            [(1, 1.0, 5, 9), (1, 2.0, None, 7)],
+            "k long, ts double, a int, b int",
+        )
+        left = spark.createDataFrame([(1, 3.0)], "k long, ts double")
+        r = asof_join(left, right, ["k"], "ts", "ts").first()
+        assert r["ts_right"] == 2.0
+        assert r["b_right"] == 7
+        assert r["a_right"] is None  # NOT 5 from the ts=1.0 row
+
+    def test_energy_bars_all_silent_file(self, spark):
+        """max rms == 0: bar_len must be 0, not a DIVIDE_BY_ZERO abort
+        under the session's default ANSI mode."""
+        from hebrew_tutor_data_pipeline_spark.operators.audio import energy_bars
+
+        df = spark.createDataFrame(
+            [("f", 0, 0.0), ("f", 1, 0.0)], "path string, seg_idx int, rms_energy double"
+        )
+        got = {r["seg_idx"]: r["bar_len"] for r in energy_bars(df).collect()}
+        assert got == {0: 0, 1: 0}
+
+    def test_suggest_intro_trim_keeps_short_files(self, spark):
+        """A file with no segments at index >= skip_segments must still
+        get a row (should_trim false), not vanish from the output."""
+        from hebrew_tutor_data_pipeline_spark.operators.audio import (
+            suggest_intro_trim,
+        )
+
+        df = spark.createDataFrame(
+            [("long", i, float(i * 2), 0.5 if i < 2 else 0.01) for i in range(5)]
+            + [("short", 0, 0.0, 0.5), ("short", 1, 2.0, 0.5)],
+            "path string, seg_idx int, start_time double, rms_energy double",
+        )
+        got = {r["path"]: r for r in suggest_intro_trim(df).collect()}
+        assert set(got) == {"long", "short"}
+        assert got["short"]["should_trim"] is False
+        assert got["short"]["first_loud_start"] is None
+
+    def test_with_salt_handles_negative_hash(self, spark):
+        """pmod (no abs) maps negative 32-bit hashes into [0, n) — abs
+        throws ARITHMETIC_OVERFLOW on INT_MIN under ANSI mode."""
+        from hebrew_tutor_data_pipeline_spark.operators.skew import with_salt
+
+        df = spark.createDataFrame([(i,) for i in range(500)], ["v"])
+        salts = [r["_salt"] for r in with_salt(df, 16).collect()]
+        assert all(0 <= s < 16 for s in salts)
+        assert len(set(salts)) > 1  # actually spreads
