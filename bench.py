@@ -58,32 +58,38 @@ def main() -> int:
             spark.read.parquet(str(f)).limit(1).write.format("noop").mode("overwrite").save()
         except Exception as exc:  # noqa: BLE001 — warmup must never kill the run
             print(f"# warmup skip {f.name}: {exc}", file=sys.stderr)
-    warm = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
-    w = Window.partitionBy("n_regionkey").orderBy("n_nationkey").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    region = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
-    (
-        warm.join(F.broadcast(region), warm["n_regionkey"] == region["r_regionkey"])
-        .withColumn("run", F.sum("n_nationkey").over(w))
-        .withColumn("toks", F.split(F.regexp_replace("n_name", "[^A-Z]", ""), ""))
-        .withColumn(
-            "h",
-            F.aggregate(
-                F.col("toks"), F.lit(0).cast("long"), lambda a, c: (a * 31 + F.ascii(c)) % 997
-            ),
+    # guarded like the metadata loop above: a missing/corrupt warmup
+    # table must degrade the warmup, never kill the run before the
+    # contract's JSON line can be emitted
+    try:
+        warm = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+        w = Window.partitionBy("n_regionkey").orderBy("n_nationkey").rowsBetween(
+            Window.unboundedPreceding, -1
         )
-        .write.format("noop").mode("overwrite").save()
-    )
-    spark.createDataFrame([(1, "a")], ["id", "txt"]).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    (
-        warm.select("n_regionkey", "n_nationkey")
-        .groupBy("n_regionkey")
-        .applyInPandas(lambda pdf: pdf, "n_regionkey long, n_nationkey long")
-        .write.format("noop").mode("overwrite").save()
-    )
+        region = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+        (
+            warm.join(F.broadcast(region), warm["n_regionkey"] == region["r_regionkey"])
+            .withColumn("run", F.sum("n_nationkey").over(w))
+            .withColumn("toks", F.split(F.regexp_replace("n_name", "[^A-Z]", ""), ""))
+            .withColumn(
+                "h",
+                F.aggregate(
+                    F.col("toks"), F.lit(0).cast("long"), lambda a, c: (a * 31 + F.ascii(c)) % 997
+                ),
+            )
+            .write.format("noop").mode("overwrite").save()
+        )
+        spark.createDataFrame([(1, "a")], ["id", "txt"]).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        (
+            warm.select("n_regionkey", "n_nationkey")
+            .groupBy("n_regionkey")
+            .applyInPandas(lambda pdf: pdf, "n_regionkey long, n_nationkey long")
+            .write.format("noop").mode("overwrite").save()
+        )
+    except Exception as exc:  # noqa: BLE001 — warmup must never kill the run
+        print(f"# warmup pipeline skip: {exc}", file=sys.stderr)
 
     # Warm every Python worker with numpy + a mapInPandas round trip: the
     # 32-worker pool imports numpy once per process (~2-4 s wall the first

@@ -20,10 +20,14 @@ from pyspark.sql import functions as F
 
 def levenshtein_ratio(a: Column, b: Column) -> Column:
     """F12: ``fuzz.ratio``-style normalized similarity in pure SQL:
-    1 - lev(a,b) / max(len(a), len(b)); 1.0 when both empty."""
+    1 - lev(a,b) / max(len(a), len(b)); 1.0 when both empty; NULL when
+    either side is NULL. (Spark's greatest SKIPS nulls, so without the
+    explicit guard greatest(NULL, 0) == 0 fired the both-empty branch
+    and scored a NULL-vs-'' comparison as a perfect match — DuckDB's
+    greatest propagates NULL, so the twin already returned NULL.)"""
     denom = F.greatest(F.length(a), F.length(b))
-    return F.when(denom == 0, F.lit(1.0)).otherwise(
-        1.0 - F.levenshtein(a, b) / denom
+    return F.when(a.isNull() | b.isNull(), F.lit(None).cast("double")).otherwise(
+        F.when(denom == 0, F.lit(1.0)).otherwise(1.0 - F.levenshtein(a, b) / denom)
     )
 
 

@@ -13,6 +13,8 @@ hashes to plain integer arithmetic.
 from __future__ import annotations
 
 from pyspark.sql import Column
+import re as _re
+
 from pyspark.sql import functions as F
 
 from .hashing import HASH_BASE, HASH_MOD, token_hash
@@ -25,11 +27,14 @@ BPE_TOKEN_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
 
 
 def whitespace_tokens(col: Column) -> Column:
-    """Whitespace tokenization; empty string → empty array (not [''])."""
-    trimmed = F.trim(col)
-    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
-        F.split(trimmed, r"\s+")
-    )
+    """Whitespace tokenization as maximal non-space runs
+    (``regexp_extract_all('\\S+')``): empty/whitespace-only → [] and
+    tab/newline-EDGED text carries no empty edge tokens, so
+    ``size(whitespace_tokens(x)) == whitespace_token_count(x)`` for
+    every input. (trim-then-split kept edge empties for '\\tthe end' —
+    SQL trim strips only spaces — silently desyncing every tokenized
+    surface from its regexp_count twin and the DuckDB oracles.)"""
+    return F.regexp_extract_all(col, F.lit(r"\S+"), 0)
 
 
 def whitespace_token_count(col: Column) -> Column:
@@ -52,9 +57,13 @@ EN_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "that", "it", "for")
 
 
 def punct_ratio(col: Column) -> Column:
-    """Fraction of non-space characters that are punctuation."""
+    """Fraction of non-space characters that are punctuation — i.e. not
+    a LETTER or DIGIT in any script (``\\p{L}\\p{N}``, RE2-safe in both
+    engines). An ASCII-only kept class scored every Hebrew/accented
+    character as punctuation, rating the very corpus this pipeline
+    processes as maximally punctuation-laden."""
     non_space = F.length(F.regexp_replace(col, r"\s", ""))
-    punct = F.length(F.regexp_replace(col, r"[A-Za-z0-9\s]", ""))
+    punct = F.length(F.regexp_replace(col, r"[\p{L}\p{N}\s]", ""))
     return F.round(F.coalesce(F.try_divide(punct, non_space), F.lit(0.0)), 6)
 
 
@@ -67,7 +76,11 @@ def stopword_ratio(col: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Co
     ``list_filter`` formulation — same values, different mechanism).
     The interpreted per-token ``filter(isin)`` form measured ~3× slower.
     """
-    pat = r"(?:(?<=\s)|^)(?:" + "|".join(stopwords) + r")(?=\s|$)"
+    pat = (
+        r"(?:(?<=\s)|^)(?:"
+        + "|".join(_re.escape(w) for w in stopwords)
+        + r")(?=\s|$)"
+    )
     hits = F.regexp_count(F.lower(col), F.lit(pat))
     return F.round(
         F.coalesce(F.try_divide(hits, whitespace_token_count(col)), F.lit(0.0)), 6
@@ -154,7 +167,9 @@ def classifier_weights(n_buckets: int = 1024, seed: int = 42) -> list[float]:
     for i in range(n_buckets):
         state = (seed + i * 1_000_003) % FP_MOD
         state = (state * 1_103_515_245 + 12_345) % FP_MOD
-        weights.append(round((state % 1_000_001) / 1_000_000 - 0.5, 6))
+        # % 1_000_000 (matching the divisor) keeps the documented
+        # half-open [-0.5, 0.5): % 1_000_001 could land exactly on +0.5
+        weights.append(round((state % 1_000_000) / 1_000_000 - 0.5, 6))
     return weights
 
 

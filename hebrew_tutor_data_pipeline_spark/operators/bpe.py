@@ -48,6 +48,7 @@ def merge_pair_fold(tokens: Column, left: str, right: str, joiner: str = "+") ->
     element unless it literally equals ``left`` — classic BPE semantics.
     """
     merged = left + joiner + right
+    empty = F.array().cast("array<string>")
     folded = F.aggregate(
         tokens,
         F.lit(""),
@@ -61,7 +62,9 @@ def merge_pair_fold(tokens: Column, left: str, right: str, joiner: str = "+") ->
         .when(acc == F.lit(""), x)
         .otherwise(F.concat(acc, F.lit(" "), x)),
     )
-    return F.split(folded, " ")
+    # split('', ' ') = [''] — an EMPTY token array must stay empty, or a
+    # zero-token doc reports n_tokens_bpe=1 / n_fused=-1 downstream
+    return F.when(F.size(tokens) == 0, empty).otherwise(F.split(folded, " "))
 
 
 def bpe_merges(

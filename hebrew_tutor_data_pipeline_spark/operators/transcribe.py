@@ -175,9 +175,16 @@ def transcribe_words(
             rows = []
             for rec in pdf.itertuples(index=False):
                 ids = tuple(getattr(rec, c) for c in id_cols)
+                text = getattr(rec, text_col)
+                dur = getattr(rec, duration_ms_col)
+                # NULL text / NULL duration (NaN after pandas' nullable
+                # coercion) = nothing to transcribe: emit zero words
+                # instead of crashing the task on None.split()/int(NaN)
+                if text is None or dur is None or pd.isna(dur):
+                    continue
                 words = model.transcribe(
-                    getattr(rec, text_col),
-                    int(getattr(rec, duration_ms_col)),
+                    text,
+                    int(dur),
                     chunk_ms,
                     drop_every,
                 )

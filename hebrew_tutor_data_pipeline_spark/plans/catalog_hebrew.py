@@ -1902,7 +1902,7 @@ def video_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # still run the oracle locally every round.
     oracle=f"""
 WITH t AS (
-    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents
 ), h AS (
     -- two independent hash chains; the k-gram key packs both rolls
     -- (62-bit, CROSSED bases) because a lone same-base roll collides

@@ -30,7 +30,7 @@ HASH_BASE = dedup.HASH_BASE
 def _sql_token_hash(tok_expr: str) -> str:
     return (
         f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        f"list_transform(string_split({tok_expr}, ''), c -> CAST(unicode(c) AS BIGINT))), "
+        f"list_transform(string_split({tok_expr}, ''), c -> CAST(greatest(unicode(c), 0) AS BIGINT))), "
         f"(acc, x) -> (acc * {HASH_BASE} + x) % {HASH_MOD})"
     )
 
@@ -44,12 +44,12 @@ HASH_BASE2 = dedup.HASH_BASE2
 def _sql_token_hash2(tok_expr: str) -> str:
     return (
         f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        f"list_transform(string_split({tok_expr}, ''), c -> CAST(unicode(c) AS BIGINT))), "
+        f"list_transform(string_split({tok_expr}, ''), c -> CAST(greatest(unicode(c), 0) AS BIGINT))), "
         f"(acc, x) -> (acc * {HASH_BASE2} + x) % {HASH_MOD2})"
     )
 
 
-_TOKENS_SQL = "string_split_regex(trim(text), '\\s+')"
+_TOKENS_SQL = "regexp_extract_all(text, '\\S+')"
 
 
 # ===========================================================================
@@ -72,7 +72,7 @@ WITH t AS (
 SELECT doc_id,
        len(toks) AS n_tokens,
        round(coalesce(
-           len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+           len(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g'))
            / nullif(len(regexp_replace(text, '\\s', '', 'g')), 0), 0), 6) AS punct_ratio,
        round(coalesce(
            len(list_filter(list_transform(toks, x -> lower(x)),
@@ -501,8 +501,7 @@ def _jaccard_oracle(cap_sql: str) -> str:
     the identical shingling/join/denominator arithmetic."""
     return f"""
 WITH d AS (
-    SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                        ELSE string_split_regex(trim(text), '\\s+') END AS t
+    SELECT doc_id, regexp_extract_all(text, '\\S+') AS t
     FROM documents
 ), g AS (
     -- mirror of ngram_jaccard_pairs' short-doc rule: an empty doc emits
@@ -626,7 +625,7 @@ _MH_BAND_CONDS = "\n       OR ".join(
     "minhash_lsh_candidates",
     oracle=f"""
 WITH d AS (
-    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+    SELECT doc_id, regexp_extract_all(text, '\\S+') AS t
     FROM documents WHERE doc_id < 200
 ), g AS (
     SELECT doc_id,
@@ -686,8 +685,7 @@ _MH16_BAND_CONDS = "\n       OR ".join(
     # compared on raw tuples, exact-Jaccard verify at 0.5.
     oracle=f"""
 WITH d AS (
-    SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                        ELSE string_split_regex(trim(text), '\\s+') END AS t
+    SELECT doc_id, regexp_extract_all(text, '\\S+') AS t
     FROM documents
 ), g AS (
     SELECT doc_id,
@@ -2093,8 +2091,8 @@ def hebrew_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
 WITH RECURSIVE tok AS (
     SELECT doc_id,
-           unnest(string_split_regex(trim(text), '\s+')) AS word,
-           generate_subscripts(string_split_regex(trim(text), '\s+'), 1) - 1 AS pos
+           unnest(regexp_extract_all(text, '\S+')) AS word,
+           generate_subscripts(regexp_extract_all(text, '\S+'), 1) - 1 AS pos
     FROM documents WHERE doc_id < 20
 ), ref AS (
     SELECT doc_id, pos AS ri, word AS rw FROM tok
@@ -2189,7 +2187,7 @@ WITH t AS (
 ), s AS (
     SELECT doc_id, lang, text,
            len(toks) AS n_tokens,
-           round(coalesce(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+           round(coalesce(len(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g'))
                     / nullif(len(regexp_replace(text, '\\s', '', 'g')), 0), 0), 6) AS punct_ratio,
            len(regexp_extract_all(lower(text), '\\b({_EN_MARKERS})\\b')) AS s_en,
            len(regexp_extract_all(lower(text), '\\b({_DE_MARKERS})\\b')) AS s_de,
@@ -2263,7 +2261,7 @@ WITH t AS (
     -- split then drop empties == Python strip+split: identical token
     -- lists for text with leading/trailing tabs/newlines too
     SELECT doc_id,
-           list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks
+           regexp_extract_all(text, '\\S+') AS toks
     FROM documents WHERE doc_id < 100 AND len(trim(text)) > 0
 ), c AS (
     SELECT doc_id, toks,
@@ -2516,8 +2514,7 @@ def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "benchmark_contamination",
     oracle="""
 WITH d AS (
-    SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                        ELSE string_split_regex(trim(text), '\\s+') END AS t
+    SELECT doc_id, regexp_extract_all(text, '\\S+') AS t
     FROM documents
 ), g AS (
     -- same short-doc shingle rule as the jaccard oracle / word_ngrams
@@ -2574,8 +2571,7 @@ def _quality_m_sql(src: str = "documents") -> str:
 
 _QUALITY_M_TEMPLATE = """
 d AS (
-    SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                        ELSE string_split_regex(trim(text), '\\s+') END AS t
+    SELECT doc_id, regexp_extract_all(text, '\\S+') AS t
     FROM __SRC__
 ), g AS (
     SELECT doc_id, len(t) AS n_tokens,
@@ -3238,8 +3234,7 @@ _MH16_LOOKUP_CONDS = "\n       OR ".join(
     # best match per batch doc (jaccard DESC, match_id ASC).
     oracle=f"""
 WITH d AS (
-    SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                        ELSE string_split_regex(trim(text), '\\s+') END AS t
+    SELECT doc_id, regexp_extract_all(text, '\\S+') AS t
     FROM documents
 ), g AS (
     SELECT doc_id,
@@ -3395,7 +3390,7 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_fingerprint(txt: str) -> str:
     """DuckDB twin of functions.text.doc_fingerprint over a text expr."""
-    toks = f"string_split_regex(trim({txt}), '\\s+')"
+    toks = f"regexp_extract_all({txt}, '\\S+')"
     return (
         f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
         f"list_transform({toks}, t2 -> {_sql_token_hash('t2')})), "
@@ -3784,13 +3779,16 @@ def _bpe_fold_sql(tcte: str, pcte: str) -> str:
     string-accumulator fold as operators.bpe.merge_pair_fold."""
     return f"""
     SELECT doc_id,
+           -- empty token list stays EMPTY (string_split('', ' ') = ['']
+           -- would mint a phantom token) — merge_pair_fold's guard
+           CASE WHEN len(t) = 0 THEN t ELSE
            string_split(list_reduce(list_prepend('', t),
               (acc, x) -> CASE
                  WHEN x = {pcte}.r
                       AND (acc = {pcte}.l OR ends_with(acc, ' ' || {pcte}.l))
                  THEN left(acc, len(acc) - len({pcte}.l)) || {pcte}.l || '+' || {pcte}.r
                  WHEN acc = '' THEN x
-                 ELSE acc || ' ' || x END), ' ') AS t
+                 ELSE acc || ' ' || x END), ' ') END AS t
     FROM {tcte} CROSS JOIN {pcte}"""
 
 
@@ -3948,10 +3946,10 @@ d2 AS (
     -- degenerate-doc convention (Spark [''] shingle vs zero shingles
     -- for empty/1-token docs) is moot and candidates stay a subset of
     -- truth by construction
-    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+    SELECT doc_id, regexp_extract_all(text, '\\S+') AS t
     FROM documents
     WHERE doc_id < 200 AND trim(text) <> ''
-          AND len(string_split_regex(trim(text), '\\s+')) >= 2
+          AND len(regexp_extract_all(text, '\\S+')) >= 2
 ), g2 AS (
     SELECT doc_id,
            list_distinct([list_aggr(t[i:i+1], 'string_agg', ' ')

@@ -75,13 +75,26 @@ def get_spark(
 ) -> SparkSession:
     """Build (or fetch) the engine's SparkSession.
 
-    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` when no cluster
-    is configured; on a real deployment spark-submit supplies the master
-    and this becomes a no-op passthrough.
+    ``master`` resolution order: explicit argument, then the
+    ``SPARK_MASTER`` env var's VALUE, then whatever spark-submit already
+    configured (``spark.master`` in the loaded SparkConf — spark-submit
+    communicates the master via conf, never via any env var), and only
+    when none of those exist the ``local[$SPARK_GRAFT_CPUS]`` fallback —
+    so a submitted cluster master is never silently overridden with
+    local mode.
     """
     builder = SparkSession.builder.appName(app_name)
-    if master is None and "SPARK_MASTER" not in os.environ:
-        master = f"local[{default_parallelism()}]"
+    if master is None:
+        master = os.environ.get("SPARK_MASTER")
+    if master is None:
+        from pyspark import SparkConf
+
+        try:
+            configured = SparkConf().contains("spark.master")
+        except Exception:  # no JVM yet and no defaults — not configured
+            configured = False
+        if not configured:
+            master = f"local[{default_parallelism()}]"
     if master:
         builder = builder.master(master)
     conf = dict(_DEFAULT_CONF)

@@ -305,3 +305,97 @@ class TestBm25Query:
             got = {r["doc_id"]: r["bm25"] for r in bm25_keyword_topk(spark, td).collect()}
         assert 3 not in got
         assert got[0] > got[1] > got[2]
+
+
+class TestReviewBatch4Guards:
+    def test_tokenizer_count_equals_size_on_edge_whitespace(self, spark):
+        """SQL trim strips only spaces: tab/newline-edged text used to
+        carry empty edge tokens, desyncing size(tokens) from the
+        regexp_count twin and every DuckDB oracle."""
+        from hebrew_tutor_data_pipeline_spark.functions.text import (
+            whitespace_token_count,
+            whitespace_tokens,
+        )
+
+        df = spark.createDataFrame(
+            [("\tthe end",), ("\t",), ("",), ("  a  b  ",), ("x\n",)], ["t"]
+        )
+        rows = df.select(
+            F.size(whitespace_tokens(F.col("t"))).alias("sz"),
+            whitespace_token_count(F.col("t")).alias("ct"),
+            whitespace_tokens(F.col("t")).alias("toks"),
+        ).collect()
+        for r in rows:
+            assert r["sz"] == r["ct"], r
+        assert rows[0]["toks"] == ["the", "end"]
+        assert rows[1]["toks"] == [] and rows[2]["toks"] == []
+
+    def test_levenshtein_ratio_null_propagates(self, spark):
+        from hebrew_tutor_data_pipeline_spark.functions.similarity import (
+            levenshtein_ratio,
+        )
+
+        df = spark.createDataFrame([(None, ""), ("", ""), ("ab", None)], ["a", "b"])
+        got = [
+            r["r"]
+            for r in df.select(
+                levenshtein_ratio(F.col("a"), F.col("b")).alias("r")
+            ).collect()
+        ]
+        assert got[0] is None  # NULL vs '' is NOT a perfect match
+        assert got[1] == 1.0
+        assert got[2] is None
+
+    def test_punct_ratio_unicode_letters_not_punctuation(self, spark):
+        from hebrew_tutor_data_pipeline_spark.functions.text import punct_ratio
+
+        df = spark.createDataFrame(
+            [("שלום עולם",), ("über!",), ("a,b",)], ["t"]
+        )
+        got = [r["p"] for r in df.select(punct_ratio(F.col("t")).alias("p")).collect()]
+        assert got[0] == 0.0  # Hebrew letters are letters, not punctuation
+        assert got[1] == 0.2  # 1 of 5 non-space chars
+        assert got[2] == round(1 / 3, 6)
+
+    def test_stopword_ratio_escapes_metacharacters(self, spark):
+        from hebrew_tutor_data_pipeline_spark.functions.text import stopword_ratio
+
+        df = spark.createDataFrame([("u-s- officials said",)], ["t"])
+        got = df.select(
+            stopword_ratio(F.col("t"), stopwords=("u.s.",)).alias("r")
+        ).first()["r"]
+        assert got == 0.0  # '.' must not match '-'
+
+    def test_classifier_weights_within_documented_range(self):
+        from hebrew_tutor_data_pipeline_spark.functions.text import (
+            classifier_weights,
+        )
+
+        w = classifier_weights(4096)
+        assert all(-0.5 <= x < 0.5 for x in w)
+
+    def test_transcribe_words_null_rows_emit_nothing(self, spark):
+        from hebrew_tutor_data_pipeline_spark.operators.transcribe import (
+            transcribe_words,
+        )
+
+        df = spark.createDataFrame(
+            [("b1", 1, "one two three", 3000), ("b2", 2, None, 3000),
+             ("b3", 3, "x y", None)],
+            "book string, chapter int, text string, duration_ms long",
+        )
+        got = transcribe_words(df, ["book", "chapter"]).collect()
+        assert {r["book"] for r in got} == {"b1"}  # null rows: zero words, no crash
+
+    def test_bpe_fold_empty_tokens_stay_empty(self, spark):
+        from hebrew_tutor_data_pipeline_spark.operators.bpe import merge_pair_fold
+
+        df = spark.createDataFrame([([],), (["a", "b"],)], ["toks"])
+        got = [
+            r["m"]
+            for r in df.select(
+                merge_pair_fold(F.col("toks"), "a", "b").alias("m")
+            ).collect()
+        ]
+        assert got[0] == []  # not [''] (n_fused would go negative)
+        assert got[1] == ["a+b"]
