@@ -28,8 +28,9 @@ def strip_nikkud(col: Column) -> Column:
 
 
 def hebrew_letters_only(col: Column) -> Column:
-    """F2: whitelist U+05D0–U+05EA + whitespace (`fixed_hebrew_aligner.py:569`)."""
-    return F.regexp_replace(col, f"[^א-ת\\s]", "")
+    """F2: whitelist U+05D0–U+05EA + whitespace (`fixed_hebrew_aligner.py:569`)
+    — composed from HEBREW_LETTER_CLASS so the letter range lives once."""
+    return F.regexp_replace(col, f"[^{HEBREW_LETTER_CLASS[1:-1]}\\s]", "")
 
 
 def normalize_whitespace(col: Column) -> Column:

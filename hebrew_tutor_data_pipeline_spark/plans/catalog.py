@@ -25,8 +25,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import hebrew, similarity, text
-from ..operators import alignment, ann, asof, dedup, intervals, sessionize, upsert
+from ..operators import alignment, asof, intervals, sessionize, upsert
 from ..sources.readers import load_table
 
 
@@ -268,6 +267,21 @@ def top10_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _part_types_shipped(spark: SparkSession, sf_dir: str, lo: str, hi: str) -> DataFrame:
+    """p_type of parts shipped in [lo, hi) — the shared side of the E1/E2
+    set-operation entries (one definition, so the two can't drift)."""
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(lo).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(hi).cast("timestamp"))
+        )
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_type")
+    )
+
+
 @_register(
     "except_types_week1_week2",
     oracle="""
@@ -281,21 +295,9 @@ WHERE l_shipdate >= TIMESTAMP '1995-01-08 00:00:00' AND l_shipdate < TIMESTAMP '
 )
 def except_types_week1_week2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1 set difference (`debug_book_codes.py:45-55`)."""
-    li = T(spark, sf_dir, "lineitem")
-    p = T(spark, sf_dir, "part")
-
-    def week(lo: str, hi: str) -> DataFrame:
-        return (
-            li.filter(
-                (F.col("l_shipdate") >= F.lit(lo).cast("timestamp"))
-                & (F.col("l_shipdate") < F.lit(hi).cast("timestamp"))
-            )
-            .join(p, F.col("l_partkey") == F.col("p_partkey"))
-            .select("p_type")
-        )
-
-    return week("1995-01-01 00:00:00", "1995-01-08 00:00:00").subtract(
-        week("1995-01-08 00:00:00", "1995-01-15 00:00:00")
+    w = lambda lo, hi: _part_types_shipped(spark, sf_dir, lo, hi)  # noqa: E731
+    return w("1995-01-01 00:00:00", "1995-01-08 00:00:00").subtract(
+        w("1995-01-08 00:00:00", "1995-01-15 00:00:00")
     )
 
 
@@ -312,21 +314,9 @@ WHERE l_shipdate >= TIMESTAMP '1995-01-08 00:00:00' AND l_shipdate < TIMESTAMP '
 )
 def intersect_types_week1_week2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2 intersect (`debug_book_codes.py:62-63`)."""
-    li = T(spark, sf_dir, "lineitem")
-    p = T(spark, sf_dir, "part")
-
-    def week(lo: str, hi: str) -> DataFrame:
-        return (
-            li.filter(
-                (F.col("l_shipdate") >= F.lit(lo).cast("timestamp"))
-                & (F.col("l_shipdate") < F.lit(hi).cast("timestamp"))
-            )
-            .join(p, F.col("l_partkey") == F.col("p_partkey"))
-            .select("p_type")
-        )
-
-    return week("1995-01-01 00:00:00", "1995-01-08 00:00:00").intersect(
-        week("1995-01-08 00:00:00", "1995-01-15 00:00:00")
+    w = lambda lo, hi: _part_types_shipped(spark, sf_dir, lo, hi)  # noqa: E731
+    return w("1995-01-01 00:00:00", "1995-01-08 00:00:00").intersect(
+        w("1995-01-08 00:00:00", "1995-01-15 00:00:00")
     )
 
 
@@ -912,7 +902,15 @@ def streaming_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         deadline = _time.time() + 30
         data: list[dict] = []
         while _time.time() < deadline:
-            data = [p for p in listener.progress if p["numInputRows"] > 0]
+            # filter by query NAME, not just row count: the listener bus
+            # is session-wide and a concurrent stream's data batches
+            # would otherwise inflate these metrics
+            data = [
+                p
+                for p in listener.progress
+                if p["numInputRows"] > 0
+                and p.get("name") == "progress_metrics_stream"
+            ]
             if data:
                 break
             _time.sleep(0.2)
@@ -2328,7 +2326,8 @@ from ..operators.layout import (  # noqa: E402 — keeps the layout tier togethe
 
 _Z_BITS = 10          # each key normalized onto [0, 1024)
 _Z_FILES_SHIFT = 15   # 20-bit Morton key >> 15 → 32 fixed-width z-buckets
-_L_FILES_WIDTH = 32   # 1024 / 32 → 32 fixed-width date buckets
+_L_FILES_WIDTH = 32   # 1024/32 → 32 fixed-width date buckets (used below)
+_L_FILES_SHIFT = _L_FILES_WIDTH.bit_length() - 1  # k2 // 32 == k2 >> 5
 
 
 @_register(
@@ -2349,7 +2348,7 @@ zs AS (
     FROM o GROUP BY 2
 ),
 ls AS (
-    SELECT 'linear' AS layout, k2 // 32 AS bucket_id,
+    SELECT 'linear' AS layout, k2 // {_L_FILES_WIDTH} AS bucket_id,
            min(k1) AS min1, max(k1) AS max1, min(k2) AS min2, max(k2) AS max2
     FROM o GROUP BY 2
 ),
@@ -2406,7 +2405,7 @@ def zorder_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         o,
         F.col("k1"),
         F.col("k2"),
-        F.shiftright(F.col("k2"), 5),  # k2 // 32 — integer throughout
+        F.shiftright(F.col("k2"), _L_FILES_SHIFT),  # k2 // width, integer
         "linear",
     )
     return skipping_report(

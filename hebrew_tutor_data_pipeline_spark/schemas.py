@@ -6,6 +6,18 @@ schema drift between variants (``verse_num``+``text`` vs
 `scripts/hebrew_alignment_tool_gpu.py:507-517`) is resolved here by fixing
 ONE canonical schema per shape — the GPU-lineage output schema, which is
 what the HTML viewer consumes (SURVEY.md §7.2).
+
+Three tiers of usage:
+- PDF_PAGE / VIDEO_FRAME / WAVEFORM are the LIVE output schemas of
+  operators/multimodal.py;
+- ENERGY_SEGMENT / AUDIO_FILE conform to their producers
+  (audio.rms_energy_segments, readers.read_binary_files) and
+  tests/test_contract.py pins that;
+- the rest document the reference's §1 record shapes (seconds-domain,
+  nested-words) that the engine re-expresses relationally — e.g.
+  transcribe_words emits the ms-integer VARIANT of TRANSCRIBED_WORD
+  and corpus_verses flattens VERSE's words array to text. They are
+  documentation of the source data model, not dead code.
 """
 
 from __future__ import annotations

@@ -49,6 +49,12 @@ class CountingListener(StreamingQueryListener):
         with self._lock:
             self.progress.append(
                 {
+                    # identity fields so a consumer can filter to ITS
+                    # query — the listener bus is session-wide, and a
+                    # concurrent stream's batches would otherwise be
+                    # silently counted into another query's metrics
+                    "name": p.name,
+                    "runId": str(p.runId),
                     "batchId": p.batchId,
                     "numInputRows": p.numInputRows,
                     "observedMetrics": {

@@ -396,3 +396,34 @@ class TestReportValueReferences:
         c1 = {pr[100 + i] for i in range(30)}
         assert len(c0) == 1 and len(c1) == 1
         assert len(set(pr.values())) > 1
+
+
+def test_declared_schemas_match_their_producers(spark):
+    """schemas.py's live tier must track the real producers: field names
+    and types (nullability excluded — Spark's inference is looser) of
+    rms_energy_segments and read_binary_files match ENERGY_SEGMENT /
+    AUDIO_FILE exactly."""
+    from pyspark.sql import functions as F
+
+    from hebrew_tutor_data_pipeline_spark import schemas
+    from hebrew_tutor_data_pipeline_spark.operators.audio import (
+        rms_energy_segments,
+    )
+    from hebrew_tutor_data_pipeline_spark.sources.readers import (
+        read_binary_files,
+    )
+
+    def shape(df):
+        return [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+
+    wav = spark.createDataFrame(
+        [("p", 4, [0.0, 0.1, 0.2, 0.3])],
+        "path string, sample_rate int, samples array<double>",
+    )
+    segs = rms_energy_segments(wav, segment_seconds=0.5)
+    want = [(f.name, f.dataType.simpleString()) for f in schemas.ENERGY_SEGMENT_SCHEMA.fields]
+    assert shape(segs.select(*[f.name for f in schemas.ENERGY_SEGMENT_SCHEMA.fields])) == want
+
+    files = read_binary_files(spark, "tests/fixtures/audio_tree", "*.mp3")
+    want_af = [(f.name, f.dataType.simpleString()) for f in schemas.AUDIO_FILE_SCHEMA.fields]
+    assert shape(files.select(*[f.name for f in schemas.AUDIO_FILE_SCHEMA.fields])) == want_af
