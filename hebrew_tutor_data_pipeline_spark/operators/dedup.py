@@ -383,8 +383,8 @@ def minhash_lsh_pairs(
     """
     if num_hashes % bands != 0:
         raise ValueError(
-            f"num_hashes ({num_hashes}) must divide evenly into bands "
-            f"({bands}) — a remainder would silently drop trailing "
+            f"bands ({bands}) must divide num_hashes ({num_hashes}) "
+            f"evenly — a remainder would silently drop trailing "
             "signature rows and skew the (b, r) recall curve"
         )
     rows_per_band = num_hashes // bands
@@ -644,7 +644,7 @@ def simhash_near_dup_pairs(
     give 16-bit bands (selective buckets) and exactness to d ≤ 3.
     """
     if bits % bands != 0:
-        raise ValueError("bits must divide evenly into bands")
+        raise ValueError(f"bands ({bands}) must divide bits ({bits}) evenly")
     fps = simhash(df, id_col, text_col, bits)
     return _banded_hamming_pairs(fps, bits, bands, max_distance)
 
@@ -1222,7 +1222,7 @@ def simhash_lookup_pairs(
     left join restores unmatched rows — no step touches index×index.
     """
     if bits % bands != 0:
-        raise ValueError("bits must divide evenly into bands")
+        raise ValueError(f"bands ({bands}) must divide bits ({bits}) evenly")
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
 
@@ -1303,8 +1303,8 @@ def minhash_lookup_pairs(
     has no standing store."""
     if num_hashes % bands != 0:
         raise ValueError(
-            f"num_hashes ({num_hashes}) must divide evenly into bands "
-            f"({bands}) — a remainder would silently drop trailing "
+            f"bands ({bands}) must divide num_hashes ({num_hashes}) "
+            f"evenly — a remainder would silently drop trailing "
             "signature rows and skew the (b, r) recall curve"
         )
     rows_per_band = num_hashes // bands

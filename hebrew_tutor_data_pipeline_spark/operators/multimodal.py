@@ -434,7 +434,14 @@ def _pdf_extract_pages(payload: bytes) -> list[tuple[bytes, str]]:
             if g in (b"\r\n", b"\r", b"\n"):
                 return b""  # escaped EOL = line continuation
             if g[:1].isdigit():
-                return bytes([int(g, 8) & 0xFF])
+                # Only [0-7]{1,3} matches are octal escapes; the `.`
+                # alternative can still hand us \8 or \9, which ISO
+                # 32000-1 §7.3.4.2 treats as an unknown escape (drop
+                # the backslash, keep the digit) — int(g, 8) on those
+                # would raise and fail the whole page.
+                if all(c in b"01234567" for c in g):
+                    return bytes([int(g, 8) & 0xFF])
+                return g
             # known escape, else the spec drops the backslash
             return _ESC.get(g, g)
 

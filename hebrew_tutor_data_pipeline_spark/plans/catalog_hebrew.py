@@ -505,12 +505,12 @@ def nfc_normalize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH loc AS (
     SELECT regexp_extract(filename, '([^/]+)$', 1) AS fname,
-           regexp_extract(filename, '{Path(FIXTURE_AUDIO_TREE).name}/(.*)$', 1) AS rel,
+           regexp_extract(filename, '/{Path(FIXTURE_AUDIO_TREE).name}/(.*)$', 1) AS rel,
            size, 0 AS pri
     FROM read_blob('{FIXTURE_AUDIO_TREE}/**/*.mp3')),
 rem AS (
     SELECT regexp_extract(filename, '([^/]+)$', 1) AS fname,
-           regexp_extract(filename, '{Path(FIXTURE_REMOTE_TREE).name}/(.*)$', 1) AS rel,
+           regexp_extract(filename, '/{Path(FIXTURE_REMOTE_TREE).name}/(.*)$', 1) AS rel,
            size, 1 AS pri
     FROM read_blob('{FIXTURE_REMOTE_TREE}/**/*.mp3')),
 u AS (SELECT * FROM loc UNION ALL SELECT * FROM rem)

@@ -175,7 +175,7 @@ def local_first_scan(
             .withColumn("_pri", F.lit(pri))
             .withColumn("source", F.lit(src))
             .withColumn("filename", F.regexp_extract("path", r"([^/]+)$", 1))
-            .withColumn("_relkey", F.regexp_replace("path", f"^.*?{tail}/", ""))
+            .withColumn("_relkey", F.regexp_replace("path", f"^.*?/{tail}/", ""))
         )
 
     both = scan(local_dir, 0, "local").unionByName(scan(remote_dir, 1, "remote"))

@@ -64,6 +64,24 @@ class TestHexStringExtraction:
         pages = _pdf_extract_pages((tmp_path / "h.pdf").read_bytes())
         assert pages[0][1] == "Hi there"
 
+    def test_non_octal_digit_escapes_drop_backslash(self, tmp_path):
+        # ISO 32000-1 §7.3.4.2: \8 and \9 are UNKNOWN escapes (the octal
+        # alternative is [0-7]{1,3}) — the backslash drops, the digit
+        # stays. A malformed-but-real literal like (v\80) must not crash
+        # the page (int('8', 8) raises), and \101 alongside still
+        # decodes as octal 'A'.
+        import sys
+
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+        import make_pdf_fixtures as mk
+
+        pdf = mk.build_pdf(
+            [mk.content([r"(a\8b\9c\101d\0477) Tj"])], flate=False
+        )
+        (tmp_path / "d.pdf").write_bytes(pdf)
+        pages = _pdf_extract_pages((tmp_path / "d.pdf").read_bytes())
+        assert pages[0][1] == "a8b9cAd'7"
+
     def test_contents_array_plain_streams(self):
         # exodus fixture: /Contents ARRAY of two PLAIN (non-Flate) streams
         pages = _pdf_extract_pages((PDF_TREE / "exodus_notes.pdf").read_bytes())

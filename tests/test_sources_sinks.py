@@ -202,6 +202,27 @@ class TestLocalFirstScan:
             "01-Gen_02.mp3": ("remote", 50),
         }
 
+    def test_relkey_anchors_root_to_separator(self, spark, tmp_path):
+        """An ancestor directory that merely ENDS with the scan root's
+        basename (…/notebooks/ above a root named books) must not
+        swallow the match: without the `/` anchor the relative key kept
+        a spurious `books/` prefix on the local side and the same file
+        split into two rows instead of resolving local-first."""
+        from hebrew_tutor_data_pipeline_spark.sources.readers import local_first_scan
+
+        loc = tmp_path / "my_notebooks" / "books" / "ch1"
+        rem = tmp_path / "rem" / "books" / "ch1"
+        loc.mkdir(parents=True)
+        rem.mkdir(parents=True)
+        (loc / "a.mp3").write_bytes(b"L" * 7)
+        (rem / "a.mp3").write_bytes(b"R" * 99)
+        rows = local_first_scan(
+            spark,
+            str(tmp_path / "my_notebooks" / "books"),
+            str(tmp_path / "rem" / "books"),
+        ).collect()
+        assert [(r["source"], r["length"]) for r in rows] == [("local", 7)]
+
     def test_missing_everywhere_is_absent(self, spark, tmp_path):
         """The declarative FileNotFoundError: expected-vs-resolved anti join."""
         from hebrew_tutor_data_pipeline_spark.sources.readers import local_first_scan
