@@ -281,12 +281,19 @@ def dsir_weights(
         target_col.alias("is_t"),
         whitespace_tokens(F.col(text_col)).alias("toks"),
     )
+    # STRICT bigrams, not word_ngrams' shorter-than-n branch: that branch
+    # emits the whole doc as one joined shingle (right for dedup blocking,
+    # where a short doc must still be matchable) — here it would count a
+    # 1-token doc's only token TWICE and mint one '' gram for empty text,
+    # skewing both DSIR distributions toward short documents. The paper's
+    # feature set is unigrams + bigrams, nothing else.
+    bigrams = F.when(
+        F.size("toks") < 2, F.array().cast("array<string>")
+    ).otherwise(word_ngrams(F.col("toks"), 2))
     grams = toks.select(
         "id",
         "is_t",
-        F.explode(
-            F.concat(F.col("toks"), word_ngrams(F.col("toks"), 2))
-        ).alias("gram"),
+        F.explode(F.concat(F.col("toks"), bigrams)).alias("gram"),
     ).select(
         "id", "is_t", (token_hash(F.col("gram")) % buckets).alias("b")
     )

@@ -3308,7 +3308,7 @@ _DSIR_GRAMS_SQL = f"""
     SELECT doc_id, is_t, {_sql_token_hash('gram')} % {_DSIR_BUCKETS} AS b
     FROM (SELECT doc_id, is_t,
                  unnest(list_concat(toks,
-                     CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+                     CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
                           ELSE list_transform(generate_series(1, len(toks) - 1),
                                               i -> toks[i] || ' ' || toks[i + 1])
                      END)) AS gram

@@ -170,9 +170,9 @@ class TestDedup:
         )
 
         df = spark.createDataFrame([(1, "a b c")], ["id", "text"])
-        with pytest.raises(ValueError, match="divide evenly"):
+        with pytest.raises(ValueError, match="must divide"):
             minhash_lsh_pairs(df, "id", "text", num_hashes=32, bands=5)
-        with pytest.raises(ValueError, match="divide evenly"):
+        with pytest.raises(ValueError, match="must divide"):
             minhash_lookup_pairs(df, df, "id", "text", num_hashes=32, bands=5)
 
     def test_shingle_sets_empty_docs_yield_empty_sets(self, spark):
@@ -2021,7 +2021,11 @@ class TestReviewBatch2Guards:
         # NULL text emits no gram rows — the explode path used to drop
         # the doc entirely; now it stays with gram_ct 0 / NULL weight
         assert got[2]["gram_ct"] == 0 and got[2]["avg_logratio"] is None
-        assert got[1]["gram_ct"] > 0
+        # empty-STRING text likewise: strict bigrams mean no '' gram is
+        # minted for it (the word_ngrams shorter-than-n branch would)
+        assert got[3]["gram_ct"] == 0 and got[3]["avg_logratio"] is None
+        # 4 tokens → 4 unigrams + 3 bigrams, no phantom joined shingle
+        assert got[1]["gram_ct"] == 7
 
 
 def test_expected_grid_zero_count_key_emits_no_rows(spark):

@@ -569,3 +569,626 @@ class TestBpeProperties:
         df = spark.createDataFrame(rows, ["doc_id", "text"])
         got = [tuple(r) for r in bpe_merges(df, "doc_id", "text", rounds=rounds).collect()]
         assert got == _py_bpe_merges(docs, rounds)
+
+
+# ---------------------------------------------------------------------------
+# Randomized VALUE references for the text-quality / language-ID /
+# fingerprint surface. Cross-engine parity is blind to SHARED semantic
+# bugs (both engines replay the same formula), so these mirrors compute
+# the intended quantity independently in Python — ASCII regex semantics
+# (re.ASCII: Java's \s/\b/\w are ASCII-only by default) and Spark's
+# HALF_UP rounding on the double's shortest decimal repr.
+
+import re as _pyre
+import unicodedata as _ud
+from decimal import ROUND_HALF_UP, Decimal
+
+
+def _r6(x: float) -> float:
+    """Spark F.round(double, 6): HALF_UP over BigDecimal.decimal(d),
+    i.e. the double's shortest decimal representation — Python's repr()
+    is the same algorithm."""
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+
+_TOK_RE = _pyre.compile(r"\S+", _pyre.ASCII)
+_WS_RE = _pyre.compile(r"\s", _pyre.ASCII)
+
+
+def _ref_tokens(t: str) -> list[str]:
+    return _TOK_RE.findall(t)
+
+
+# vocabulary mixing language markers, Hebrew, CJK, digits and punctuation
+# so every branch of the scorers sees traffic
+_QUALITY_WORDS = (
+    "the", "and", "der", "und", "le", "est", "el", "que", "is",
+    "The,", "xthe", "thex", "עברית", "中文字", "a1b", "...", "!?",
+    "12,3", "a", "Z",
+)
+_WS_CHOICES = (" ", "  ", "\t", "\n", " \t ")
+
+quality_docs = st.lists(
+    st.builds(
+        lambda words, seps, lead, tail: lead
+        + "".join(w + s for w, s in zip(words, seps + [" "]))
+        + tail,
+        st.lists(st.sampled_from(_QUALITY_WORDS), min_size=0, max_size=12),
+        st.lists(st.sampled_from(_WS_CHOICES), min_size=12, max_size=12),
+        st.sampled_from(("", " ", "\t")),
+        st.sampled_from(("", "the", "。", "\n")),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+class TestTextQualityValueReferences:
+    @SLOW
+    @given(docs=quality_docs)
+    def test_ratio_scorers_match_python(self, spark, docs):
+        """punct_ratio / stopword_ratio / mean_token_len equal an
+        independent Python mirror (Unicode categories for \\p{L}\\p{N},
+        ASCII whitespace, exact-token stopword hits, HALF_UP 6 dp)."""
+        from hebrew_tutor_data_pipeline_spark.functions import text as T
+
+        df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)], ["i", "t"])
+        got = {
+            r["i"]: (r["p"], r["s"], r["m"])
+            for r in df.select(
+                "i",
+                T.punct_ratio(F.col("t")).alias("p"),
+                T.stopword_ratio(F.col("t")).alias("s"),
+                T.mean_token_len(F.col("t")).alias("m"),
+            ).collect()
+        }
+        for i, d in enumerate(docs):
+            non_space = [c for c in d if not _WS_RE.match(c)]
+            punct = [c for c in non_space if _ud.category(c)[0] not in ("L", "N")]
+            toks = _ref_tokens(d)
+            low_toks = _ref_tokens(d.lower())
+            hits = sum(1 for t in low_toks if t in T.EN_STOPWORDS)
+            want = (
+                _r6(len(punct) / len(non_space)) if non_space else 0.0,
+                _r6(hits / len(toks)) if toks else 0.0,
+                _r6(len(non_space) / len(toks)) if toks else 0.0,
+            )
+            assert got[i] == want, (i, docs[i], got[i], want)
+
+    @SLOW
+    @given(docs=quality_docs)
+    def test_predict_lang_matches_python(self, spark, docs):
+        """Marker-count argmax with the fixed tie-break order equals the
+        Python mirror (ASCII \\b like Java's default, CJK by codepoint)."""
+        from hebrew_tutor_data_pipeline_spark.functions import text as T
+
+        df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)], ["i", "t"])
+        got = {
+            r["i"]: r["l"]
+            for r in df.select("i", T.predict_lang(F.col("t")).alias("l")).collect()
+        }
+
+        def score(d: str, lang: str) -> int:
+            if lang == "zh":
+                return sum(1 for c in d if 0x4E00 <= ord(c) <= 0x9FFF)
+            pat = r"\b(?:" + "|".join(T.LANG_MARKERS[lang]) + r")\b"
+            return len(_pyre.findall(pat, d.lower(), _pyre.ASCII))
+
+        for i, d in enumerate(docs):
+            order = ("en", "de", "fr", "es", "zh")
+            scores = {lg: score(d, lg) for lg in order}
+            best = max(scores.values())
+            want = "und" if best == 0 else next(lg for lg in order if scores[lg] == best)
+            assert got[i] == want, (i, d, scores, got[i])
+
+    @SLOW
+    @given(docs=quality_docs, n=st.integers(min_value=1, max_value=4))
+    def test_ngram_repetition_fractions_match_python(self, spark, docs, n):
+        """word_ngrams + top/duplicate n-gram fractions equal a Counter
+        mirror, including the shorter-than-n single-shingle branch."""
+        from hebrew_tutor_data_pipeline_spark.functions import text as T
+
+        df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)], ["i", "t"])
+        df = df.withColumn("g", T.word_ngrams(T.whitespace_tokens(F.col("t")), n))
+        got = {
+            r["i"]: (r["g"], r["top"], r["dup"])
+            for r in df.select(
+                "i",
+                "g",
+                T.top_ngram_fraction(F.col("g")).alias("top"),
+                T.duplicate_ngram_fraction(F.col("g")).alias("dup"),
+            ).collect()
+        }
+        from collections import Counter
+
+        for i, d in enumerate(docs):
+            toks = _ref_tokens(d)
+            if n == 1:
+                grams = toks
+            elif len(toks) < n:
+                grams = [" ".join(toks)]
+            else:
+                grams = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+            c = Counter(grams)
+            top = _r6(max(c.values()) / len(grams)) if grams else 0.0
+            dup = (
+                _r6(sum(v for v in c.values() if v > 1) / len(grams))
+                if grams
+                else 0.0
+            )
+            assert got[i] == (grams, top, dup), (i, d, got[i], (grams, top, dup))
+
+    @SLOW
+    @given(docs=quality_docs)
+    def test_fingerprint_and_classifier_sum_match_python(self, spark, docs):
+        """doc_fingerprint's token-lifted polynomial and the hashed-
+        feature weight fold equal exact Python integer/float mirrors
+        (same fold order ⇒ bit-identical doubles)."""
+        from hebrew_tutor_data_pipeline_spark.functions import text as T
+        from hebrew_tutor_data_pipeline_spark.functions.hashing import (
+            HASH_BASE,
+            HASH_MOD,
+        )
+
+        w = T.classifier_weights(64)
+        df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)], ["i", "t"])
+        got = {
+            r["i"]: (r["fp"], r["ws"])
+            for r in df.select(
+                "i",
+                T.doc_fingerprint(F.col("t")).alias("fp"),
+                T.hashed_weight_sum(F.col("t"), w).alias("ws"),
+            ).collect()
+        }
+
+        def th(tok: str) -> int:
+            h = 0
+            for ch in tok:
+                h = (h * HASH_BASE + ord(ch)) % HASH_MOD
+            return h
+
+        for i, d in enumerate(docs):
+            toks = _ref_tokens(d)
+            fp = 0
+            ws = 0.0
+            for t in toks:
+                fp = (fp * HASH_BASE + th(t)) % HASH_MOD
+                ws = ws + w[th(t) % len(w)]
+            assert got[i] == (fp, ws), (i, d, got[i], (fp, ws))
+
+    @SLOW
+    @given(docs=quality_docs)
+    def test_pii_count_and_redact_match_python(self, spark, docs):
+        """PII counting/redaction equals sequential Python re mirrors in
+        declared pattern order (URL consumes embedded emails first)."""
+        from hebrew_tutor_data_pipeline_spark.functions import text as T
+
+        # splice PII into the generated noise so matches cross token shapes
+        docs = [
+            d + " bob@ex.com https://x.io/a@b.cc +1-555-1234 " + d for d in docs
+        ]
+        df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)], ["i", "t"])
+        got = {
+            r["i"]: (r["u"], r["e"], r["p"], r["red"])
+            for r in df.select(
+                "i",
+                T.pii_count(F.col("t"), "url").alias("u"),
+                T.pii_count(F.col("t"), "email").alias("e"),
+                T.pii_count(F.col("t"), "phone").alias("p"),
+                T.redact_pii(F.col("t")).alias("red"),
+            ).collect()
+        }
+        pats = [(k, _pyre.compile(p, _pyre.ASCII)) for k, p in T.PII_PATTERNS]
+        for i, d in enumerate(docs):
+            counts = tuple(len(rx.findall(d)) for _, rx in pats)
+            red = d
+            for k, rx in pats:
+                red = rx.sub(f"<{k.upper()}>", red)
+            assert got[i] == (*counts, red), (i, d, got[i])
+
+
+class TestEmbeddingTierValueReferences:
+    """Independent Python mirrors for the embedding tier. Vector
+    components are small INTEGERS (cast to double), so every dot
+    product and squared norm is exact in IEEE double regardless of
+    summation order — numpy GEMM, the Spark fold, and the Python loop
+    produce bit-identical raw cosines, and the 6 dp half-away rounding
+    cannot sit on a float-noise boundary."""
+
+    vecs = st.lists(
+        st.lists(st.integers(min_value=-3, max_value=3), min_size=4, max_size=4).filter(
+            lambda v: any(v)
+        ),
+        min_size=1,
+        max_size=10,
+    )
+    cents = st.lists(
+        st.lists(st.integers(min_value=-3, max_value=3), min_size=4, max_size=4).filter(
+            lambda v: any(v)
+        ),
+        min_size=1,
+        max_size=4,
+    )
+
+    @staticmethod
+    def _cos(a, b) -> float:
+        num = 0.0
+        for x, y in zip(a, b):
+            num += float(x) * float(y)
+        na = math.sqrt(sum(float(x) * float(x) for x in a))
+        nb = math.sqrt(sum(float(y) * float(y) for y in b))
+        return num / (na * nb)
+
+    @SLOW
+    @given(vecs=vecs, bits=st.integers(min_value=1, max_value=6), table=st.integers(min_value=0, max_value=2))
+    def test_srp_bucket_matches_python(self, spark, vecs, bits, table):
+        """signed_projection_bucket == recomputing the LCG hyperplanes
+        and packing sign(dot) bits MSB-first in Python."""
+        from hebrew_tutor_data_pipeline_spark.operators.ann import (
+            PLANE_SEED_STRIDE,
+            _pseudo_random_plane,
+            signed_projection_bucket,
+        )
+
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+        df = spark.createDataFrame(rows, ["i", "v"])
+        got = {
+            r["i"]: r["b"]
+            for r in df.select(
+                "i",
+                signed_projection_bucket(F.col("v"), bits, dim=4, table=table).alias("b"),
+            ).collect()
+        }
+        for i, v in enumerate(vecs):
+            acc = 0
+            for b in range(bits):
+                plane = _pseudo_random_plane(4, table * PLANE_SEED_STRIDE + b)
+                d = 0.0
+                for x, p in zip(v, plane):
+                    d += float(x) * p
+                acc = acc * 2 + (1 if d >= 0 else 0)
+            assert got[i] == acc, (i, v, got[i], acc)
+
+    @SLOW
+    @given(vecs=vecs, cents=cents)
+    def test_cell_assign_matches_python(self, spark, vecs, cents):
+        """Nearest-centroid assignment == the Python mirror: 6 dp
+        half-away rounded cosine, ties to the smallest cell id."""
+        from hebrew_tutor_data_pipeline_spark.operators.ann import cell_assign
+
+        codebook = [(cid, [float(x) for x in c]) for cid, c in enumerate(cents)]
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        got = {
+            r["id"]: r["cell"]
+            for r in cell_assign(df, "vec_id", "embedding", codebook).collect()
+        }
+        for i, v in enumerate(vecs):
+            best_cell, best_s = None, None
+            for cid, c in codebook:
+                raw = self._cos(v, c)
+                s = math.copysign(math.floor(abs(raw) * 1e6 + 0.5) / 1e6, raw)
+                if best_s is None or s > best_s:
+                    best_cell, best_s = cid, s
+            assert got[i] == best_cell, (i, v, got[i], best_cell)
+
+    @SLOW
+    @given(
+        vecs=vecs,
+        cents=cents,
+        tau=st.sampled_from((0.5, 0.9, 0.99, 1.0)),
+    )
+    def test_semantic_dedup_matches_python(self, spark, vecs, cents, tau):
+        """semantic_dedup's (cell, is_dup) == the quadratic Python
+        mirror: a row is a duplicate iff some smaller-id member of its
+        cell has round-half-away-6dp cosine ≥ tau."""
+        from hebrew_tutor_data_pipeline_spark.operators.ann import cell_assign  # noqa: F401
+        from hebrew_tutor_data_pipeline_spark.operators.dedup import semantic_dedup
+
+        codebook = [(cid, [float(x) for x in c]) for cid, c in enumerate(cents)]
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        got = {
+            r["id"]: (r["cell"], r["is_dup"])
+            for r in semantic_dedup(df, "vec_id", "embedding", codebook, tau=tau).collect()
+        }
+
+        def assign(v):
+            best_cell, best_s = None, None
+            for cid, c in codebook:
+                raw = self._cos(v, c)
+                s = math.copysign(math.floor(abs(raw) * 1e6 + 0.5) / 1e6, raw)
+                if best_s is None or s > best_s:
+                    best_cell, best_s = cid, s
+            return best_cell
+
+        cells = {i: assign(v) for i, v in enumerate(vecs)}
+        for i, v in enumerate(vecs):
+            dup = any(
+                cells[j] == cells[i]
+                and float(
+                    Decimal(repr(self._cos(vecs[j], v))).quantize(
+                        Decimal("0.000001"), rounding=ROUND_HALF_UP
+                    )
+                )
+                >= tau
+                for j in range(i)
+            )
+            assert got[i] == (cells[i], dup), (i, v, got[i], (cells[i], dup))
+
+
+class TestBm25ValueReference:
+    """The shared BM25 scorer vs a from-scratch Python mirror over a
+    synthetic documents table — the cross-engine gate replays the SAME
+    formula in DuckDB, so only an independent recomputation can catch a
+    shared misreading of Robertson/Sparck-Jones (k1=1.2, b=0.75,
+    +1-smoothed idf, e8 integer contributions)."""
+
+    docs_texts = st.lists(
+        st.lists(
+            st.sampled_from(
+                ("spark", "join", "window", "the", "data", "shuffle", "spark,")
+            ),
+            min_size=0,
+            max_size=12,
+        ).map(" ".join),
+        min_size=1,
+        max_size=12,
+    )
+
+    @SLOW
+    @given(texts=docs_texts)
+    def test_topk_matches_python(self, spark, texts, tmp_path_factory):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from hebrew_tutor_data_pipeline_spark.plans.catalog_ml import (
+            _BM25_TERMS,
+            _bm25_topk,
+        )
+
+        sf_dir = tmp_path_factory.mktemp("bm25sf")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                    "lang": pa.array(["en"] * len(texts)),
+                    "source": pa.array(["t"] * len(texts)),
+                    "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+                }
+            ),
+            sf_dir / "documents.parquet",
+        )
+        got = [
+            (r["doc_id"], r["n_terms"], r["bm25"])
+            for r in _bm25_topk(spark, str(sf_dir)).collect()
+        ]
+
+        def r_half_up(x: float, nd: int) -> float:
+            q = Decimal(1).scaleb(-nd)
+            return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+        toks = {i: _ref_tokens(t) for i, t in enumerate(texts)}
+        dl = {i: len(ts) for i, ts in toks.items()}
+        n_docs = len(texts)
+        avgdl = sum(dl.values()) / n_docs
+        tf = {
+            (i, w): sum(1 for t in ts if t == w)
+            for i, ts in toks.items()
+            for w in _BM25_TERMS
+        }
+        tf = {k: v for k, v in tf.items() if v > 0}
+        df_ = {w: sum(1 for (i, w2) in tf if w2 == w) for w in _BM25_TERMS}
+        scores: dict[int, list[int]] = {}
+        for (i, w), f_ in tf.items():
+            idf = r_half_up(
+                math.log((n_docs - df_[w] + 0.5) / (df_[w] + 0.5) + 1.0), 8
+            )
+            denom = f_ + 1.2 * (0.25 + (0.75 * dl[i]) / avgdl)
+            contrib = math.floor(idf * (f_ * 2.2) / denom * 100000000 + 0.5)
+            scores.setdefault(i, []).append(contrib)
+        want = sorted(
+            (
+                (i, len(cs), r_half_up(sum(cs) / 100000000.0, 6))
+                for i, cs in scores.items()
+            ),
+            key=lambda r: (-r[2], r[0]),
+        )[:20]
+        assert got == want, (texts, got, want)
+
+
+class TestPqValueReference:
+    """pq_topk vs a scalar Python mirror of Jégou et al.'s PQ/ADC:
+    subspace codebooks from the ncent smallest-id vectors, first-argmin
+    codes, per-query exact subspace distance tables, distance = m table
+    lookups summed j-ascending. Integer components keep every float op
+    exact, so rank order and 6 dp distances must match bit-for-bit."""
+
+    corpus = st.lists(
+        st.lists(st.integers(min_value=-4, max_value=4), min_size=4, max_size=4),
+        min_size=4,
+        max_size=10,
+    )
+    queries = st.lists(
+        st.lists(st.integers(min_value=-4, max_value=4), min_size=4, max_size=4),
+        min_size=1,
+        max_size=3,
+    )
+
+    @SLOW
+    @given(corpus=corpus, queries=queries, k=st.integers(min_value=1, max_value=5))
+    def test_topk_matches_python(self, spark, corpus, queries, k):
+        from hebrew_tutor_data_pipeline_spark.operators.ann import pq_topk
+
+        m, ncent, sub = 2, 4, 2
+        cdf = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(corpus)],
+            ["vec_id", "embedding"],
+        )
+        qdf = spark.createDataFrame(
+            [(1000 + i, [float(x) for x in v]) for i, v in enumerate(queries)],
+            ["vec_id", "embedding"],
+        )
+        got = [
+            (r["query_id"], r["neighbor_id"], r["adc_dist"], r["rank"])
+            for r in pq_topk(
+                cdf, qdf, "vec_id", "embedding", k=k, m=m, ncent=ncent
+            ).orderBy("query_id", "rank").collect()
+        ]
+
+        cent = [[float(x) for x in v] for v in corpus[:ncent]]
+
+        def sub_d2(x, c, j):
+            ab = aa = bb = 0.0
+            for d in range(sub):
+                ab += x[j * sub + d] * c[j * sub + d]
+                aa += x[j * sub + d] * x[j * sub + d]
+                bb += c[j * sub + d] * c[j * sub + d]
+            return (aa - 2.0 * ab) + bb
+
+        codes = {
+            i: [
+                min(range(len(cent)), key=lambda ci: (sub_d2(v, cent[ci], j), ci))
+                for j in range(m)
+            ]
+            for i, v in enumerate([[float(x) for x in vv] for vv in corpus])
+        }
+        want = []
+        for qi, qv in enumerate([[float(x) for x in vv] for vv in queries]):
+            tab = [sub_d2(qv, cent[ci], j) for j in range(m) for ci in range(len(cent))]
+            scored = []
+            for i in codes:
+                d = 0.0
+                for j in range(m):
+                    d = d + tab[j * ncent + codes[i][j]]
+                scored.append((i, _r6(d)))
+            scored.sort(key=lambda t: (t[1], t[0]))
+            want.extend(
+                (1000 + qi, i, d, r + 1) for r, (i, d) in enumerate(scored[:k])
+            )
+        assert got == want, (corpus, queries, got, want)
+
+
+class TestSamplingValueReferences:
+    """Python mirrors for the training-prep sampling tier: the packing
+    plan's deterministic layout and DSIR's two-distribution importance
+    weights (strict unigram+bigram features per Xie et al. 2023 — this
+    mirror is what caught the phantom joined-shingle gram the shared
+    word_ngrams branch minted for sub-bigram docs)."""
+
+    @SLOW
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=50),
+                st.integers(min_value=0, max_value=10),
+                st.sampled_from(("a", "b")),
+            ),
+            min_size=1,
+            max_size=12,
+            unique_by=lambda r: r[0],
+        ),
+        budget=st.integers(min_value=1, max_value=15),
+    )
+    def test_pack_plan_matches_python(self, spark, rows, budget):
+        from hebrew_tutor_data_pipeline_spark.functions.hashing import (
+            HASH_BASE,
+            HASH_MOD,
+        )
+        from hebrew_tutor_data_pipeline_spark.operators.sampling import pack_plan
+
+        df = spark.createDataFrame(rows, ["id", "n_tokens", "grp"])
+        got = {
+            r["id"]: (r["start_offset"], r["pack_id"], r["straddles_boundary"])
+            for r in pack_plan(df, "id", "n_tokens", ["grp"], budget).collect()
+        }
+
+        def th(tok: str) -> int:
+            h = 0
+            for ch in tok:
+                h = (h * HASH_BASE + ord(ch)) % HASH_MOD
+            return h
+
+        want = {}
+        for grp in {r[2] for r in rows}:
+            members = sorted(
+                (r for r in rows if r[2] == grp),
+                key=lambda r: (th(f"pack|{r[0]}"), r[0]),
+            )
+            start = 0
+            for rid, n, _ in members:
+                pack = math.floor(start / budget)
+                strad = pack != math.floor((start + n - 1) / budget)
+                want[rid] = (start, pack, strad)
+                start += n
+        assert got == want, (rows, budget, got, want)
+
+    @SLOW
+    @given(
+        docs=st.lists(
+            st.tuples(
+                st.lists(
+                    st.sampled_from(("a", "b", "ab", "עב")), min_size=0, max_size=6
+                ).map(" ".join),
+                st.booleans(),
+            ),
+            min_size=1,
+            max_size=10,
+        ),
+        buckets=st.sampled_from((4, 16)),
+    )
+    def test_dsir_weights_match_python(self, spark, docs, buckets):
+        from hebrew_tutor_data_pipeline_spark.functions.hashing import (
+            HASH_BASE,
+            HASH_MOD,
+        )
+        from hebrew_tutor_data_pipeline_spark.operators.sampling import dsir_weights
+
+        rows = [(i, t, is_t) for i, (t, is_t) in enumerate(docs)]
+        df = spark.createDataFrame(rows, "id long, text string, is_t boolean")
+        got = {
+            r["id"]: (r["gram_ct"], r["avg_logratio"])
+            for r in dsir_weights(df, "id", "text", F.col("is_t"), buckets=buckets).collect()
+        }
+
+        def th(tok: str) -> int:
+            h = 0
+            for ch in tok:
+                h = (h * HASH_BASE + ord(ch)) % HASH_MOD
+            return h
+
+        feats = {}
+        for i, (t, _) in enumerate(docs):
+            toks = _ref_tokens(t)
+            grams = toks + [
+                f"{a} {b}" for a, b in zip(toks, toks[1:])
+            ]  # STRICT bigrams: a 1-token doc has exactly 1 gram
+            feats[i] = [th(g) % buckets for g in grams]
+        q_ct = {b: 0 for b in range(buckets)}
+        p_ct = {b: 0 for b in range(buckets)}
+        for i, bs in feats.items():
+            for b in bs:
+                q_ct[b] += 1
+                if docs[i][1]:
+                    p_ct[b] += 1
+        q_tot, p_tot = sum(q_ct.values()), sum(p_ct.values())
+        lr = {
+            b: math.floor(
+                (
+                    math.log((p_ct[b] + 1.0) / (p_tot + buckets))
+                    - math.log((q_ct[b] + 1.0) / (q_tot + buckets))
+                )
+                * 100000000
+                + 0.5
+            )
+            for b in range(buckets)
+            if q_ct[b] > 0  # buckets with no gram instances never join back
+        }
+        for i, bs in feats.items():
+            if not bs:
+                assert got[i] == (0, None), (i, docs[i], got[i])
+                continue
+            s = sum(lr[b] for b in bs)
+            want = _r6(s / 100000000.0 / len(bs))
+            assert got[i] == (len(bs), want), (i, docs[i], got[i], (len(bs), want))
