@@ -917,6 +917,45 @@ class TestEmbeddingTierValueReferences:
             assert got[i] == (cells[i], dup), (i, v, got[i], (cells[i], dup))
 
 
+def _r_half_up(x: float, nd: int) -> float:
+    q = Decimal(1).scaleb(-nd)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def _ref_bm25_topk(texts: list[str]) -> list[tuple[int, int, float]]:
+    """Pure-Python BM25 mirror of plans.catalog_ml._bm25_topk: k1=1.2,
+    b=0.75, +1-smoothed idf at 8 dp, e8 integer contributions, top 20
+    by (bm25 DESC, doc_id ASC)."""
+    from hebrew_tutor_data_pipeline_spark.plans.catalog_ml import _BM25_TERMS
+
+    toks = {i: _ref_tokens(t) for i, t in enumerate(texts)}
+    dl = {i: len(ts) for i, ts in toks.items()}
+    n_docs = len(texts)
+    avgdl = sum(dl.values()) / n_docs
+    tf = {
+        (i, w): sum(1 for t in ts if t == w)
+        for i, ts in toks.items()
+        for w in _BM25_TERMS
+    }
+    tf = {k: v for k, v in tf.items() if v > 0}
+    df_ = {w: sum(1 for (i, w2) in tf if w2 == w) for w in _BM25_TERMS}
+    scores: dict[int, list[int]] = {}
+    for (i, w), f_ in tf.items():
+        idf = _r_half_up(
+            math.log((n_docs - df_[w] + 0.5) / (df_[w] + 0.5) + 1.0), 8
+        )
+        denom = f_ + 1.2 * (0.25 + (0.75 * dl[i]) / avgdl)
+        contrib = math.floor(idf * (f_ * 2.2) / denom * 100000000 + 0.5)
+        scores.setdefault(i, []).append(contrib)
+    return sorted(
+        (
+            (i, len(cs), _r_half_up(sum(cs) / 100000000.0, 6))
+            for i, cs in scores.items()
+        ),
+        key=lambda r: (-r[2], r[0]),
+    )[:20]
+
+
 class TestBm25ValueReference:
     """The shared BM25 scorer vs a from-scratch Python mirror over a
     synthetic documents table — the cross-engine gate replays the SAME
@@ -965,36 +1004,7 @@ class TestBm25ValueReference:
             for r in _bm25_topk(spark, str(sf_dir)).collect()
         ]
 
-        def r_half_up(x: float, nd: int) -> float:
-            q = Decimal(1).scaleb(-nd)
-            return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
-
-        toks = {i: _ref_tokens(t) for i, t in enumerate(texts)}
-        dl = {i: len(ts) for i, ts in toks.items()}
-        n_docs = len(texts)
-        avgdl = sum(dl.values()) / n_docs
-        tf = {
-            (i, w): sum(1 for t in ts if t == w)
-            for i, ts in toks.items()
-            for w in _BM25_TERMS
-        }
-        tf = {k: v for k, v in tf.items() if v > 0}
-        df_ = {w: sum(1 for (i, w2) in tf if w2 == w) for w in _BM25_TERMS}
-        scores: dict[int, list[int]] = {}
-        for (i, w), f_ in tf.items():
-            idf = r_half_up(
-                math.log((n_docs - df_[w] + 0.5) / (df_[w] + 0.5) + 1.0), 8
-            )
-            denom = f_ + 1.2 * (0.25 + (0.75 * dl[i]) / avgdl)
-            contrib = math.floor(idf * (f_ * 2.2) / denom * 100000000 + 0.5)
-            scores.setdefault(i, []).append(contrib)
-        want = sorted(
-            (
-                (i, len(cs), r_half_up(sum(cs) / 100000000.0, 6))
-                for i, cs in scores.items()
-            ),
-            key=lambda r: (-r[2], r[0]),
-        )[:20]
+        want = _ref_bm25_topk(texts)
         assert got == want, (texts, got, want)
 
 
@@ -1192,3 +1202,238 @@ class TestSamplingValueReferences:
             s = sum(lr[b] for b in bs)
             want = _r6(s / 100000000.0 / len(bs))
             assert got[i] == (len(bs), want), (i, docs[i], got[i], (len(bs), want))
+
+
+class TestTokenizerEncodeAndLayoutReferences:
+    """Mirrors for the BPE ENCODE pass, Morton keys, and the similarity
+    ratio family — pure token/bit/DP recomputations in Python."""
+
+    @SLOW
+    @given(
+        docs=st.lists(
+            st.lists(st.sampled_from(("a", "b", "ab", "a+b")), min_size=0, max_size=10),
+            min_size=1,
+            max_size=6,
+        ),
+        merges=st.lists(
+            st.tuples(
+                st.sampled_from(("a", "b", "ab", "a+b")),
+                st.sampled_from(("a", "b", "ab", "a+b")),
+            ),
+            min_size=1,
+            max_size=3,
+        ),
+    )
+    def test_apply_merges_matches_python(self, spark, docs, merges):
+        """merge_pair_fold applied per merge == the classic greedy
+        leftmost non-overlapping BPE fuse (a freshly fused token does
+        not re-fuse unless it literally equals `left`)."""
+        from hebrew_tutor_data_pipeline_spark.operators.bpe import apply_merges
+
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            r["id"]: (r["tokens"], r["n_tokens_raw"], r["n_tokens_bpe"], r["n_fused"])
+            for r in apply_merges(df, "doc_id", "text", merges).collect()
+        }
+        for i, toks in enumerate(docs):
+            cur = list(toks)
+            for left, right in merges:
+                out: list[str] = []
+                for x in cur:
+                    if x == right and out and out[-1] == left:
+                        out[-1] = left + "+" + right
+                    else:
+                        out.append(x)
+                cur = out
+            want = (cur, len(toks), len(cur), len(toks) - len(cur))
+            assert got[i] == want, (i, toks, merges, got[i], want)
+
+    @SLOW
+    @given(
+        pairs=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=1023),
+                st.integers(min_value=0, max_value=1023),
+            ),
+            min_size=1,
+            max_size=16,
+        ),
+        bits=st.integers(min_value=1, max_value=10),
+    )
+    def test_zorder_key_matches_python(self, spark, pairs, bits):
+        """Morton interleave: bit i of a at 2i, bit i of b at 2i+1,
+        higher bits dropped."""
+        from hebrew_tutor_data_pipeline_spark.operators.layout import zorder_key
+
+        df = spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(pairs)], ["i", "a", "b"]
+        )
+        got = {
+            r["i"]: r["z"]
+            for r in df.select(
+                "i", zorder_key(F.col("a"), F.col("b"), bits).alias("z")
+            ).collect()
+        }
+        for i, (a, b) in enumerate(pairs):
+            z = 0
+            for k in range(bits):
+                z |= ((a >> k) & 1) << (2 * k)
+                z |= ((b >> k) & 1) << (2 * k + 1)
+            assert got[i] == z, (i, a, b, bits, got[i], z)
+
+    @SLOW
+    @given(
+        pairs=st.lists(
+            st.tuples(
+                st.text(alphabet="ab ע", max_size=8),
+                st.text(alphabet="ab ע", max_size=8),
+            ),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    def test_similarity_ratios_match_python(self, spark, pairs):
+        """levenshtein_ratio / token_sort_ratio / token_set_jaccard vs
+        a DP edit distance and set algebra in Python."""
+        from hebrew_tutor_data_pipeline_spark.functions.similarity import (
+            levenshtein_ratio,
+            token_set_jaccard,
+            token_sort_ratio,
+        )
+
+        df = spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(pairs)], ["i", "a", "b"]
+        )
+        got = {
+            r["i"]: (r["lr"], r["tsr"], r["tsj"])
+            for r in df.select(
+                "i",
+                levenshtein_ratio(F.col("a"), F.col("b")).alias("lr"),
+                token_sort_ratio(F.col("a"), F.col("b")).alias("tsr"),
+                token_set_jaccard(F.col("a"), F.col("b")).alias("tsj"),
+            ).collect()
+        }
+
+        def lev(a: str, b: str) -> int:
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(
+                        min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                    )
+                prev = cur
+            return prev[len(b)]
+
+        def ratio(a: str, b: str) -> float:
+            m = max(len(a), len(b))
+            return 1.0 if m == 0 else 1.0 - lev(a, b) / m
+
+        for i, (a, b) in enumerate(pairs):
+            # F.split(col, " ") keeps empty fields — mirror str.split(" ")
+            sa, sb = a.split(" "), b.split(" ")
+            want = (
+                ratio(a, b),
+                ratio(" ".join(sorted(sa)), " ".join(sorted(sb))),
+                len(set(sa) & set(sb)) / len(set(sa) | set(sb)),
+            )
+            assert got[i] == want, (i, (a, b), got[i], want)
+
+
+class TestHybridRrfValueReference:
+    """End-to-end mirror of hybrid_rrf_fusion: the BM25 arm (shared
+    _ref_bm25_topk), the dense cosine arm anchored at the lexical
+    winner, and the integer-ppb reciprocal-rank fuse."""
+
+    @SLOW
+    @given(
+        texts=st.lists(
+            st.lists(
+                st.sampled_from(("spark", "join", "window", "noise", "data")),
+                min_size=0,
+                max_size=8,
+            ).map(" ".join),
+            min_size=2,
+            max_size=8,
+        ),
+        vec_data=st.data(),
+    )
+    def test_fused_ranks_match_python(self, spark, texts, vec_data, tmp_path_factory):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from hebrew_tutor_data_pipeline_spark.plans.catalog_ml import (
+            hybrid_rrf_fusion,
+        )
+
+        vecs = [
+            vec_data.draw(
+                st.lists(
+                    st.integers(min_value=-3, max_value=3), min_size=4, max_size=4
+                ).filter(lambda v: any(v))
+            )
+            for _ in texts
+        ]
+        sf_dir = tmp_path_factory.mktemp("rrfsf")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                    "lang": pa.array(["en"] * len(texts)),
+                    "source": pa.array(["t"] * len(texts)),
+                    "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+                }
+            ),
+            sf_dir / "documents.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(len(texts)), pa.int64()),
+                    "embedding": pa.array(
+                        [[float(x) for x in v] for v in vecs],
+                        pa.list_(pa.float32()),
+                    ),
+                    "label": pa.array([0] * len(texts), pa.int32()),
+                }
+            ),
+            sf_dir / "embeddings.parquet",
+        )
+        got = [
+            (r["doc_id"], r["lex_rank"], r["dense_rank"], r["rrf_ppb"], r["fused_rank"])
+            for r in hybrid_rrf_fusion(spark, str(sf_dir))
+            .orderBy("fused_rank")
+            .collect()
+        ]
+
+        lex_top = _ref_bm25_topk(texts)
+        lex_rank = {doc: r + 1 for r, (doc, _, _) in enumerate(lex_top)}
+        if not lex_rank:
+            assert got == []
+            return
+        anchor = vecs[min(lex_rank, key=lex_rank.get)]
+
+        def cos(a, b):
+            num = 0.0
+            for x, y in zip(a, b):
+                num += float(x) * float(y)
+            na = math.sqrt(sum(float(x) * float(x) for x in a))
+            nb = math.sqrt(sum(float(y) * float(y) for y in b))
+            return num / (na * nb)
+
+        dense_sorted = sorted(
+            ((i, _r6(cos(v, anchor))) for i, v in enumerate(vecs)),
+            key=lambda t: (-t[1], t[0]),
+        )[:20]
+        dense_rank = {i: r + 1 for r, (i, _) in enumerate(dense_sorted)}
+        fused = []
+        for doc in set(lex_rank) | set(dense_rank):
+            ppb = (1000000000 // (60 + lex_rank[doc]) if doc in lex_rank else 0) + (
+                1000000000 // (60 + dense_rank[doc]) if doc in dense_rank else 0
+            )
+            fused.append((doc, lex_rank.get(doc), dense_rank.get(doc), ppb))
+        fused.sort(key=lambda t: (-t[3], t[0]))
+        want = [(d, l, dr, p, r + 1) for r, (d, l, dr, p) in enumerate(fused)]
+        assert got == want, (texts, vecs, got, want)
