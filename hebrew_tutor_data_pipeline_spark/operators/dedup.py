@@ -33,6 +33,7 @@ import threading
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.generate import explode_nonempty
 from ..functions.text import whitespace_tokens, word_ngrams
 
 # Same constants as functions.text.doc_fingerprint — shared so oracle SQL
@@ -325,6 +326,27 @@ def _minhash_params(num_hashes: int) -> list[tuple[int, int]]:
     return params
 
 
+def _banded_sig_structs(rows_per_band: int, bands: int) -> Column:
+    """(band, md5-bucket) structs over a ``sig`` column — the shared
+    banding expression of the LSH pair tier and the incremental lookup
+    face (one home so the two faces can never band differently)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda bi: F.struct(
+            bi.alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band),
+                        lambda v: v.cast("string"),
+                    ),
+                )
+            ).alias("bucket"),
+        ),
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -389,25 +411,8 @@ def minhash_lsh_pairs(
         )
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
-    banded = sigs.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bi: F.struct(
-                    bi.alias("band"),
-                    F.md5(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band),
-                                lambda v: v.cast("string"),
-                            ),
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
+    banded = explode_nonempty(
+        sigs, ["id"], _banded_sig_structs(rows_per_band, bands), "bb"
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     a, b = banded.alias("a"), banded.alias("b")
@@ -1161,12 +1166,10 @@ def ngram_contamination(
     and the same plan degrades to a shuffled hash join on the n-gram.
     """
     cand = shingle_sets(corpus, id_col, text_col, n)
-    bset = (
-        shingle_sets(benchmark, id_col, text_col, n)
-        .select(F.explode("shingles").alias("g"))
-        .distinct()
-    )
-    exp = cand.select("id", F.explode("shingles").alias("g"))
+    bset = explode_nonempty(
+        shingle_sets(benchmark, id_col, text_col, n), [], "shingles", "g"
+    ).distinct()
+    exp = explode_nonempty(cand, ["id"], "shingles", "g")
     hits = exp.join(F.broadcast(bset.withColumn("_hit", F.lit(1))), "g", "left")
     return (
         hits.groupBy("id")
@@ -1311,27 +1314,11 @@ def minhash_lookup_pairs(
 
     def banded(df: DataFrame, side: str) -> DataFrame:
         sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
-        return sigs.select(
-            F.col("id").alias(f"{side}_id"),
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda bi: F.struct(
-                        bi.alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                F.transform(
-                                    F.slice(
-                                        F.col("sig"), bi * rows_per_band + 1, rows_per_band
-                                    ),
-                                    lambda v: v.cast("string"),
-                                ),
-                            )
-                        ).alias("bucket"),
-                    ),
-                )
-            ).alias("bb"),
+        return explode_nonempty(
+            sigs,
+            [F.col("id").alias(f"{side}_id")],
+            _banded_sig_structs(rows_per_band, bands),
+            "bb",
         ).select(f"{side}_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     cand = (

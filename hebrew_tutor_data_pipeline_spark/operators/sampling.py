@@ -294,9 +294,7 @@ def dsir_weights(
         "id",
         "is_t",
         F.explode(F.concat(F.col("toks"), bigrams)).alias("gram"),
-    ).select(
-        "id", "is_t", (token_hash(F.col("gram")) % buckets).alias("b")
-    )
+    ).select("id", "is_t", (token_hash(F.col("gram")) % buckets).alias("b"))
     counts = grams.groupBy("b").agg(
         F.count("*").alias("q_ct"),
         F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("p_ct"),

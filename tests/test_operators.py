@@ -188,6 +188,31 @@ class TestDedup:
         assert got[1] == [] and got[2] == []
         assert got[3] == ["a b c", "b c d"]
 
+    def test_contamination_plan_has_no_duplicated_shingle_filter(self, spark):
+        """InferFiltersFromGenerate + predicate pushdown used to inline
+        the ENTIRE trigram-construction expression into a Filter below
+        the repartition — evaluating it twice per row, one copy on the
+        pre-spread single-split layout (measured 6× on the full query at
+        sf0.1). The explode_outer+isNotNull form must keep every Filter
+        in the optimized plan free of the heavy array expression, and
+        results must equal the inner-explode semantics exactly."""
+        from hebrew_tutor_data_pipeline_spark.operators.dedup import (
+            ngram_contamination,
+        )
+
+        corpus = spark.createDataFrame(
+            [(1, "a b c d"), (2, ""), (3, "a b c"), (4, "x y")], ["id", "text"]
+        )
+        bench = spark.createDataFrame([(9, "a b c z")], ["id", "text"])
+        out = ngram_contamination(corpus, bench, "id", "text", n=3)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        for line in plan.splitlines():
+            if line.strip().startswith(("Filter", "+- Filter")) or "- Filter" in line:
+                assert "array_distinct" not in line and "transform(" not in line, line
+        got = {r["id"]: (r["n_ngrams"], r["n_contaminated"]) for r in out.collect()}
+        # doc 2 (empty) contributes no row — identical to inner explode
+        assert got == {1: (2, 1), 3: (1, 1), 4: (1, 0)}
+
     def test_jaccard_pairs_match_python(self, spark):
         docs = [
             (1, "the quick brown fox jumps over the lazy dog"),
