@@ -34,7 +34,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.generate import explode_nonempty
-from ..functions.text import whitespace_tokens, word_ngrams
+from ..functions.text import whitespace_token_count, whitespace_tokens, word_ngrams
 
 # Same constants as functions.text.doc_fingerprint — shared so oracle SQL
 # strings can inline them.
@@ -601,8 +601,11 @@ def winnow_fingerprints(
     # k-gram HOF once per OUTPUT row (~n_kg× the hashing work — measured
     # 9× slower at sf0.01). The window reuses the same id-partitioned
     # exchange the selection window below needs anyway.
+    # pre-filter on the regexp_count TWIN, not size(_th): the pushed-down
+    # filter would otherwise inline the whole token-hash transform below
+    # the scan just to take its size (plan-audit finding, round 9)
     rows = (
-        hashed.filter(n_tokens >= k)
+        hashed.filter(whitespace_token_count(F.col(text_col)) >= k)
         .select(F.col(id_col).alias("id"), F.posexplode(kgrams).alias("idx", "kh"))
         .withColumn("n_kg", F.count("*").over(Window.partitionBy("id")))
     )
@@ -1440,7 +1443,7 @@ def duplicate_spans(
     kgrams = F.transform(
         F.sequence(F.lit(0), n_tokens - n), _kgram_hash(th, F.col("_th2"), n)
     )
-    grams = hashed.filter(n_tokens >= n).select(
+    grams = hashed.filter(whitespace_token_count(F.col(text_col)) >= n).select(
         F.col(id_col).alias("id"), F.posexplode(kgrams).alias("pos", "kh")
     )
     dup = grams.groupBy("kh").agg(F.count("*").alias("_c")).filter(

@@ -338,14 +338,20 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 1-row broadcast crossJoin. Everything stays in JVM codegen — no
     Python, no UDF, no collect."""
     d = spread(T(spark, sf_dir, "documents"))
-    toks = d.select("doc_id", text.whitespace_tokens(F.col("text")).alias("toks"))
+    toks = d.select(
+        "doc_id",
+        text.whitespace_tokens(F.col("text")).alias("toks"),
+        # the bigram pre-filter rides the regexp_count twin, so its
+        # pushed-down copy never re-materializes the token array
+        text.whitespace_token_count(F.col("text")).alias("_nt"),
+    )
     uni_ct = (
         toks.select(F.explode("toks").alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("c1"))
     )
     vocab = uni_ct.agg(F.count("*").alias("v"))
-    bi = toks.filter(F.size("toks") >= 2).select(
+    bi = toks.filter(F.col("_nt") >= 2).select(
         "doc_id", F.explode(text.word_ngrams(F.col("toks"), 2)).alias("bg")
     )
     big_ct = bi.groupBy("bg").agg(F.count("*").alias("c2"))
