@@ -1437,3 +1437,102 @@ class TestHybridRrfValueReference:
         fused.sort(key=lambda t: (-t[3], t[0]))
         want = [(d, l, dr, p, r + 1) for r, (d, l, dr, p) in enumerate(fused)]
         assert got == want, (texts, vecs, got, want)
+
+
+class TestMixtureAndSplitValueReferences:
+    """Python mirrors for the deterministic split / sampling / mixture
+    tier. alpha=2 keeps the temperature normalizer an exact integer sum
+    (pow(n,2) of bigints), so every downstream float op is a scalar
+    division with deterministic IEEE rounding — the mirror must match
+    bit-for-bit, with no summation-order caveat."""
+
+    @staticmethod
+    def _th(tok: str) -> int:
+        from hebrew_tutor_data_pipeline_spark.functions.hashing import (
+            HASH_BASE,
+            HASH_MOD,
+        )
+
+        h = 0
+        for ch in tok:
+            h = (h * HASH_BASE + ord(ch)) % HASH_MOD
+        return h
+
+    @SLOW
+    @given(
+        ids=st.lists(
+            st.integers(min_value=0, max_value=10_000),
+            min_size=1,
+            max_size=14,
+            unique=True,
+        )
+    )
+    def test_split_and_sample_flags_match_python(self, spark, ids):
+        from hebrew_tutor_data_pipeline_spark.operators.sampling import (
+            N_BUCKETS,
+            split_and_sample,
+        )
+
+        rows = [(i, "g" + str(i % 3)) for i in ids]
+        df = spark.createDataFrame(rows, ["id", "src"])
+        rates = {"g0": 0.25, "g1": 1.0}
+        got = {
+            r["id"]: (r["split"], r["sampled"])
+            for r in split_and_sample(df, "id", "src", rates, 0.5).collect()
+        }
+        for i, src in rows:
+            b = self._th(f"split|{i}") % N_BUCKETS
+            split = "train" if b < 800 else ("valid" if b < 900 else "test")
+            thr = round(rates.get(src, 0.5) * N_BUCKETS)
+            sampled = (self._th(f"sample|{i}") % N_BUCKETS) < thr
+            assert got[i] == (split, sampled), (i, src, got[i], (split, sampled))
+
+    @SLOW
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=100_000),
+                st.sampled_from(("a", "b", "c", None)),
+            ),
+            min_size=1,
+            max_size=16,
+            unique_by=lambda r: r[0],
+        ),
+        target=st.sampled_from((0.25, 0.5, 1.0)),
+        upsample=st.booleans(),
+    )
+    def test_mixture_plan_matches_python(self, spark, rows, target, upsample):
+        from hebrew_tutor_data_pipeline_spark.operators.sampling import mixture_plan
+
+        RES = 1_000_000
+        df = spark.createDataFrame(rows, "id long, src string")
+        got = {
+            r["group"]: (r["n_docs"], r["weight"], r["rate_ppm"], r["n_accepted"])
+            for r in mixture_plan(
+                df, "id", "src", alpha=2.0, target_frac=target,
+                allow_upsample=upsample,
+            ).collect()
+        }
+        counts: dict = {}
+        for _, s in rows:
+            counts[s] = counts.get(s, 0) + 1
+        z = sum(n * n for n in counts.values())  # exact int
+        N = len(rows)
+        want = {}
+        for s, n in counts.items():
+            w = (n * n) / z
+            raw = (w * (target * N)) / n
+            if not upsample:
+                raw = min(1.0, raw)
+            rate = int(_r_half_up(raw * RES, 0))
+            acc = 0
+            for i, s2 in rows:
+                if s2 != s:
+                    continue
+                h = self._th(f"mix|{i}") % RES
+                if upsample:
+                    acc += rate // RES + (1 if h < rate % RES else 0)
+                else:
+                    acc += 1 if h < rate else 0
+            want[s] = (n, _r6(w), rate, acc)
+        assert got == want, (rows, target, upsample, got, want)
