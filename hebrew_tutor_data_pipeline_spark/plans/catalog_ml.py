@@ -1822,7 +1822,7 @@ def bm25_prf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = _bm25_topk(spark, sf_dir)
     e = T(spark, sf_dir, "embeddings").select(
         "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        F.col("embedding").cast("array<double>").alias("e"),
     )
     p3 = top.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(3)
     cent = (
@@ -1907,7 +1907,7 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     wl = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
     lex = top.select("doc_id", F.row_number().over(wl).alias("lex_rank"))
     e = T(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     anchor = (
         lex.filter(F.col("lex_rank") == 1)
@@ -1996,7 +1996,7 @@ def retrieval_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     wl = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
     lex = top.select("doc_id", F.row_number().over(wl).alias("lex_rank"))
     e = T(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     anchor = (
         lex.filter(F.col("lex_rank") == 1)

@@ -405,9 +405,83 @@ EXPECTATIONS: dict[str, list[tuple[bool, str, str]]] = {
 }
 
 
+#: Filter nodes carrying one of these markers re-evaluate an expensive
+#: derived expression per row — the InferFiltersFromGenerate /
+#: pushdown-substitution wart that cost benchmark_contamination 6× at
+#: sf0.1 (round 9). The sweep (`--filters`) builds every catalog entry's
+#: optimized plan and fails on NEW hits.
+_HEAVY_FILTER_MARKERS = (
+    # bare regexp_extract_all is deliberately NOT a marker: Spark
+    # expands regexp_count to size(regexp_extract_all(..)), so every
+    # token-count gate (>= k tokens) legitimately shows one regex pass
+    # in its pushed filter — the poison is per-element lambda work.
+    "array_distinct(",
+    "transform(",
+    "aggregate(",
+    "filter(lambda",
+    "zip_with(",
+)
+
+#: query -> why its heavy-Filter hits are accepted (each adjudicated)
+_HEAVY_FILTER_ALLOWED = {
+    # by-design exhaustive truth arm; production tier is dedup_clusters
+    "simhash_hamming_pairs": "weak-by-design truth arm",
+    # join-key null filters on attribute grams of a doubly-consumed
+    # subtree — same recompute shape as its oracle's CTE; 2.2 s entry
+    "dsir_importance_select": "join-key isnotnull on attribute grams",
+    # per-round recompute sits below the corpus-count-gated persist
+    # (eager persist measured to cost more than recompute at small SF)
+    "pagerank_neardup_graph": "gated-persist iterative recompute",
+    # metadata-sized PDF fixture table; filter runs on dozens of rows
+    "pdf_nlp_entities": "bounded fixture-table input",
+    # join-key isnotnull duplicates one SHORT salted-id hash per row
+    # (aggregate over ~15 chars) — the key must be computed anyway
+    "corpus_mixture_plan": "short salted-id hash in join-key null filter",
+    "corpus_snapshot_diff": "short salted-id hash in join-key null filter",
+    "incremental_curation_delta": "short salted-id hash in join-key null filter",
+    # hamming-filter isnotnull duplicates the fingerprint fold once on
+    # the 10% batch slice only; no scalar-column pushdown barrier exists
+    "incremental_simhash_dedup": "fold dup limited to the batch slice",
+}
+
+
+def sweep_heavy_filters(spark, catalog, sf_dir: str) -> list[str]:
+    """Return unexpected 'query: filter-line' hits across the catalog."""
+    unexpected = []
+    for name, spec in catalog.items():
+        if name.startswith("streaming_"):
+            continue  # stream entries execute sinks on build
+        try:
+            plan = spec.spark(spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
+        except Exception as exc:  # noqa: BLE001 — report, keep sweeping
+            unexpected.append(f"{name}: PLAN BUILD ERROR {str(exc)[:120]}")
+            continue
+        for line in plan.splitlines():
+            ls = line.strip().lstrip("+-: ")
+            if ls.startswith("Filter") and any(m in ls for m in _HEAVY_FILTER_MARKERS):
+                if name in _HEAVY_FILTER_ALLOWED:
+                    break  # adjudicated — skip the rest of this plan
+                unexpected.append(f"{name}: {ls[:160]}")
+                break  # one hit per query is enough to flag it
+    return unexpected
+
+
 def main() -> int:
     from hebrew_tutor_data_pipeline_spark.plans import CATALOG
     from hebrew_tutor_data_pipeline_spark.session import get_spark
+
+    if "--filters" in sys.argv:
+        spark = get_spark("explain-audit")
+        spark.sparkContext.setLogLevel("ERROR")
+        hits = sweep_heavy_filters(spark, CATALOG, SF_DIR)
+        for h in hits:
+            print(f"HEAVY-FILTER {h}")
+        print(
+            f"{len(hits)} unexpected heavy-expression Filters"
+            f" ({len(_HEAVY_FILTER_ALLOWED)} adjudicated exceptions)"
+        )
+        spark.stop()
+        return 1 if hits else 0
 
     only = set(sys.argv[1:]) or set(EXPECTATIONS)
     spark = get_spark("explain-audit")

@@ -129,12 +129,15 @@ def main() -> int:
     args = sys.argv[1:]
     out_path = "bench_runs/scaling_report.json"
     queries = HEAVY
-    if args and args[0] == "--out":
-        out_path = args[1]
-        args = args[2:]
-    if args and args[0] == "--queries":
-        queries = tuple(args[1].split(","))
-        args = args[2:]
+    # order-insensitive flags: `--queries a,b --out f.json` silently
+    # treated `--out` as a data DIR before (the probe then crashed on
+    # file:.../--out/documents.parquet)
+    while args and args[0] in ("--out", "--queries"):
+        flag, val, args = args[0], args[1], args[2:]
+        if flag == "--out":
+            out_path = val
+        else:
+            queries = tuple(val.split(","))
     dirs = args or [
         "/root/testdata/sf0.1",
         "/root/scale_data/x1",
