@@ -411,8 +411,8 @@ def minhash_lsh_pairs(
         )
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
-    banded = explode_nonempty(
-        sigs, ["id"], _banded_sig_structs(rows_per_band, bands), "bb"
+    banded = sigs.select(
+        "id", F.explode(_banded_sig_structs(rows_per_band, bands)).alias("bb")
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     a, b = banded.alias("a"), banded.alias("b")
@@ -1317,11 +1317,9 @@ def minhash_lookup_pairs(
 
     def banded(df: DataFrame, side: str) -> DataFrame:
         sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
-        return explode_nonempty(
-            sigs,
-            [F.col("id").alias(f"{side}_id")],
-            _banded_sig_structs(rows_per_band, bands),
-            "bb",
+        return sigs.select(
+            F.col("id").alias(f"{side}_id"),
+            F.explode(_banded_sig_structs(rows_per_band, bands)).alias("bb"),
         ).select(f"{side}_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     cand = (

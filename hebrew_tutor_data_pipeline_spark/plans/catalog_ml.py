@@ -18,7 +18,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import hebrew, text
-from ..functions.generate import explode_nonempty
 from ..sources.readers import spread
 from ..operators import alignment, ann, dedup
 from .catalog import CATALOG, T, _register
@@ -1729,7 +1728,7 @@ def _bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     st = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
     tf = (
-        explode_nonempty(d, ["doc_id"], text.whitespace_tokens(F.col("text")), "w")
+        d.select("doc_id", F.explode(text.whitespace_tokens(F.col("text"))).alias("w"))
         .filter(F.col("w").isin(*_BM25_TERMS))
         .groupBy("doc_id", "w")
         .agg(F.count("*").alias("tf"))
