@@ -19,14 +19,16 @@ never null** — every caller in this engine constructs elements
 (concat/struct/hash), which cannot be null. Do NOT route attribute
 arrays with possibly-null elements through this helper.
 
-Scope is MEASURED, not blanket: the outer+filter form costs a small
-constant (~0.1-0.3 s at sf0.1 — the extra null check and a narrower
-codegen span), so sites where the inferred filter is cheap or where the
-duplicated expression doesn't cross a repartition keep the plain inner
-explode (winnowing k-grams, DSIR grams, BPE pair counting measured flat
-or slightly worse under outer). The callers that keep this helper are
-the ones with a measured win: trigram-shingle contamination (6×), the
-BM25 token explode, and the MinHash banded-signature explodes.
+Scope is MEASURED, not blanket — and the measurement must span scales:
+the outer form's narrower codegen span is a per-row cost that GROWS
+with data. The MinHash banded-signature explode looked like a win at
+sf0.1 (1.5 s → 0.9 s) and regressed 6× at sf1 (4.7 s → 28 s); the BM25
+token explode was +10% at sf0.1 and −19% at sf1. Both keep the plain
+inner explode, as do the flat sites (winnowing k-grams, DSIR grams,
+BPE pair counting). The one caller that keeps this helper is
+trigram-shingle contamination, where the duplicated filter collapsed
+parallelism below a repartition — a structural win that holds at every
+measured scale (6× at sf0.1, 17× at sf1, n^0.35 at x100).
 """
 
 from __future__ import annotations
