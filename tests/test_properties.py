@@ -1536,3 +1536,132 @@ class TestMixtureAndSplitValueReferences:
                     acc += 1 if h < rate else 0
             want[s] = (n, _r6(w), rate, acc)
         assert got == want, (rows, target, upsample, got, want)
+
+
+class TestDedupTierValueReferences:
+    """Mirrors for the exact-dedup / contamination / clustering tier:
+    keeper choice, group audit, trigram-leak ratios, and connected
+    components vs a Python union-find over random edge lists."""
+
+    @SLOW
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=999),
+                st.sampled_from(("a", "b", "a b", "", "עב")),
+                st.sampled_from(("x", "y")),
+            ),
+            min_size=1,
+            max_size=14,
+            unique_by=lambda r: r[0],
+        )
+    )
+    def test_exact_dedup_and_groups_match_python(self, spark, rows):
+        from hebrew_tutor_data_pipeline_spark.operators.dedup import (
+            duplicate_groups,
+            exact_dedup,
+        )
+
+        df = spark.createDataFrame(rows, ["id", "t", "s"])
+        kept = sorted(
+            r["id"]
+            for r in exact_dedup(df, ["t", "s"], "id", tiebreak_col="id").collect()
+        )
+        groups = {}
+        for i, t, s_ in rows:
+            groups.setdefault((t, s_), []).append(i)
+        assert kept == sorted(min(g) for g in groups.values())
+        got = {
+            tuple(r["ids"]): (r["n_dups"], r["keeper_id"])
+            for r in duplicate_groups(df, "id", ["t", "s"]).collect()
+        }
+        want = {
+            tuple(sorted(g)): (len(g), min(g)) for g in groups.values()
+        }
+        assert got == want, (rows, got, want)
+
+    @SLOW
+    @given(
+        corpus=st.lists(
+            st.lists(st.sampled_from(("a", "b", "c")), min_size=0, max_size=8).map(
+                " ".join
+            ),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    def test_ngram_contamination_matches_python(self, spark, corpus):
+        from hebrew_tutor_data_pipeline_spark.operators.dedup import (
+            ngram_contamination,
+        )
+
+        rows = [(i, t) for i, t in enumerate(corpus)]
+        cand = [(i, t) for i, t in rows if i % 3 != 0]
+        bench = [(i, t) for i, t in rows if i % 3 == 0]
+        cdf = spark.createDataFrame(cand, "id long, t string")
+        bdf = spark.createDataFrame(bench, "id long, t string")
+        got = {
+            r["id"]: (r["n_ngrams"], r["n_contaminated"], r["contamination_ratio"])
+            for r in ngram_contamination(cdf, bdf, "id", "t", n=3).collect()
+        }
+
+        def shingles(t: str) -> set:
+            toks = _ref_tokens(t)
+            if not toks:
+                return set()
+            if len(toks) < 3:
+                return {" ".join(toks)}
+            return {" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)}
+
+        bset = set().union(*(shingles(t) for _, t in bench)) if bench else set()
+        for i, t in cand:
+            sh = shingles(t)
+            if not sh:
+                assert i not in got
+                continue
+            hits = len(sh & bset)
+            assert got[i] == (len(sh), hits, _r6(hits / len(sh))), (i, t, got[i])
+
+    @SLOW
+    @given(
+        edges=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=30),
+                st.integers(min_value=0, max_value=30),
+            ),
+            min_size=0,
+            max_size=40,
+        )
+    )
+    def test_connected_components_match_union_find(self, spark, edges):
+        from hebrew_tutor_data_pipeline_spark.operators.dedup import (
+            connected_components,
+        )
+
+        df = spark.createDataFrame(
+            edges or [(None, None)], "id_a int, id_b int"
+        )
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(df, "id_a", "id_b").collect()
+        }
+        parent: dict = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            if u == v:
+                continue
+            parent[find(u)] = find(v)
+        nodes = {n for u, v in edges if u != v for n in (u, v)}
+        want = {}
+        roots: dict = {}
+        for n in sorted(nodes):
+            r = find(n)
+            roots.setdefault(r, n)  # smallest member = component label
+            want[n] = roots[r]
+        assert got == want, (edges, got, want)
