@@ -120,6 +120,20 @@ def test_catalog_keys_consistent():
         assert callable(fn)
 
 
+def test_heavy_filter_allowlist_names_real_queries():
+    """tools/explain_audit's adjudicated heavy-Filter exceptions must
+    name catalog entries that exist — a renamed query would otherwise
+    silently re-arm its exception for some future unrelated hit."""
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    _sys.path.insert(0, str(_Path(__file__).resolve().parents[1] / "tools"))
+    from explain_audit import _HEAVY_FILTER_ALLOWED
+
+    unknown = set(_HEAVY_FILTER_ALLOWED) - set(entry_mod.queries())
+    assert not unknown, f"allowlisted names not in the catalog: {unknown}"
+
+
 @pytest.fixture(scope="module")
 def oracle_con():
     con = duckdb.connect()
