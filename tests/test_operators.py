@@ -2117,3 +2117,44 @@ class TestReviewBatch3Guards:
         salts = [r["_salt"] for r in with_salt(df, 16).collect()]
         assert all(0 <= s < 16 for s in salts)
         assert len(set(salts)) > 1  # actually spreads
+
+
+class TestExplodeNonempty:
+    """functions/generate.explode_nonempty: row-identical to inner
+    explode for constructed (non-null-element) arrays, including empty
+    and NULL arrays contributing no rows."""
+
+    def test_matches_inner_explode_semantics(self, spark):
+        from hebrew_tutor_data_pipeline_spark.functions.generate import (
+            explode_nonempty,
+        )
+
+        df = spark.createDataFrame(
+            [(1, ["a", "b"]), (2, []), (3, None), (4, ["c"])],
+            "id long, arr array<string>",
+        )
+        inner = [
+            tuple(r)
+            for r in df.select("id", F.explode("arr").alias("x")).orderBy("id", "x").collect()
+        ]
+        outer = [
+            tuple(r)
+            for r in explode_nonempty(df, ["id"], "arr", "x").orderBy("id", "x").collect()
+        ]
+        assert inner == outer == [(1, "a"), (1, "b"), (4, "c")]
+
+    def test_no_inferred_filter_below_generate(self, spark):
+        from hebrew_tutor_data_pipeline_spark.functions.generate import (
+            explode_nonempty,
+        )
+
+        df = spark.createDataFrame([(1, "a b c")], "id long, t string")
+        heavy = F.array_distinct(F.split(F.col("t"), " "))
+        plan = (
+            explode_nonempty(df, ["id"], heavy, "x")
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        for line in plan.splitlines():
+            ls = line.strip().lstrip("+-: ")
+            if ls.startswith("Filter"):
+                assert "array_distinct" not in ls, ls

@@ -1665,3 +1665,66 @@ class TestDedupTierValueReferences:
             roots.setdefault(r, n)  # smallest member = component label
             want[n] = roots[r]
         assert got == want, (edges, got, want)
+
+
+class TestPdfLiteralRoundTrip:
+    """Builder↔parser consistency for PDF literal strings: any latin-1
+    payload, escaped two different legal ways (minimal backslash
+    escaping vs named+octal escapes for every escapable byte), must
+    extract to the same NFC page text. This is the randomized
+    generalization of the fixed `\\8`/`\\101` regression cases."""
+
+    payload = st.text(
+        alphabet=st.sampled_from(
+            "ab(9)\\ \t\n8ü7×01é" + "\x05"
+        ),
+        min_size=0,
+        max_size=24,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(s=payload)
+    def test_two_escapings_extract_identically(self, s, tmp_path_factory):
+        import sys as _sys
+        import unicodedata as _ud2
+        from pathlib import Path as _P
+
+        _sys.path.insert(0, str(_P(__file__).resolve().parents[1] / "tools"))
+        import make_pdf_fixtures as mk
+
+        from hebrew_tutor_data_pipeline_spark.operators.multimodal import (
+            _pdf_extract_pages,
+        )
+
+        def esc_min(t: str) -> str:
+            return t.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+        _NAMED = {"\n": r"\n", "\t": r"\t", "\\": r"\\", "(": r"\(", ")": r"\)"}
+
+        def esc_full(t: str) -> str:
+            # named escapes where defined, 3-digit octal for everything
+            # non-printable-ascii — both legal per ISO 32000-1 §7.3.4.2
+            out = []
+            for ch in t:
+                if ch in _NAMED:
+                    out.append(_NAMED[ch])
+                elif ord(ch) < 0x20 or ord(ch) > 0x7E:
+                    out.append("\\%03o" % ord(ch))
+                else:
+                    out.append(ch)
+            return "".join(out)
+
+        pdf = mk.build_pdf(
+            [
+                mk.content([f"({esc_min(s)}) Tj"]),
+                mk.content([f"({esc_full(s)}) Tj"]),
+            ],
+            flate=False,
+        )
+        d = tmp_path_factory.mktemp("pdfrt")
+        (d / "x.pdf").write_bytes(pdf)
+        pages = _pdf_extract_pages((d / "x.pdf").read_bytes())
+        assert len(pages) == 2
+        want = _ud2.normalize("NFC", s.strip())
+        assert pages[0][1] == want, (repr(s), repr(pages[0][1]))
+        assert pages[1][1] == want, (repr(s), repr(pages[1][1]))
