@@ -1728,3 +1728,105 @@ class TestPdfLiteralRoundTrip:
         want = _ud2.normalize("NFC", s.strip())
         assert pages[0][1] == want, (repr(s), repr(pages[0][1]))
         assert pages[1][1] == want, (repr(s), repr(pages[1][1]))
+
+
+class TestKeyedIntervalJoinProperty:
+    @SLOW
+    @given(
+        points=st.lists(
+            st.tuples(
+                st.sampled_from(("t0", "t1", "t2")),
+                st.floats(min_value=0.0, max_value=30.0, allow_nan=False),
+            ),
+            min_size=1,
+            max_size=12,
+        ),
+        intervals=st.lists(
+            st.tuples(
+                st.sampled_from(("t0", "t1", "t2")),
+                st.floats(min_value=0.0, max_value=30.0, allow_nan=False),
+                st.floats(min_value=0.0, max_value=8.0, allow_nan=False),
+            ),
+            min_size=1,
+            max_size=10,
+        ),
+        bin_width=st.sampled_from([0.9, 2.0, 16.0]),
+    )
+    def test_keyed_binned_equals_naive(self, spark, points, intervals, bin_width):
+        """The keys= variant (per-track containment, the verse_at_time
+        serving shape) must equal the naive per-key range predicate —
+        matches never cross keys, each pair exactly once."""
+        from hebrew_tutor_data_pipeline_spark.operators.intervals import (
+            point_in_interval_join,
+        )
+
+        p = spark.createDataFrame(
+            [(i, k, float(x)) for i, (k, x) in enumerate(points)],
+            ["pid", "trk", "x"],
+        )
+        iv = spark.createDataFrame(
+            [(j, k, float(s), float(s + w)) for j, (k, s, w) in enumerate(intervals)],
+            ["iid", "trk", "s", "e"],
+        )
+        got = sorted(
+            (r["pid"], r["iid"])
+            for r in point_in_interval_join(
+                p, iv, "x", "s", "e", bin_width=bin_width, keys=("trk",)
+            )
+            .select("pid", "iid")
+            .collect()
+        )
+        want = sorted(
+            (i, j)
+            for i, (pk, x) in enumerate(points)
+            for j, (ik, s, w) in enumerate(intervals)
+            if pk == ik and s <= x <= s + w
+        )
+        assert got == want, (points, intervals, bin_width, got, want)
+
+
+class TestLocalFirstScanProperty:
+    @SLOW
+    @given(
+        layout=st.lists(
+            st.tuples(
+                st.sampled_from(("d1", "d2/nested", "")),  # subdir inside each tree
+                st.sampled_from(("a.mp3", "b.mp3", "c.mp3")),
+                st.sampled_from(("local", "remote", "both")),
+                st.integers(min_value=1, max_value=50),  # local size
+                st.integers(min_value=51, max_value=99),  # remote size
+            ),
+            min_size=1,
+            max_size=6,
+            unique_by=lambda r: (r[0], r[1]),
+        )
+    )
+    def test_resolution_matches_pathlib_mirror(self, spark, layout, tmp_path_factory):
+        """local_first_scan over random two-tree layouts (same relative
+        key at different depths, either-tree-only files) equals a
+        pathlib mirror resolving by relative path with local priority."""
+        from hebrew_tutor_data_pipeline_spark.sources.readers import local_first_scan
+
+        root = tmp_path_factory.mktemp("lfs")
+        loc, rem = root / "books", root / "rem" / "books"
+        loc.mkdir(parents=True), rem.mkdir(parents=True)
+        for sub, name, where, ls, rs in layout:
+            if where in ("local", "both"):
+                d = loc / sub if sub else loc
+                d.mkdir(parents=True, exist_ok=True)
+                (d / name).write_bytes(b"L" * ls)
+            if where in ("remote", "both"):
+                d = rem / sub if sub else rem
+                d.mkdir(parents=True, exist_ok=True)
+                (d / name).write_bytes(b"R" * rs)
+        got = sorted(
+            (r["filename"], r["source"], r["length"])
+            for r in local_first_scan(spark, str(loc), str(rem)).collect()
+        )
+        # one resolved row per RELATIVE key (same basename at two depths
+        # = two real files), local copy wins when both trees have it
+        want = sorted(
+            (name, "local", ls) if where in ("local", "both") else (name, "remote", rs)
+            for sub, name, where, ls, rs in layout
+        )
+        assert got == want, (layout, got, want)
