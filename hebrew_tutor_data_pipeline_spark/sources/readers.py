@@ -157,25 +157,42 @@ def local_first_scan(
     prunes the ``content`` column when unreferenced) — resolving 1M
     files reads bytes from neither tree.
     """
-    import re as _re
-    from pathlib import PurePath
+    import os as _os
 
     cols = ["path", "length", "modificationTime"] + (["content"] if with_content else [])
+
+    def root_uri(d: str) -> str:
+        # the rendered `path` column is the fully-qualified Hadoop URI
+        # (`file:/abs/...` for local FS, scheme://authority/... for
+        # remote stores); normalize the scan root to that form so the
+        # relkey is an exact prefix strip, never a pattern match
+        if "://" in d or d.startswith("file:"):
+            return d.rstrip("/")
+        return "file:" + _os.path.abspath(d).rstrip("/")
 
     def scan(d: str, pri: int, src: str) -> DataFrame:
         # identity = path RELATIVE to this scan's root: the recursive
         # scan can surface the same basename at different depths within
         # one tree (two real files), and file identity across the
         # local/remote pair is "same place in the tree", not "same leaf
-        # name anywhere"
-        tail = _re.escape(PurePath(d.rstrip("/")).name)
+        # name anywhere". Strip the RESOLVED root prefix by length — a
+        # regex keyed on the root's basename mis-keys when an ancestor
+        # directory inside one tree happens to equal the other root's
+        # basename (r9 advisor catch).
+        prefix = root_uri(d) + "/"
         return (
             read_binary_files(spark, d, glob)
             .select(*cols)
             .withColumn("_pri", F.lit(pri))
             .withColumn("source", F.lit(src))
             .withColumn("filename", F.regexp_extract("path", r"([^/]+)$", 1))
-            .withColumn("_relkey", F.regexp_replace("path", f"^.*?/{tail}/", ""))
+            .withColumn(
+                "_relkey",
+                F.when(
+                    F.col("path").startswith(F.lit(prefix)),
+                    F.col("path").substr(F.lit(len(prefix) + 1), F.length("path")),
+                ).otherwise(F.regexp_extract("path", r"([^/]+)$", 1)),
+            )
         )
 
     both = scan(local_dir, 0, "local").unionByName(scan(remote_dir, 1, "remote"))

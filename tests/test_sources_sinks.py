@@ -223,6 +223,28 @@ class TestLocalFirstScan:
         ).collect()
         assert [(r["source"], r["length"]) for r in rows] == [("local", 7)]
 
+    def test_relkey_ignores_ancestor_named_like_root(self, spark, tmp_path):
+        """An ANCESTOR directory component exactly equal to the scan
+        root's basename (…/books/proj/books vs …/rem/books) must not
+        become the relkey anchor: the first-`/<basename>/`-occurrence
+        regex keyed the local side at the ancestor, yielding asymmetric
+        keys and two rows for one logical file (r9 advisor catch). The
+        relkey is now a length-based strip of the resolved root URI."""
+        from hebrew_tutor_data_pipeline_spark.sources.readers import local_first_scan
+
+        loc = tmp_path / "books" / "proj" / "books" / "ch1"
+        rem = tmp_path / "rem" / "books" / "ch1"
+        loc.mkdir(parents=True)
+        rem.mkdir(parents=True)
+        (loc / "a.mp3").write_bytes(b"L" * 7)
+        (rem / "a.mp3").write_bytes(b"R" * 99)
+        rows = local_first_scan(
+            spark,
+            str(tmp_path / "books" / "proj" / "books"),
+            str(tmp_path / "rem" / "books"),
+        ).collect()
+        assert [(r["source"], r["length"]) for r in rows] == [("local", 7)]
+
     def test_missing_everywhere_is_absent(self, spark, tmp_path):
         """The declarative FileNotFoundError: expected-vs-resolved anti join."""
         from hebrew_tutor_data_pipeline_spark.sources.readers import local_first_scan

@@ -418,31 +418,51 @@ _HEAVY_FILTER_MARKERS = (
     "array_distinct(",
     "transform(",
     "aggregate(",
-    "filter(lambda",
+    # every HOF (filter/transform/aggregate/exists/forall/zip_with)
+    # renders as `hof(col#N, lambdafunction(...))`, so lambdafunction(
+    # anywhere in a Filter line is the reliable per-element-work marker
+    # ("filter(lambda" could never match — r9 advisor catch)
+    "lambdafunction(",
     "zip_with(",
 )
 
-#: query -> why its heavy-Filter hits are accepted (each adjudicated)
+#: query -> (why accepted, max adjudicated heavy-Filter line count).
+#: The sweep flags an allowlisted query whose plan grows MORE heavy
+#: Filter lines than were adjudicated — per-pattern, not per-query
+#: blanket (r9 advisor catch: a new unrelated heavy filter appearing
+#: later in an allowlisted plan must not ride the old adjudication).
 _HEAVY_FILTER_ALLOWED = {
     # by-design exhaustive truth arm; production tier is dedup_clusters
-    "simhash_hamming_pairs": "weak-by-design truth arm",
+    "simhash_hamming_pairs": ("weak-by-design truth arm", 2),
     # join-key null filters on attribute grams of a doubly-consumed
     # subtree — same recompute shape as its oracle's CTE; 2.2 s entry
-    "dsir_importance_select": "join-key isnotnull on attribute grams",
+    "dsir_importance_select": ("join-key isnotnull on attribute grams", 4),
     # per-round recompute sits below the corpus-count-gated persist
-    # (eager persist measured to cost more than recompute at small SF)
-    "pagerank_neardup_graph": "gated-persist iterative recompute",
+    # (eager persist measured to cost more than recompute at small SF);
+    # two UNROLLED PageRank rounds replicate the fingerprint fold into
+    # ~37 Filter lines of one fixed plan — stable, not data-dependent
+    "pagerank_neardup_graph": ("gated-persist iterative recompute", 40),
     # metadata-sized PDF fixture table; filter runs on dozens of rows
-    "pdf_nlp_entities": "bounded fixture-table input",
+    "pdf_nlp_entities": ("bounded fixture-table input", 4),
     # join-key isnotnull duplicates one SHORT salted-id hash per row
     # (aggregate over ~15 chars) — the key must be computed anyway
-    "corpus_mixture_plan": "short salted-id hash in join-key null filter",
-    "corpus_snapshot_diff": "short salted-id hash in join-key null filter",
-    "incremental_curation_delta": "short salted-id hash in join-key null filter",
+    "corpus_mixture_plan": ("short salted-id hash in join-key null filter", 2),
+    "corpus_snapshot_diff": ("short salted-id hash in join-key null filter", 2),
+    "incremental_curation_delta": ("short salted-id hash in join-key null filter", 4),
     # hamming-filter isnotnull duplicates the fingerprint fold once on
     # the 10% batch slice only; no scalar-column pushdown barrier exists
-    "incremental_simhash_dedup": "fold dup limited to the batch slice",
+    "incremental_simhash_dedup": ("fold dup limited to the batch slice", 2),
 }
+
+
+def heavy_filter_lines(plan: str) -> list[str]:
+    """All Filter lines in an optimized-plan string carrying a heavy marker."""
+    hits = []
+    for line in plan.splitlines():
+        ls = line.strip().lstrip("+-: ")
+        if ls.startswith("Filter") and any(m in ls for m in _HEAVY_FILTER_MARKERS):
+            hits.append(ls)
+    return hits
 
 
 def sweep_heavy_filters(spark, catalog, sf_dir: str) -> list[str]:
@@ -456,13 +476,18 @@ def sweep_heavy_filters(spark, catalog, sf_dir: str) -> list[str]:
         except Exception as exc:  # noqa: BLE001 — report, keep sweeping
             unexpected.append(f"{name}: PLAN BUILD ERROR {str(exc)[:120]}")
             continue
-        for line in plan.splitlines():
-            ls = line.strip().lstrip("+-: ")
-            if ls.startswith("Filter") and any(m in ls for m in _HEAVY_FILTER_MARKERS):
-                if name in _HEAVY_FILTER_ALLOWED:
-                    break  # adjudicated — skip the rest of this plan
-                unexpected.append(f"{name}: {ls[:160]}")
-                break  # one hit per query is enough to flag it
+        hits = heavy_filter_lines(plan)
+        if not hits:
+            continue
+        if name in _HEAVY_FILTER_ALLOWED:
+            why, max_hits = _HEAVY_FILTER_ALLOWED[name]
+            if len(hits) > max_hits:
+                unexpected.append(
+                    f"{name}: {len(hits)} heavy Filters exceed the {max_hits}"
+                    f" adjudicated ({why}); first new: {hits[0][:140]}"
+                )
+            continue
+        unexpected.append(f"{name}: {hits[0][:160]}")
     return unexpected
 
 

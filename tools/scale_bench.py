@@ -133,6 +133,8 @@ def main() -> int:
     # treated `--out` as a data DIR before (the probe then crashed on
     # file:.../--out/documents.parquet)
     while args and args[0] in ("--out", "--queries"):
+        if len(args) < 2:
+            sys.exit(f"missing value for {args[0]}")
         flag, val, args = args[0], args[1], args[2:]
         if flag == "--out":
             out_path = val
