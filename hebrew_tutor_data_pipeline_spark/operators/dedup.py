@@ -367,12 +367,21 @@ def minhash_signatures(
     functions are outside codegen CSE, making that 32× real work).
     """
     sets = shingle_sets(df, id_col, text_col, n)
+    sig = _sig_over_hashes(F.transform(F.col("shingles"), token_hash), num_hashes)
+    return sets.select("id", sig.alias("sig"))
+
+
+def _sig_over_hashes(th: Column, num_hashes: int) -> Column:
+    """MinHash signature expression over an already-hashed shingle
+    array: one ``aggregate`` carrying ``num_hashes`` running minima
+    (duplicate hash values cannot change a minimum, so distinct and
+    non-distinct inputs yield identical signatures)."""
     params = _minhash_params(num_hashes)
     A = F.lit([a for a, _ in params]).cast("array<long>")
     B = F.lit([b for _, b in params]).cast("array<long>")
     idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    sig = F.aggregate(
-        F.transform(F.col("shingles"), token_hash),
+    return F.aggregate(
+        th,
         F.array_repeat(F.lit(HASH_MOD).cast("long"), num_hashes),
         lambda acc, h: F.zip_with(
             acc,
@@ -382,7 +391,6 @@ def minhash_signatures(
             ),
         ),
     )
-    return sets.select("id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -398,10 +406,29 @@ def minhash_lsh_pairs(
 
     Candidate generation: split each signature into ``bands`` bands of
     ``num_hashes/bands`` rows; docs sharing any full band collide. The
-    only shuffle is the (band_idx, band_digest) equi-join — the classic
-    LSH plan that scales linearly in corpus size for bounded bucket
-    width. Candidates are then verified with exact shingle Jaccard (the
-    MinHash estimate never reaches the output — no false positives).
+    only corpus-sized shuffle is the (band_idx, band_digest) equi-join —
+    the classic LSH plan that scales linearly in corpus size for bounded
+    bucket width. Candidates are then verified with exact Jaccard over
+    the 31-bit-HASHED shingle sets (the MinHash estimate never reaches
+    the output — no false positives up to token-hash collisions,
+    ~|A|·|B|/2³¹ per pair; the oracle replays the identical hash, so
+    both engines agree exactly).
+
+    Verify-stage shape (r10 rework — formerly the engine's steepest
+    measured exponent, 0.81 / 70 s at x100): the old form joined the
+    full corpus's raw STRING shingle arrays onto the candidate list
+    twice — two corpus-sized shuffles of the heaviest payload in the
+    plan. The verify now ships the 31-bit HASHED shingle arrays
+    (~3× lighter than the trigram strings) through the same two
+    equi-joins; the two corpus-side subtrees are identical, so AQE
+    reuses one exchange. Measured at x1..x100
+    (bench_runs/r10_scaling_minhash_rework.json): x100 wall 70→51.6 s,
+    spill 54 MB→zero at every scale, exponent 0.81→0.712.
+    An explode-into-probe-rows + min_by/max_by
+    regroup variant was MEASURED WORSE (133 s / 26 GB spill at x100 —
+    the object-aggregate sort fallback over array payloads, the same
+    hazard class as the r7 incremental-dedup argmin): array payloads
+    must reach pairs through joins, never through an aggregate.
     """
     if num_hashes % bands != 0:
         raise ValueError(
@@ -410,7 +437,11 @@ def minhash_lsh_pairs(
             "signature rows and skew the (b, r) recall curve"
         )
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    hashed = shingle_sets(df, id_col, text_col, n).select(
+        "id",
+        F.array_distinct(F.transform("shingles", token_hash)).alias("th"),
+    )
+    sigs = hashed.select("id", _sig_over_hashes(F.col("th"), num_hashes).alias("sig"))
     banded = sigs.select(
         "id", F.explode(_banded_sig_structs(rows_per_band, bands)).alias("bb")
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
@@ -427,22 +458,22 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sets = shingle_sets(df, id_col, text_col, n)
-    verified = (
-        candidates.join(sets.withColumnsRenamed({"id": "id_a", "shingles": "sh_a"}), "id_a")
-        .join(sets.withColumnsRenamed({"id": "id_b", "shingles": "sh_b"}), "id_b")
+    both = candidates.join(
+        hashed.withColumnsRenamed({"id": "id_a", "th": "th_a"}), "id_a"
+    ).join(hashed.withColumnsRenamed({"id": "id_b", "th": "th_b"}), "id_b")
+    return (
+        both.withColumn("_inter", F.size(F.array_intersect("th_a", "th_b")))
         .withColumn(
             "jaccard",
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
+                F.col("_inter")
+                / (F.size("th_a") + F.size("th_b") - F.col("_inter")),
                 6,
             ),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return verified
 
 
 # ---------------------------------------------------------------------------

@@ -639,36 +639,36 @@ WITH d AS (
                           for i in range(1, len(t))]) AS toks
     FROM d
 ), h AS (
-    SELECT doc_id, toks,
-           list_transform(toks, t2 -> {_sql_token_hash('t2')}) AS th
+    SELECT doc_id,
+           list_distinct(list_transform(toks, t2 -> {_sql_token_hash('t2')})) AS th
     FROM g
 ), m AS (
-    SELECT doc_id, toks,
+    SELECT doc_id, th,
            {_MH_COLS}
     FROM h
 ), cand AS (
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.toks AS ta, b.toks AS tb
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.th AS tha, b.th AS thb
     FROM m a JOIN m b
       ON a.doc_id < b.doc_id
      AND ({_MH_BAND_CONDS})
 )
 SELECT id_a, id_b,
-       round(len(list_intersect(ta, tb))
-             / (len(ta) + len(tb) - len(list_intersect(ta, tb))), 6) AS jaccard
+       round(len(list_intersect(tha, thb))
+             / (len(tha) + len(thb) - len(list_intersect(tha, thb))), 6) AS jaccard
 FROM cand
-WHERE round(len(list_intersect(ta, tb))
-            / (len(ta) + len(tb) - len(list_intersect(ta, tb))), 6) >= 0.2
+WHERE round(len(list_intersect(tha, thb))
+            / (len(tha) + len(thb) - len(list_intersect(tha, thb))), 6) >= 0.2
 """,
     tags=("dedup", "minhash", "lsh"),
     bench=True,
 )
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32)+LSH(8 bands) near-dup pairs, verified with exact
-    Jaccard ≥ 0.2 over 2-gram shingles. Formerly a rows-only check; the
-    oracle now replays the identical minhash family (inlined LCG
-    params) and band structure, so the full LSH pipeline — signatures,
-    banding, candidate join, exact-Jaccard verify — sits under the
-    value-hash gate."""
+    Jaccard ≥ 0.2 over 31-bit-hashed 2-gram shingle sets. Formerly a
+    rows-only check; the oracle replays the identical minhash family
+    (inlined LCG params), band structure, AND shingle hash, so the full
+    LSH pipeline — signatures, banding, candidate join, hashed-Jaccard
+    verify — sits under the value-hash gate."""
     d = spread(T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200))
     return dedup.minhash_lsh_pairs(
         d, "doc_id", "text", n=2, num_hashes=32, bands=8, threshold=0.2
@@ -701,25 +701,25 @@ WITH d AS (
                                     for i in range(1, len(t) - 1)]) END AS toks
     FROM d
 ), h AS (
-    SELECT doc_id, toks,
-           list_transform(toks, t2 -> {_sql_token_hash('t2')}) AS th
+    SELECT doc_id,
+           list_distinct(list_transform(toks, t2 -> {_sql_token_hash('t2')})) AS th
     FROM g
 ), m AS (
-    SELECT doc_id, toks,
+    SELECT doc_id, th,
            {_MH_COLS}
     FROM h
 ), cand AS (
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.toks AS ta, b.toks AS tb
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.th AS tha, b.th AS thb
     FROM m a JOIN m b
       ON a.doc_id < b.doc_id
      AND ({_MH16_BAND_CONDS})
 )
 SELECT id_a, id_b,
-       round(len(list_intersect(ta, tb))
-             / (len(ta) + len(tb) - len(list_intersect(ta, tb))), 6) AS jaccard
+       round(len(list_intersect(tha, thb))
+             / (len(tha) + len(thb) - len(list_intersect(tha, thb))), 6) AS jaccard
 FROM cand
-WHERE round(len(list_intersect(ta, tb))
-            / (len(ta) + len(tb) - len(list_intersect(ta, tb))), 6) >= 0.5
+WHERE round(len(list_intersect(tha, thb))
+            / (len(tha) + len(thb) - len(list_intersect(tha, thb))), 6) >= 0.5
 """,
     tags=("dedup", "minhash", "lsh", "scale"),
     bench=True,
@@ -728,12 +728,17 @@ def minhash_dedup_pairs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Jaccard CANDIDATE TIER OF RECORD at corpus scale, full-corpus
     and value-hash gated (minhash_lsh_candidates keeps the 200-doc
     panel / 8×4 banding for its own oracle): MinHash(32) + 16 bands × 2
-    rows + exact trigram-Jaccard verify at 0.5. r06 scale measurements:
-    recall 0.996 of the exhaustive posting join's pairs at x10, n^0.55,
-    60.6 s at x100 (500k docs) — where the exhaustive join OOMs and the
-    df-capped join's recall collapses on the fixed-vocab family
-    (bench_runs/r06_recall.json, r06_scaling_minhash_tier.json). Only
-    (band, bucket) keys shuffle; signatures are per-row HOF arithmetic."""
+    rows + exact Jaccard verify at 0.5 over 31-bit-hashed trigram
+    shingle sets. r06 scale measurements: recall 0.996 of the exhaustive
+    posting join's pairs at x10, n^0.55, 60.6 s at x100 (500k docs) —
+    where the exhaustive join OOMs and the df-capped join's recall
+    collapses on the fixed-vocab family (bench_runs/r06_recall.json,
+    r06_scaling_minhash_tier.json). Only (band, bucket) keys shuffle
+    corpus-wide; the r10 verify rework (see minhash_lsh_pairs) ends the
+    double corpus-shuffle of raw string shingles that made this the
+    engine's steepest exponent: 0.81 / 70 s / 54 MB spill at x100 →
+    0.712 / 51.6 s / zero spill at every scale
+    (bench_runs/r10_scaling_minhash_rework.json)."""
     d = spread(T(spark, sf_dir, "documents"))
     return dedup.minhash_lsh_pairs(
         d, "doc_id", "text", n=3, num_hashes=32, bands=16, threshold=0.5

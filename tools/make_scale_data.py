@@ -192,6 +192,63 @@ def gen_embeddings(out: Path, n: int, model: dict) -> None:
         file_idx += 1
 
 
+#: Events arm (VERDICT r09 'Next round' #1): events/lineitem are
+#: hard-copied (fixed-size) in the x{K} trees, so every event-shaped
+#: entry's scale probe was vacuous by construction. This arm REGENERATES
+#: events.parquet inside existing x{K} dirs from sf0.1's fitted
+#: generative process, scaled the way a real event stream grows: users
+#: ∝ K with the per-user rate held constant (per-user expected count
+#: stays ≈66.7 — windows/sessions per user stay bounded; the number of
+#: groups grows), over the SAME 30-day span (global Poisson rate ∝ K).
+#: Fitted at sf0.1: uniform 5-way type mix, value ~ Exponential(50)
+#: rounded to 2 dp (frac<1 = 0.0190 ≈ 1−e^(−1/50)), props = {"k":
+#: uniform 0..99}, user_id uniform over 0..1500K−1, timestamps the
+#: order statistics of uniforms over the span (≡ conditioned Poisson),
+#: event_id = arrival rank — exactly sf0.1's shape at K=1.
+EVENTS_BASE = 100_000
+USERS_BASE = 1_500
+SPAN_START_US = np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
+SPAN_END_US = np.datetime64("2024-01-31T00:00:00", "us").astype(np.int64)
+EVENT_TYPES = np.array(["click", "error", "purchase", "signup", "view"])
+EVENTS_PER_FILE = 1_000_000
+
+
+def gen_events(out: Path, k: int) -> None:
+    rng = np.random.default_rng(SEED + 2)
+    n, n_users = EVENTS_BASE * k, USERS_BASE * k
+    out_path = out / "events.parquet"
+    if out_path.is_file():
+        out_path.unlink()
+    elif out_path.exists():
+        shutil.rmtree(out_path)
+    out_path.mkdir(parents=True)
+    ts = np.sort(
+        rng.integers(SPAN_START_US, SPAN_END_US, size=n, dtype=np.int64)
+    )
+    for file_idx, lo in enumerate(range(0, n, EVENTS_PER_FILE)):
+        hi = min(lo + EVENTS_PER_FILE, n)
+        m = hi - lo
+        value = np.floor(rng.exponential(50.0, size=m) * 100 + 0.5) / 100
+        props = np.char.add(
+            np.char.add('{"k": ', rng.integers(0, 100, size=m).astype(str)), "}"
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(np.arange(lo, hi, dtype=np.int64), pa.int64()),
+                    "ts": pa.array(ts[lo:hi], pa.timestamp("us")),
+                    "user_id": pa.array(
+                        rng.integers(0, n_users, size=m, dtype=np.int64), pa.int64()
+                    ),
+                    "event_type": pa.array(EVENT_TYPES[rng.integers(0, 5, size=m)]),
+                    "value": pa.array(value, pa.float64()),
+                    "props": pa.array(props),
+                }
+            ),
+            out_path / f"part-{file_idx:05d}.parquet",
+        )
+
+
 #: Zipf arm (VERDICT r06 'Next round' #7): the empirical sf0.1 vocab is
 #: ~31 types — a DEGENERATE spectrum on which every trigram goes common
 #: as the corpus grows, so df-caps provably collapse to zero recall
@@ -217,7 +274,16 @@ def main() -> None:
     base = Path(sys.argv[1])
     rest = sys.argv[2:]
     zipf = "--zipf" in rest
-    ks = [int(a) for a in rest if a != "--zipf"] or [10]
+    events = "--events" in rest
+    ks = [int(a) for a in rest if a not in ("--zipf", "--events")] or [10]
+    if events:
+        # regenerate ONLY events.parquet inside existing x{K} trees
+        for k in ks:
+            out = base / f"x{k}"
+            out.mkdir(parents=True, exist_ok=True)
+            gen_events(out, k)
+            print(f"x{k}: events regenerated ({EVENTS_BASE * k} rows, {USERS_BASE * k} users)")
+        return
     n_docs_base = pq.read_metadata(SRC / "documents.parquet").num_rows
     doc_model = _doc_model()
     if zipf:

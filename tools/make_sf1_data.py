@@ -171,19 +171,19 @@ def main() -> int:
         "props": ecols["props"],
     }))
 
-    # --- documents / embeddings: the self-similar x10 family -------------
-    x10 = Path("/root/scale_data/x10")
-    if x10.exists():
+    # --- documents / embeddings: the matching self-similar x{K} family ---
+    xk = Path(f"/root/scale_data/x{k}")
+    if xk.exists():
         for name in ("documents.parquet", "embeddings.parquet"):
-            src = x10 / name
+            src = xk / name
             dst = out / name
             if src.is_dir():
                 shutil.copytree(src, dst)
             else:
                 shutil.copy(src, dst)
-            print(f"  {name}: copied from x10")
+            print(f"  {name}: copied from x{k}")
     else:
-        print("  WARNING: /root/scale_data/x10 missing — run make_scale_data.py")
+        print(f"  WARNING: /root/scale_data/x{k} missing — run make_scale_data.py")
     return 0
 
 
