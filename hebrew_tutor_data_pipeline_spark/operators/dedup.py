@@ -1558,3 +1558,102 @@ def semantic_dedup(
         "cell",
         F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style line-level exact dedup (Raffel et al., JMLR 2020 §2.2)
+
+#: span_idx must fit under the packed-BIGINT's low bits: 2^20 spans per
+#: document ≈ 10M tokens at span=10 — far above any real document, and
+#: the pack guard fails LOUDLY (raise_error) rather than corrupt the
+#: keep-first winner if a pathological input ever exceeds it.
+_SPAN_IDX_BITS = 20
+
+
+def line_spans(
+    df: DataFrame, id_col: str, text_col: str, span: int = 5
+) -> DataFrame:
+    """(id, span_idx, span_hash, n_span_tokens): each document's token
+    stream cut into consecutive non-overlapping ``span``-token segments
+    (the last may be shorter) — the fixed-width surrogate for C4's
+    "three-sentence span" unit on corpora without sentence punctuation.
+    Span text is hashed with the shared polynomial (oracle-replayable);
+    one indexed ``transform`` over ``sequence`` builds all spans per
+    row, then one explode — no UDF, no shuffle.
+
+    Documents with zero tokens yield zero spans (NOT a [0,-1]
+    descending ``sequence`` artifact — guarded explicitly)."""
+    toks = df.select(
+        F.col(id_col).alias("id"), whitespace_tokens(F.col(text_col)).alias("_toks")
+    )
+    n_spans = F.ceil(F.size("_toks") / F.lit(span)).cast("int")
+    spans = F.when(F.size("_toks") == 0, F.array().cast(
+        "array<struct<span_idx:int,span_hash:long,n_span_tokens:int>>"
+    )).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_spans - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("span_idx"),
+                token_hash(
+                    F.array_join(F.slice("_toks", i * span + 1, span), " ")
+                ).alias("span_hash"),
+                F.least(F.size("_toks") - i * span, F.lit(span))
+                .cast("int")
+                .alias("n_span_tokens"),
+            ),
+        )
+    )
+    # explode_nonempty, not plain explode: the span array is an EXPENSIVE
+    # derived HOF (per-char polynomial hash of every span) — the inner
+    # form's inferred pre-filter would rebuild it per row below spread()'s
+    # repartition (the benchmark_contamination wart; measured at x1..x100
+    # in bench_runs/r10_scaling_c4.json before keeping this form)
+    return explode_nonempty(toks, ["id"], spans, "s").select(
+        "id", "s.span_idx", "s.span_hash", "s.n_span_tokens"
+    )
+
+
+def line_dedup_stats(
+    df: DataFrame, id_col: str, text_col: str, span: int = 5
+) -> DataFrame:
+    """C4-style line-level exact dedup, corpus-wide keep-first: a span
+    occurrence survives iff it is the FIRST occurrence of its hash in
+    global (doc_id, span_idx) order; later occurrences are the
+    "discard all but one of any repeated span" set. Output per doc:
+    (doc_id, n_spans, n_dup_spans, n_tokens, n_tokens_kept).
+
+    Plan shape / 100 TB posture: the keep-first winner per hash is a
+    packed-BIGINT primitive ``min`` (map-side-combined HashAggregate —
+    the r7 argmin lesson; a window over span_hash would sort-spill),
+    followed by ONE hash-colocated equi-join back onto the occurrence
+    stream and a per-doc HashAggregate. Two shuffles total, both on
+    bounded-width keys; span text never shuffles (only 31-bit hashes),
+    and doc order never matters past the pack."""
+    s = line_spans(df, id_col, text_col, span)
+    # tighter than _pack_id_guarded: after the 2^20 span shift the id must
+    # fit in 63-20 bits or the pack overflows BIGINT and corrupts min()
+    id_ok = (F.col("id") >= 0) & (F.col("id") < F.lit(1 << (63 - _SPAN_IDX_BITS)))
+    safe_id = F.when(id_ok, F.col("id")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"line-dedup pack id outside [0, 2^{63 - _SPAN_IDX_BITS}): "),
+                F.col("id").cast("string"),
+            )
+        )
+    )
+    packed = safe_id * F.lit(1 << _SPAN_IDX_BITS) + F.col("span_idx")
+    occ = s.withColumn("_packed", packed)
+    keepers = occ.groupBy("span_hash").agg(F.min("_packed").alias("_keeper"))
+    return (
+        occ.join(keepers, "span_hash")
+        .withColumn("_kept", F.col("_packed") == F.col("_keeper"))
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(~F.col("_kept"), 1).otherwise(0)).alias("n_dup_spans"),
+            F.sum("n_span_tokens").alias("n_tokens"),
+            F.sum(F.when(F.col("_kept"), F.col("n_span_tokens")).otherwise(0)).alias(
+                "n_tokens_kept"
+            ),
+        )
+    )

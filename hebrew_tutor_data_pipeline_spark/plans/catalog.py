@@ -1111,6 +1111,52 @@ def streaming_clicks_in_purchase_windows(spark: SparkSession, sf_dir: str) -> Da
 
 
 @_register(
+    "streaming_user_clicks_purchase_windows",
+    # Ground truth: the batch user-keyed range join — full stream replay
+    # must reproduce the identical pair set.
+    oracle="""
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+""",
+    tags=("T1", "T4", "J7", "scale"),
+)
+def streaming_user_clicks_purchase_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """USER-KEYED stream-stream interval join — the scale form of
+    streaming_clicks_in_purchase_windows (see that entry and
+    streaming.joins): the unkeyed pair output is ∝ rate² by semantics,
+    this one's is linear (per-user rates bounded). user_id rides the
+    equality key next to the time bin, so state partitioning and the
+    join hash both gain the high-cardinality key; watermarks bound
+    state lifetime exactly as in the unkeyed form."""
+    from ..streaming.joins import clicks_in_purchase_windows_stream
+    from ..streaming.sources import (
+        events_parquet_stream,
+        run_available_now_to_parquet,
+        scratch_key_for,
+    )
+
+    ev = events_parquet_stream(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = events_parquet_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = clicks_in_purchase_windows_stream(
+        clicks, purchases, window_seconds=3600, watermark="10 minutes",
+        key_cols=("user_id",),
+    )
+    return run_available_now_to_parquet(
+        joined,
+        scratch_key=scratch_key_for(sf_dir) + "_keyed",
+        output_mode="append",
+        query_name="user_clicks_purchase_join_stream",
+    )
+
+
+@_register(
     "event_conversion_funnel",
     # Ordered conversion funnel (view → click → purchase, strict
     # temporal chaining per user): step k counts users whose earliest
@@ -1906,6 +1952,45 @@ def clicks_in_purchase_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicks, purchases, "cts", "iv_start", "iv_end", bin_width=3600.0
     )
     return joined.select("click_id", "purchase_id")
+
+
+@_register(
+    "user_clicks_in_purchase_windows",
+    oracle="""
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+""",
+    tags=("J7", "scale"),
+    bench=True,
+)
+def user_clicks_in_purchase_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The USER-KEYED J7 interval pair join — each click matches only
+    its own user's purchase windows. This is the form that survives a
+    density-growing stream: the unkeyed twin's output is ∝ rate² BY
+    SEMANTICS (every click × every concurrent purchase — measured r10:
+    ~5·10⁸ pairs at x30, bench_runs/r10_scaling_events*.json), while
+    per-user rates are bounded, so the keyed output and join fan-out
+    grow linearly. Same binned equi-join plan, with user_id added to
+    the hash key (bin skew disappears into the key as a bonus)."""
+    ev = T(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("iv_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("iv_end"),
+    )
+    joined = intervals.point_in_interval_join(
+        clicks, purchases, "cts", "iv_start", "iv_end",
+        bin_width=3600.0, keys=("user_id",),
+    )
+    return joined.select("user_id", "click_id", "purchase_id")
 
 
 @_register(

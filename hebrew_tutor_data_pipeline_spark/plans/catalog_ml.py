@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import hebrew, text
+from ..functions import hebrew, text, urls
 from ..sources.readers import spread
 from ..operators import alignment, ann, dedup
 from .catalog import CATALOG, T, _register
@@ -4086,4 +4086,160 @@ def schema_drift_conform(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conform_schema(
         drifted,
         "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+
+
+# ===========================================================================
+# C4-style curation stages (Raffel et al., JMLR 2020 §2.2): line-level
+# exact dedup + URL canonicalization/dedup
+# ===========================================================================
+
+#: C4's dedup unit is a three-SENTENCE span; this corpus has no sentence
+#: punctuation, so the unit is a fixed 5-token segment — same role
+#: (sub-document exact dedup), punctuation-free surrogate.
+_LINE_SPAN = 5
+
+_LINE_SPANS_SQL = f"""
+WITH t AS (
+    SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+    WHERE len({_TOKENS_SQL}) >= 1
+), g AS (
+    SELECT doc_id,
+           [{{'si': i,
+              'h': {_sql_token_hash(f"list_aggr(toks[i*{_LINE_SPAN}+1:(i+1)*{_LINE_SPAN}], 'string_agg', ' ')")},
+              'nt': len(toks[i*{_LINE_SPAN}+1:(i+1)*{_LINE_SPAN}])}}
+            for i in range(0, (len(toks)+{_LINE_SPAN - 1})//{_LINE_SPAN})] AS spans
+    FROM t
+), s AS (
+    SELECT doc_id, unnest(spans, recursive := true) FROM g
+)
+"""
+
+
+@_register(
+    "line_dedup_stats",
+    oracle=f"""
+{_LINE_SPANS_SQL},
+m AS (
+    SELECT h, min(doc_id * {1 << 20} + si) AS keeper FROM s GROUP BY h
+),
+j AS (
+    SELECT s.doc_id, s.nt, (s.doc_id * {1 << 20} + s.si = m.keeper) AS kept
+    FROM s JOIN m USING (h)
+)
+SELECT doc_id,
+       count(*) AS n_spans,
+       CAST(count(*) FILTER (NOT kept) AS BIGINT) AS n_dup_spans,
+       CAST(sum(nt) AS BIGINT) AS n_tokens,
+       CAST(coalesce(sum(nt) FILTER (kept), 0) AS BIGINT) AS n_tokens_kept
+FROM j GROUP BY doc_id
+""",
+    tags=("dedup", "curation", "c4", "scale"),
+    bench=True,
+)
+def line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level exact dedup over the corpus (Raffel et al.,
+    JMLR 2020 §2.2 "discard all but one of any three-sentence span
+    occurring more than once" — 5-token segments standing in for
+    sentences on this punctuation-free corpus), keep-FIRST in global
+    (doc_id, span_idx) order. Per doc: span/dup-span/token counts and
+    the token count surviving dedup.
+
+    Plan shape / 100 TB posture: span hashes (31-bit longs, never the
+    text) are the only corpus-wide payload; the keep-first winner is a
+    packed-BIGINT primitive min (map-side combined), then one
+    hash-colocated join + per-doc HashAggregate — two bounded-key
+    shuffles, no window sort, no driver state. The reference's
+    curation has no sub-document dedup; this extends the same
+    training-data surface as duplicate_token_spans (which catches
+    ARBITRARY-offset repeats; line dedup is the cheap aligned tier
+    C4 actually ships)."""
+    d = spread(T(spark, sf_dir, "documents")).filter(
+        text.whitespace_token_count(F.col("text")) >= 1
+    )
+    return dedup.line_dedup_stats(d, "doc_id", "text", span=_LINE_SPAN)
+
+
+#: Deterministic messy-URL synthesis: the corpus has no URL column, so
+#: the entry DERIVES one per document from doc_id — ten docs
+#: share each logical page, each arriving under a different real-world
+#: variant (case, www, default port, dup/trailing slashes, tracking
+#: params, fragments, query order). Both engines replay the identical
+#: construction, so the canonicalizer's rule chain — not the synthesis —
+#: is what the value hash gates.
+_URL_VARIANTS_SPARK = None  # built inline in url_dedup_keep_newest
+
+
+def _url_raw_sql() -> str:
+    g = "CAST(doc_id // 10 AS VARCHAR)"
+    base = f"'https://example.com/docs/' || {g}"
+    return f"""CASE doc_id % 10
+  WHEN 0 THEN {base}
+  WHEN 1 THEN 'HTTPS://EXAMPLE.COM/docs/' || {g}
+  WHEN 2 THEN 'https://www.example.com/docs/' || {g}
+  WHEN 3 THEN 'https://example.com:443/docs/' || {g}
+  WHEN 4 THEN {base} || '/'
+  WHEN 5 THEN 'https://example.com//docs//' || {g}
+  WHEN 6 THEN {base} || '?utm_source=feed&utm_campaign=spring'
+  WHEN 7 THEN {base} || '#section-2'
+  WHEN 8 THEN {base} || '?page=2&lang=he'
+  ELSE {base} || '?lang=he&page=2&utm_medium=email'
+END"""
+
+
+@_register(
+    "url_dedup_keep_newest",
+    oracle=f"""
+WITH u AS (
+    SELECT doc_id, {_url_raw_sql()} AS raw_url FROM documents
+), c AS (
+    SELECT doc_id, {urls.sql_canonicalize_url('raw_url')} AS canonical_url FROM u
+)
+SELECT canonical_url,
+       max(doc_id) AS kept_doc_id,
+       count(*) AS n_variants
+FROM c GROUP BY canonical_url
+""",
+    tags=("dedup", "curation", "c4", "urls", "scale"),
+    bench=True,
+)
+def url_dedup_keep_newest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + per-URL keep-newest dedup (C4 / CCNet's
+    URL-level dedup; Raffel et al. 2020, Wenzek et al. 2020): messy
+    real-world URL variants (case, www, default port, duplicate and
+    trailing slashes, utm_*/gclid tracking params, fragments, reordered
+    query strings) collapse to one canonical form per page, and the
+    newest arrival (doc_id as the recency proxy — this corpus has no
+    crawl timestamp) is kept with a variant count.
+
+    Plan shape / 100 TB posture: canonicalization is a map-only JVM
+    regexp/array-HOF chain at scan speed (functions/urls.py — no UDF,
+    no shuffle); the dedup itself is ONE groupBy on the canonical key
+    with primitive max/count (map-side combined). Variants 8/9 keep
+    real query params in different orders — the sorted-rejoin path is
+    exercised, and those pages form their own canonical group."""
+    d = T(spark, sf_dir, "documents")
+    g = F.expr("CAST(doc_id div 10 AS STRING)")
+    base = F.concat(F.lit("https://example.com/docs/"), g)
+    v = F.pmod("doc_id", F.lit(10))
+    raw = (
+        F.when(v == 0, base)
+        .when(v == 1, F.concat(F.lit("HTTPS://EXAMPLE.COM/docs/"), g))
+        .when(v == 2, F.concat(F.lit("https://www.example.com/docs/"), g))
+        .when(v == 3, F.concat(F.lit("https://example.com:443/docs/"), g))
+        .when(v == 4, F.concat(base, F.lit("/")))
+        .when(v == 5, F.concat(F.lit("https://example.com//docs//"), g))
+        .when(v == 6, F.concat(base, F.lit("?utm_source=feed&utm_campaign=spring")))
+        .when(v == 7, F.concat(base, F.lit("#section-2")))
+        .when(v == 8, F.concat(base, F.lit("?page=2&lang=he")))
+        .otherwise(F.concat(base, F.lit("?lang=he&page=2&utm_medium=email")))
+    )
+    # no spread(): the documented map-only + one-groupBy plan must hold
+    return (
+        d.select(F.col("doc_id"), urls.canonicalize_url(raw).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.max("doc_id").alias("kept_doc_id"),
+            F.count(F.lit(1)).alias("n_variants"),
+        )
     )

@@ -28,21 +28,32 @@ def clicks_in_purchase_windows_stream(
     purchases: DataFrame,
     window_seconds: int = 3600,
     watermark: str = "10 minutes",
+    key_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Join each click to every purchase whose [ts, ts + window]
     interval contains it — on two unbounded streams. Output is
-    (click_id, purchase_id), identical to the batch
+    (*key_cols, click_id, purchase_id), identical to the batch
     `clicks_in_purchase_windows` catalog entry over the same data; each
-    pair emerges once because a click owns exactly one bin."""
+    pair emerges once because a click owns exactly one bin.
+
+    ``key_cols`` adds equality keys (e.g. ``("user_id",)`` — a click
+    matches only ITS user's purchase windows). This is the form that
+    scales: on a density-growing stream the UNKEYED pair count is
+    ∝ rate², inherent to the semantics (measured r10: the unkeyed
+    entry's x30 output hits ~5·10⁸ pairs,
+    bench_runs/r10_scaling_events_streaming.json), while per-key rates
+    stay bounded and the keyed output grows linearly."""
     c = clicks.select(
-        F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+        *key_cols, F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
     ).withWatermark("cts", watermark)
     # epoch_seconds is NTZ-safe (TIMESTAMP_NTZ routes through ltz under
     # the pinned-UTC session tz) so the stream join accepts sources that
     # surface naive timestamps.
     c = c.withColumn("bin", F.floor(epoch_seconds(c, "cts") / window_seconds))
     p = purchases.select(
-        F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+        *[F.col(k).alias(f"_p_{k}") for k in key_cols],
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
     ).withWatermark("pts", watermark)
     p_num = epoch_seconds(p, "pts")
     p = p.withColumn(
@@ -54,12 +65,14 @@ def clicks_in_purchase_windows_stream(
             )
         ),
     )
-    return c.join(
-        p,
+    cond = (
         (c["bin"] == p["bin"])
         & (F.col("cts") >= F.col("pts"))
         & (
             F.col("cts")
             <= F.col("pts") + F.expr(f"INTERVAL {window_seconds} SECONDS")
-        ),
-    ).select("click_id", "purchase_id")
+        )
+    )
+    for k in key_cols:
+        cond = cond & (c[k] == p[f"_p_{k}"])
+    return c.join(p, cond).select(*key_cols, "click_id", "purchase_id")

@@ -68,12 +68,23 @@ def events_parquet_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        # realistic layout: events.parquet is a DIRECTORY of part files
+        # (any multi-writer output); stream it directly — a pathGlobFilter
+        # of 'events.parquet' would match zero part files and the stream
+        # would silently emit nothing (caught by the r10 scaled-events
+        # probe, where every streaming exponent came back flat ~0).
+        stream = spark.readStream.schema(schema).parquet(path)
+    else:
+        # flat single-file layout (the driver's testdata): a file source
+        # needs a directory path, so stream the parent with a glob pin.
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     ts_type = dict(stream.dtypes).get("ts")
     if ts_type == "bigint":  # parquet TIMESTAMP(NANOS) via nanosAsLong
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))

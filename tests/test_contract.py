@@ -134,6 +134,34 @@ def test_heavy_filter_allowlist_names_real_queries():
     assert not unknown, f"allowlisted names not in the catalog: {unknown}"
 
 
+def test_plan_shape_contract_names_and_snapshot():
+    """The plan-shape gate's adjudicated BNLJ entries must name real
+    catalog queries, and the committed snapshot must cover every
+    non-streaming entry (a new entry without a snapshot row means
+    `--shape --update` wasn't re-run — its shuffle count is unpinned)."""
+    import json as _json
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    tools = _Path(__file__).resolve().parents[1] / "tools"
+    _sys.path.insert(0, str(tools))
+    from explain_audit import _NONEQUI_JOIN_ALLOWED, _SHAPE_SNAPSHOT
+
+    unknown = set(_NONEQUI_JOIN_ALLOWED) - set(entry_mod.queries())
+    assert not unknown, f"adjudicated BNLJ names not in the catalog: {unknown}"
+
+    snap = _json.loads(_SHAPE_SNAPSHOT.read_text())
+    expected = {n for n in entry_mod.queries() if not n.startswith("streaming_")}
+    missing = expected - set(snap)
+    assert not missing, (
+        f"catalog entries missing from plan_shape_snapshot.json (run "
+        f"tools/explain_audit.py --shape --update and adjudicate): {missing}"
+    )
+    # snapshot sanity: no entry was pinned WITH a CartesianProduct
+    carts = {n for n, s in snap.items() if s.get("cartesian")}
+    assert not carts, f"snapshot contains CartesianProduct plans: {carts}"
+
+
 @pytest.fixture(scope="module")
 def oracle_con():
     con = duckdb.connect()

@@ -1830,3 +1830,123 @@ class TestLocalFirstScanProperty:
             for sub, name, where, ls, rs in layout
         )
         assert got == want, (layout, got, want)
+
+
+class TestUrlCanonicalizationProperties:
+    """functions.urls.canonicalize_url vs an INDEPENDENT pure-Python
+    canonicalizer built on urllib.parse — same rule list, different
+    machinery (the regexp chain never appears here), so a rule encoded
+    wrongly in the Spark expressions cannot hide behind its oracle twin
+    (which replays the same regexes)."""
+
+    @staticmethod
+    def _py_canonicalize(url: str) -> str:
+        from urllib.parse import urlsplit
+
+        parts = urlsplit(url)  # also drops the fragment for us
+        scheme = parts.scheme.lower()
+        host = parts.netloc.lower()
+        if host.startswith("www."):
+            host = host[4:]
+        if scheme == "http" and host.endswith(":80"):
+            host = host[: -len(":80")]
+        elif scheme == "https" and host.endswith(":443"):
+            host = host[: -len(":443")]
+        path = parts.path
+        while "//" in path:
+            path = path.replace("//", "/")
+        if path.endswith("/"):
+            path = path[:-1]
+        keep = [
+            p
+            for p in parts.query.split("&")
+            if p
+            and not p.split("=")[0].startswith("utm_")
+            and p.split("=")[0] not in ("gclid", "fbclid", "msclkid", "ref")
+        ]
+        q = "&".join(sorted(keep))
+        return f"{scheme}://{host}{path}" + (f"?{q}" if q else "")
+
+    @SLOW
+    @given(
+        scheme=st.sampled_from(["http", "https", "HTTP", "HTTPS", "Https"]),
+        host=st.sampled_from(
+            ["example.com", "EXAMPLE.com", "www.example.com", "WWW.Sub.Example.COM", "a.b"]
+        ),
+        port=st.sampled_from(["", ":80", ":443", ":8080"]),
+        path=st.sampled_from(
+            ["", "/", "/a", "/a/b", "//a//b", "/a/b/", "/a//b//", "/x.y/z"]
+        ),
+        params=st.lists(
+            st.sampled_from(
+                ["a=1", "b=2", "page=3", "utm_source=x", "utm_medium=y",
+                 "gclid=z", "fbclid=w", "ref=home", "lang=he"]
+            ),
+            min_size=0,
+            max_size=5,
+        ),
+        fragment=st.sampled_from(["", "#top", "#sec-2"]),
+    )
+    def test_matches_python_reference(
+        self, spark, scheme, host, port, path, params, fragment
+    ):
+        from hebrew_tutor_data_pipeline_spark.functions.urls import canonicalize_url
+
+        url = f"{scheme}://{host}{port}{path}"
+        if params:
+            url += "?" + "&".join(params)
+        url += fragment
+        got = (
+            spark.createDataFrame([(url,)], "url string")
+            .select(canonicalize_url(F.col("url")).alias("c"))
+            .collect()[0]["c"]
+        )
+        assert got == self._py_canonicalize(url)
+
+
+class TestLineDedupProperties:
+    """operators.dedup.line_dedup_stats vs a pure-Python keep-first
+    reference keyed on span TEXT (never the engine's hash — the
+    k-gram-collision lesson: a shared hash bug is invisible to any
+    replayed-hash comparison)."""
+
+    @staticmethod
+    def _py_stats(docs: list[str], span: int) -> dict[int, tuple[int, int, int, int]]:
+        seen: set[str] = set()
+        out: dict[int, tuple[int, int, int, int]] = {}
+        for doc_id, text in enumerate(docs):
+            toks = text.split()
+            if not toks:
+                continue
+            n_spans = n_dup = n_tok = n_kept = 0
+            for i in range(0, len(toks), span):
+                seg = " ".join(toks[i : i + span])
+                n_spans += 1
+                n_tok += len(toks[i : i + span])
+                if seg in seen:
+                    n_dup += 1
+                else:
+                    seen.add(seg)
+                    n_kept += len(toks[i : i + span])
+            out[doc_id] = (n_spans, n_dup, n_tok, n_kept)
+        return out
+
+    @SLOW
+    @given(
+        docs=st.lists(texts, min_size=1, max_size=8),
+        span=st.sampled_from([1, 2, 5]),
+    )
+    def test_matches_python_reference(self, spark, docs, span):
+        from hebrew_tutor_data_pipeline_spark.operators.dedup import line_dedup_stats
+
+        # force cross-doc duplicate spans: repeat the list once
+        docs = docs + docs
+        df = spark.createDataFrame(
+            [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+        )
+        rows = line_dedup_stats(df, "doc_id", "text", span=span).collect()
+        got = {
+            r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["n_tokens"], r["n_tokens_kept"])
+            for r in rows
+        }
+        assert got == self._py_stats(docs, span)

@@ -491,9 +491,128 @@ def sweep_heavy_filters(spark, catalog, sf_dir: str) -> list[str]:
     return unexpected
 
 
+#: entries whose static physical plan carries a BroadcastNestedLoopJoin
+#: by DESIGN — every one a bounded-size broadcast side (a literal panel,
+#: threshold grid, or single query block), adjudicated individually.
+#: CartesianProduct has NO allowlist: nothing in the catalog should ever
+#: plan one.
+_NONEQUI_JOIN_ALLOWED: dict[str, tuple[str, int]] = {
+    # (why accepted, max adjudicated BNLJ node count) — the sweep flags
+    # growth past the pinned count, like the heavy-Filter allowlist.
+    # Query panels (bounded row count by construction):
+    "ann_bruteforce_top10": ("10-row query block broadcast, corpus map-side", 1),
+    "ann_pq_top10": ("10-row query block broadcast onto PQ codes", 1),
+    "ann_recall_report": ("query panel in both arms + verdict grid", 3),
+    # 1-row scalar normalizers joined back (count/total/threshold rows):
+    "bm25_keyword_topk": ("1-row corpus stats (N, avgdl) broadcast", 1),
+    "bm25_prf_rerank": ("corpus stats rows across the two retrieval passes", 3),
+    "hybrid_rrf_fusion": ("corpus stats rows across both fusion arms", 3),
+    "retrieval_hard_negatives": ("corpus stats rows across composed retrieval arms", 5),
+    "corpus_mixture_plan": ("1-row temperature normalizer per mixture arm", 2),
+    "corpus_mixture_upsample": ("1-row temperature normalizer per mixture arm", 2),
+    "distinct_dimensions": ("cross of single-row distinct-count aggregates", 2),
+    "doc_lm_perplexity": ("1-row vocab-total normalizer broadcast", 1),
+    "dsir_importance_select": ("1-row gram-total normalizers (target + corpus)", 2),
+    "event_conversion_funnel": ("1-row step counters c0..c3 crossed into 3 output rows", 9),
+    "jaccard_token_pairs": ("1-row derived df-cap threshold broadcast", 2),
+    "jaccard_token_pairs_capped": ("1-row derived df-cap threshold broadcast", 2),
+    "part_basket_lift": ("1-row basket-total denominator broadcast", 1),
+    # Calendar-bounded distinct-day theta join (days, not rows, bound it):
+    "orders_containing_shipdate": ("distinct-day sets theta-joined within 3 days", 1),
+    # 4-row threshold grids theta-joined (jaccard >= threshold)
+    "dedup_recall_report": ("4-row threshold grid theta-join", 2),
+    "quality_cutoff_calibration": ("bounded cutoff grid theta-join", 2),
+}
+
+_SHAPE_SNAPSHOT = Path(__file__).resolve().parent / "plan_shape_snapshot.json"
+
+
+def plan_shape(plan: str) -> dict:
+    """Shape metrics from a static physical-plan string: shuffle
+    Exchange count (BroadcastExchange excluded — broadcasts are the
+    CHEAP alternative the audit wants), BroadcastNestedLoopJoin count,
+    CartesianProduct count."""
+    ex = bnlj = cart = 0
+    for line in plan.splitlines():
+        ls = line.strip().lstrip("+-*: ").lstrip("( ")
+        if ls.startswith("Exchange"):
+            ex += 1
+        elif ls.startswith("BroadcastNestedLoopJoin"):
+            bnlj += 1
+        elif ls.startswith("CartesianProduct"):
+            cart += 1
+    return {"exchanges": ex, "bnlj": bnlj, "cartesian": cart}
+
+
+def sweep_plan_shape(spark, catalog, sf_dir: str, update: bool = False) -> list[str]:
+    """Pin every entry's static plan shape: no unexpected
+    CartesianProduct / BroadcastNestedLoopJoin anywhere, and the
+    per-entry shuffle-Exchange count matches the committed snapshot
+    (tools/plan_shape_snapshot.json) — a new Exchange in a plan is a
+    silent extra shuffle at 100 TB and must be re-adjudicated, not
+    discovered in a bench regression. ``update`` rewrites the snapshot
+    (re-adjudication) instead of comparing."""
+    import json as _json
+
+    old = (
+        _json.loads(_SHAPE_SNAPSHOT.read_text())
+        if _SHAPE_SNAPSHOT.exists()
+        else {}
+    )
+    new: dict[str, dict] = {}
+    problems: list[str] = []
+    for name, spec in sorted(catalog.items()):
+        if name.startswith("streaming_"):
+            continue  # stream entries execute sinks on build
+        try:
+            plan = spec.spark(spark, sf_dir)._jdf.queryExecution().sparkPlan().toString()
+        except Exception as exc:  # noqa: BLE001 — report, keep sweeping
+            problems.append(f"{name}: PLAN BUILD ERROR {str(exc)[:120]}")
+            continue
+        shape = plan_shape(plan)
+        new[name] = shape
+        if shape["cartesian"]:
+            problems.append(f"{name}: {shape['cartesian']} CartesianProduct node(s)")
+        if shape["bnlj"]:
+            if name not in _NONEQUI_JOIN_ALLOWED:
+                problems.append(
+                    f"{name}: {shape['bnlj']} BroadcastNestedLoopJoin node(s), not adjudicated"
+                )
+            else:
+                why, max_bnlj = _NONEQUI_JOIN_ALLOWED[name]
+                if shape["bnlj"] > max_bnlj:
+                    problems.append(
+                        f"{name}: {shape['bnlj']} BNLJ nodes exceed the {max_bnlj}"
+                        f" adjudicated ({why})"
+                    )
+        if not update and name in old and old[name]["exchanges"] != shape["exchanges"]:
+            problems.append(
+                f"{name}: shuffle-Exchange count {shape['exchanges']} != snapshot"
+                f" {old[name]['exchanges']} — re-adjudicate (--shape --update)"
+            )
+        if not update and name not in old:
+            problems.append(f"{name}: not in plan-shape snapshot — run --shape --update")
+    if update:
+        _SHAPE_SNAPSHOT.write_text(_json.dumps(new, indent=1, sort_keys=True))
+    return problems
+
+
 def main() -> int:
     from hebrew_tutor_data_pipeline_spark.plans import CATALOG
     from hebrew_tutor_data_pipeline_spark.session import get_spark
+
+    if "--shape" in sys.argv:
+        spark = get_spark("explain-audit")
+        spark.sparkContext.setLogLevel("ERROR")
+        problems = sweep_plan_shape(spark, CATALOG, SF_DIR, update="--update" in sys.argv)
+        for p in problems:
+            print(f"PLAN-SHAPE {p}")
+        print(
+            f"{len(problems)} plan-shape problems"
+            f" ({len(_NONEQUI_JOIN_ALLOWED)} adjudicated BNLJ entries)"
+        )
+        spark.stop()
+        return 1 if problems else 0
 
     if "--filters" in sys.argv:
         spark = get_spark("explain-audit")

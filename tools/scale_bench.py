@@ -111,6 +111,17 @@ def docs_count(spark, sf_dir: str) -> int:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
 
 
+def events_count(spark, sf_dir: str) -> int:
+    """Events-axis size for the scaled-events family (r10): in the
+    regenerated x{K} trees BOTH documents and events grow ∝ K, so the
+    log-log exponent fitted against n_docs is identical to one fitted
+    against n_events — this is recorded so the report shows the real
+    axis for event-shaped probes."""
+    import os
+
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
+
+
 def fit_exponent(points: list[tuple[float, float]]) -> float | None:
     """Least-squares slope of log(t) vs log(n) over (n, seconds) points."""
     pts = [(n, t) for n, t in points if t and t > 0]
@@ -166,6 +177,10 @@ def main() -> int:
         label = Path(d).name
         n_docs = docs_count(spark, d)
         report["dirs"][label] = {"path": d, "n_docs": n_docs}
+        try:
+            report["dirs"][label]["n_events"] = events_count(spark, d)
+        except Exception:  # noqa: BLE001 — events are optional in a tree
+            pass
         seen = set(stage_metrics(ui)) if ui else set()
         runnables = [(n, CATALOG[n].spark) for n in queries if n in CATALOG]
         runnables += [
