@@ -111,12 +111,16 @@ def terminal_jobs_tws(
     twin (a TTL'd state or registered timer is the TWS spelling when
     needed).
 
-    ENVIRONMENT GATE: the TWS state protocol needs ``protobuf``
-    (``pyspark.sql.streaming.proto``), which this build environment
-    does not ship — so the operator is complete and equivalence-tested
-    where protobuf exists (tests/test_streaming.py skips otherwise),
-    while the driver-gated catalog entry stays on the
-    ``applyInPandasWithState`` form that runs everywhere."""
+    STATUS: DOCUMENTED EXPERIMENT, not a catalog code path. The TWS
+    state protocol needs ``protobuf`` (``pyspark.sql.streaming.proto``),
+    which this build environment does not ship and may not install — so
+    the equivalence test (tests/test_streaming.py) has NEVER executed
+    here and this function is outside the tested engine surface. The
+    catalog's T3 carrier is, and stays, the ``applyInPandasWithState``
+    form (terminal_jobs_stream), which runs and is hash-gated
+    everywhere. Promote this to the catalog only after the test
+    executes on a protobuf-equipped environment (r10 decision,
+    VERDICT r09 'Next round' #5)."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
