@@ -401,6 +401,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    cache_hashed: bool | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
 
@@ -421,9 +422,13 @@ def minhash_lsh_pairs(
     plan. The verify now ships the 31-bit HASHED shingle arrays
     (~3× lighter than the trigram strings) through the same two
     equi-joins; the two corpus-side subtrees are identical, so AQE
-    reuses one exchange. Measured at x1..x100
-    (bench_runs/r10_scaling_minhash_rework.json): x100 wall 70→51.6 s,
-    spill 54 MB→zero at every scale, exponent 0.81→0.712.
+    reuses one exchange when both sides shuffle — and when AQE
+    broadcasts every join instead (all measured scales), the gated
+    cache below computes the hashed arrays once. Measured at x1..x100:
+    x100 wall 70→51.6 s (hashed-join rework,
+    bench_runs/r10_scaling_minhash_rework.json) →40.3 s (gated cache,
+    r10_scaling_minhash_cached.json, exponent 0.42), spill 54 MB→zero
+    at every scale.
     An explode-into-probe-rows + min_by/max_by
     regroup variant was MEASURED WORSE (133 s / 26 GB spill at x100 —
     the object-aggregate sort fallback over array payloads, the same
@@ -441,6 +446,24 @@ def minhash_lsh_pairs(
         "id",
         F.array_distinct(F.transform("shingles", token_hash)).alias("th"),
     )
+    # The hashed shingle arrays feed FOUR plan subtrees (both sides of
+    # the banding self-join via sigs, both sides of the verify join),
+    # and AQE broadcasts every join here at every measured scale — so
+    # there is never a shuffle-exchange pair for ReuseExchange to
+    # collapse and the per-char polynomial hashing (the dominant cost)
+    # runs 4x. Scale-conditional eager cache, same discipline and
+    # threshold as pagerank_neardup_graph's fps cache: the persist +
+    # count costs fixed seconds that dominate small corpora, and saves
+    # three corpus-wide shingle folds where the fold dominates
+    # (measured r10: x100 51.6 s -> 40.3 s, exponent 0.712 -> 0.42,
+    # bench_runs/r10_scaling_minhash_cached.json). cache_hashed=None
+    # decides from a corpus count; panel-sized callers pass False to
+    # skip even the count. Plain lineage-intact cache — evictable.
+    if cache_hashed is None:
+        cache_hashed = df.count() >= 100_000
+    if cache_hashed:
+        hashed = hashed.persist()
+        hashed.count()
     sigs = hashed.select("id", _sig_over_hashes(F.col("th"), num_hashes).alias("sig"))
     banded = sigs.select(
         "id", F.explode(_banded_sig_structs(rows_per_band, bands)).alias("bb")

@@ -671,7 +671,8 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify — sits under the value-hash gate."""
     d = spread(T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200))
     return dedup.minhash_lsh_pairs(
-        d, "doc_id", "text", n=2, num_hashes=32, bands=8, threshold=0.2
+        d, "doc_id", "text", n=2, num_hashes=32, bands=8, threshold=0.2,
+        cache_hashed=False,  # 200-doc panel: skip even the gating count
     )
 
 
@@ -4025,7 +4026,8 @@ def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", n=2, threshold=0.2, max_shingle_freq=None
     )
     cand = dedup.minhash_lsh_pairs(
-        d, "doc_id", "text", n=2, num_hashes=32, bands=8, threshold=0.2
+        d, "doc_id", "text", n=2, num_hashes=32, bands=8, threshold=0.2,
+        cache_hashed=False,  # evaluation panel: skip even the gating count
     )
     th = spark.createDataFrame([(0.2,), (0.4,), (0.6,), (0.8,)], "threshold double")
     tn = (
