@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from ..functions import hebrew, text, urls
 from ..sources.readers import spread
 from ..operators import alignment, ann, dedup
+from ..operators import membership as membership_mod
 from .catalog import CATALOG, T, _register
 
 HASH_MOD = dedup.HASH_MOD
@@ -4172,6 +4173,26 @@ def line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _URL_VARIANTS_SPARK = None  # built inline in url_dedup_keep_newest
 
 
+def _url_raw_spark():
+    """Spark twin of :func:`_url_raw_sql` — the deterministic messy-URL
+    synthesis over ``doc_id`` shared by every URL-surface entry."""
+    g = F.expr("CAST(doc_id div 10 AS STRING)")
+    base = F.concat(F.lit("https://example.com/docs/"), g)
+    v = F.pmod("doc_id", F.lit(10))
+    return (
+        F.when(v == 0, base)
+        .when(v == 1, F.concat(F.lit("HTTPS://EXAMPLE.COM/docs/"), g))
+        .when(v == 2, F.concat(F.lit("https://www.example.com/docs/"), g))
+        .when(v == 3, F.concat(F.lit("https://example.com:443/docs/"), g))
+        .when(v == 4, F.concat(base, F.lit("/")))
+        .when(v == 5, F.concat(F.lit("https://example.com//docs//"), g))
+        .when(v == 6, F.concat(base, F.lit("?utm_source=feed&utm_campaign=spring")))
+        .when(v == 7, F.concat(base, F.lit("#section-2")))
+        .when(v == 8, F.concat(base, F.lit("?page=2&lang=he")))
+        .otherwise(F.concat(base, F.lit("?lang=he&page=2&utm_medium=email")))
+    )
+
+
 def _url_raw_sql() -> str:
     g = "CAST(doc_id // 10 AS VARCHAR)"
     base = f"'https://example.com/docs/' || {g}"
@@ -4221,27 +4242,164 @@ def url_dedup_keep_newest(spark: SparkSession, sf_dir: str) -> DataFrame:
     real query params in different orders — the sorted-rejoin path is
     exercised, and those pages form their own canonical group."""
     d = T(spark, sf_dir, "documents")
-    g = F.expr("CAST(doc_id div 10 AS STRING)")
-    base = F.concat(F.lit("https://example.com/docs/"), g)
-    v = F.pmod("doc_id", F.lit(10))
-    raw = (
-        F.when(v == 0, base)
-        .when(v == 1, F.concat(F.lit("HTTPS://EXAMPLE.COM/docs/"), g))
-        .when(v == 2, F.concat(F.lit("https://www.example.com/docs/"), g))
-        .when(v == 3, F.concat(F.lit("https://example.com:443/docs/"), g))
-        .when(v == 4, F.concat(base, F.lit("/")))
-        .when(v == 5, F.concat(F.lit("https://example.com//docs//"), g))
-        .when(v == 6, F.concat(base, F.lit("?utm_source=feed&utm_campaign=spring")))
-        .when(v == 7, F.concat(base, F.lit("#section-2")))
-        .when(v == 8, F.concat(base, F.lit("?page=2&lang=he")))
-        .otherwise(F.concat(base, F.lit("?lang=he&page=2&utm_medium=email")))
-    )
     # no spread(): the documented map-only + one-groupBy plan must hold
     return (
-        d.select(F.col("doc_id"), urls.canonicalize_url(raw).alias("canonical_url"))
+        d.select(F.col("doc_id"), urls.canonicalize_url(_url_raw_spark()).alias("canonical_url"))
         .groupBy("canonical_url")
         .agg(
             F.max("doc_id").alias("kept_doc_id"),
             F.count(F.lit(1)).alias("n_variants"),
         )
+    )
+
+
+# ===========================================================================
+# Bloom-filter approximate membership (incremental-crawl URL-seen set)
+# ===========================================================================
+
+#: deterministic 80/20-ish page split by GROUP so both outcome classes
+#: exist: canonical groups with (doc_id//10) % 4 == 0 are BATCH-ONLY
+#: (genuinely new pages — the false-positive test population), groups
+#: % 4 == 1 appear in BOTH (true positives), groups % 4 in (2,3) are
+#: index-only.
+_BLOOM_INDEX_PRED = "(doc_id // 10) % 4 <> 0"      # DuckDB spelling
+_BLOOM_BATCH_PRED = "(doc_id // 10) % 4 <= 1"
+_BLOOM_INDEX_PRED_SPARK = "(doc_id div 10) % 4 <> 0"  # Spark SQL spelling
+_BLOOM_BATCH_PRED_SPARK = "(doc_id div 10) % 4 <= 1"
+
+_BLOOM_SQL_BASE = f"""
+WITH u AS (
+    SELECT doc_id, {urls.sql_canonicalize_url(_url_raw_sql())} AS curl FROM documents
+), idx AS (
+    SELECT DISTINCT curl FROM u WHERE {_BLOOM_INDEX_PRED}
+), mm AS (
+    SELECT greatest(64, {membership_mod.BITS_PER_KEY} * count(*)) AS m FROM idx
+), bits AS (
+    SELECT DISTINCT unnest(__POS_IDX__) AS pos FROM idx CROSS JOIN mm
+), probes AS (
+    SELECT DISTINCT curl AS key FROM u WHERE {_BLOOM_BATCH_PRED}
+), p2 AS (
+    SELECT key, unnest(__POS_KEY__) AS pos FROM probes CROSS JOIN mm
+), probed AS (
+    SELECT p2.key, count(b.pos) = {membership_mod.NUM_HASHES} AS maybe_seen
+    FROM p2 LEFT JOIN bits b USING (pos)
+    GROUP BY p2.key
+)
+"""
+
+
+def _bloom_sql(select: str) -> str:
+    # m rides in as a CROSS JOINed column — DuckDB forbids subqueries
+    # inside lambda bodies, a plain column is fine
+    pos_idx = membership_mod.sql_bloom_positions("curl", "m")
+    pos_key = membership_mod.sql_bloom_positions("key", "m")
+    return (
+        _BLOOM_SQL_BASE.replace("__POS_IDX__", pos_idx).replace("__POS_KEY__", pos_key)
+        + select
+    )
+
+
+@_register(
+    "bloom_url_membership",
+    oracle=_bloom_sql("SELECT key AS canonical_url, maybe_seen FROM probed"),
+    tags=("dedup", "membership", "bloom", "incremental", "urls", "scale"),
+    bench=True,
+)
+def bloom_url_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter URL-seen probe (Bloom, CACM 1970;
+    Kirsch/Mitzenmacher 2006 double hashing) — the incremental-crawl
+    front gate: a new batch of canonicalized URLs asks "ever indexed?"
+    against the standing corpus WITHOUT shipping the corpus's key set.
+    maybe_seen=false is exact (no false negatives); true is approximate
+    at ~0.8% theoretical FPR (10 bits/key, k=7, both derived from the
+    index count in-plan and replayed by the oracle).
+
+    Plan shape / 100 TB posture: the filter's set bits are a
+    distributed int-position table (explode + distinct, ∝ 7·n rows of
+    one BIGINT), the probe is explode + semi-style left join + per-key
+    count==k — int-only shuffles, no key strings past the first
+    projection, no driver-side bitmap. Composes the urls.py
+    canonicalizer, so scheme/www/port/tracking variants of an indexed
+    page correctly test as SEEN."""
+    from ..operators import membership
+
+    u = T(spark, sf_dir, "documents").select(
+        "doc_id", urls.canonicalize_url(_url_raw_spark()).alias("curl")
+    )
+    idx = u.filter(F.expr(_BLOOM_INDEX_PRED_SPARK)).select("curl").distinct()
+    batch = u.filter(F.expr(_BLOOM_BATCH_PRED_SPARK)).select("curl")
+    m = membership.bloom_m_for(idx.count())
+    return membership.bloom_membership(batch, idx, "curl", m).select(
+        F.col("key").alias("canonical_url"), "maybe_seen"
+    )
+
+
+@_register(
+    "bloom_fpr_certificate",
+    oracle=_bloom_sql(f"""
+, truth AS (
+    SELECT p.key, p.maybe_seen, (p.key IN (SELECT curl FROM idx)) AS truly_seen
+    FROM probed p
+)
+SELECT (SELECT count(*) FROM idx) AS n_index_keys,
+       count(*) AS n_probes,
+       CAST(count(*) FILTER (truly_seen) AS BIGINT) AS n_truly_seen,
+       CAST(count(*) FILTER (maybe_seen AND NOT truly_seen) AS BIGINT) AS n_false_positive,
+       CAST(count(*) FILTER (NOT maybe_seen AND truly_seen) AS BIGINT) AS n_false_negative,
+       CAST(count(*) FILTER (maybe_seen AND NOT truly_seen) * 1000000
+            // nullif(count(*) FILTER (NOT truly_seen), 0) AS BIGINT) AS fpr_measured_ppm,
+       CAST(round(pow(1 - exp(-{membership_mod.NUM_HASHES}.0 / {membership_mod.BITS_PER_KEY}), {membership_mod.NUM_HASHES}) * 1000000) AS BIGINT) AS fpr_theory_ppm
+FROM truth
+"""),
+    tags=("dedup", "membership", "bloom", "evaluation", "certificate"),
+)
+def bloom_fpr_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom probe's accuracy certificate (the sketch_accuracy /
+    ann_recall discipline applied to membership): exact ground truth by
+    anti/semi join on the canonical key, then counts of true positives,
+    false positives, and — load-bearing — FALSE NEGATIVES, which a
+    correct Bloom filter can NEVER produce (the oracle and every run
+    must show 0; a nonzero value means the hash family or bit table
+    diverged). Measured FPR in integer ppm over the truly-absent
+    population, beside the theoretical (1-e^(-k·n/m))^k at the derived
+    sizing (n/m fixed at 1/10 by construction, so the theory term is a
+    constant both engines compute identically up to a transcendental
+    1-ulp — measure-zero for the 6-figure rounding).
+
+    Scale posture: adds one exact semi-probe (broadcast at panel sizes,
+    int-keyed SMJ at scale) and a single-row aggregate on top of the
+    membership plan."""
+    from ..operators import membership
+
+    u = T(spark, sf_dir, "documents").select(
+        "doc_id", urls.canonicalize_url(_url_raw_spark()).alias("curl")
+    )
+    idx = u.filter(F.expr(_BLOOM_INDEX_PRED_SPARK)).select("curl").distinct()
+    batch = u.filter(F.expr(_BLOOM_BATCH_PRED_SPARK)).select("curl")
+    m = membership.bloom_m_for(idx.count())
+    probed = membership.bloom_membership(batch, idx, "curl", m)
+    truth = probed.join(
+        idx.withColumn("truly_seen", F.lit(True)),
+        probed["key"] == idx["curl"],
+        "left",
+    ).select("key", "maybe_seen", F.coalesce("truly_seen", F.lit(False)).alias("truly_seen"))
+    k, bpk = membership.NUM_HASHES, membership.BITS_PER_KEY
+    theory = F.round(
+        F.pow(F.lit(1.0) - F.exp(F.lit(-float(k) / bpk)), F.lit(k)) * 1_000_000
+    ).cast("long")
+    return truth.agg(
+        F.lit(idx.count()).alias("n_index_keys"),
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(F.when(F.col("truly_seen"), 1).otherwise(0)).alias("n_truly_seen"),
+        F.sum(F.when(F.col("maybe_seen") & ~F.col("truly_seen"), 1).otherwise(0)).alias(
+            "n_false_positive"
+        ),
+        F.sum(F.when(~F.col("maybe_seen") & F.col("truly_seen"), 1).otherwise(0)).alias(
+            "n_false_negative"
+        ),
+        F.expr(
+            "CAST(sum(CASE WHEN maybe_seen AND NOT truly_seen THEN 1 ELSE 0 END) * 1000000"
+            " div nullif(sum(CASE WHEN NOT truly_seen THEN 1 ELSE 0 END), 0) AS BIGINT)"
+        ).alias("fpr_measured_ppm"),
+        theory.alias("fpr_theory_ppm"),
     )

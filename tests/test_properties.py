@@ -1950,3 +1950,59 @@ class TestLineDedupProperties:
             for r in rows
         }
         assert got == self._py_stats(docs, span)
+
+
+class TestBloomMembershipProperties:
+    """operators.membership vs a pure-Python Bloom built from the same
+    published construction (polynomial hashes recomputed from raw
+    codepoints here — not by calling the engine's helpers, so a shared
+    implementation bug surfaces). Pins the two load-bearing guarantees:
+    NO false negative ever, and position replay equality."""
+
+    @staticmethod
+    def _py_positions(key: str, m: int, k: int) -> list[int]:
+        MOD1, B1, MOD2, B2 = 2**31 - 1, 31, 2147483629, 131
+        h1 = h2 = 0
+        for c in key:
+            h1 = (h1 * B1 + ord(c)) % MOD1
+            h2 = (h2 * B2 + ord(c)) % MOD2
+        h1 = (h1 * h1 + 3) % MOD1
+        h2 = ((h2 * h2 + 7) % MOD2) | 1
+        return [(h1 + i * h2) % m for i in range(k)]
+
+    @SLOW
+    @given(
+        index_keys=st.lists(
+            st.text(alphabet="abc/0123", min_size=1, max_size=12),
+            min_size=1, max_size=20, unique=True,
+        ),
+        probe_keys=st.lists(
+            st.text(alphabet="abc/0123", min_size=1, max_size=12),
+            min_size=1, max_size=10, unique=True,
+        ),
+    )
+    def test_no_false_negatives_and_position_replay(self, spark, index_keys, probe_keys):
+        from hebrew_tutor_data_pipeline_spark.operators import membership
+
+        # constants must match the Python reference above — if the
+        # engine's hash family changes, this test must fail loudly
+        from hebrew_tutor_data_pipeline_spark.functions.hashing import (
+            HASH_BASE, HASH_BASE2, HASH_MOD, HASH_MOD2,
+        )
+        assert (HASH_BASE, HASH_MOD, HASH_BASE2, HASH_MOD2) == (31, 2**31 - 1, 131, 2147483629)
+
+        m = membership.bloom_m_for(len(index_keys))
+        idx = spark.createDataFrame([(x,) for x in index_keys], "key string")
+        probes = spark.createDataFrame([(x,) for x in probe_keys], "key string")
+        got = {
+            r["key"]: r["maybe_seen"]
+            for r in membership.bloom_membership(probes, idx, "key", m).collect()
+        }
+        bits = {p for x in index_keys for p in self._py_positions(x, m, membership.NUM_HASHES)}
+        for key in probe_keys:
+            expect = all(
+                p in bits for p in self._py_positions(key, m, membership.NUM_HASHES)
+            )
+            assert got[key] == expect          # exact position replay
+            if key in index_keys:
+                assert got[key] is True        # NEVER a false negative

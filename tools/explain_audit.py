@@ -452,6 +452,10 @@ _HEAVY_FILTER_ALLOWED = {
     # hamming-filter isnotnull duplicates the fingerprint fold once on
     # the 10% batch slice only; no scalar-column pushdown barrier exists
     "incremental_simhash_dedup": ("fold dup limited to the batch slice", 2),
+    # the exact-truth semi-probe's join-key isnotnull duplicates the URL
+    # canonicalize chain (regexp+array HOFs, ~constant work per row) on
+    # the index side — the key must be computed anyway for the join
+    "bloom_fpr_certificate": ("canonical-URL join-key null filter", 2),
 }
 
 
