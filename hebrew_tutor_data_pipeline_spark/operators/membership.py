@@ -136,3 +136,39 @@ def bloom_membership(
     return hit.groupBy("key").agg(
         (F.count("_set") == k).alias("maybe_seen")
     )
+
+
+# ---------------------------------------------------------------------------
+# Shared mixed double-hash family (Bloom positions above, Count-Min rows
+# in operators/freqsketch.py)
+
+def mixed_hash_pair(key: Column) -> tuple[Column, Column]:
+    """The quadratic-mixed (h1, h2) pair behind every position family
+    here: see :func:`bloom_positions` for why raw polynomial chains are
+    NOT enough on structured key families. h2 forced odd."""
+    from ..functions.hashing import HASH_MOD, HASH_MOD2
+
+    h1 = (token_hash(key) * token_hash(key) + F.lit(3)) % F.lit(HASH_MOD)
+    h2 = (
+        (token_hash2(key) * token_hash2(key) + F.lit(7)) % F.lit(HASH_MOD2)
+    ).bitwiseOR(F.lit(1))
+    return h1, h2
+
+
+def sql_mixed_hash_pair(key_expr: str) -> tuple[str, str]:
+    """DuckDB twin of :func:`mixed_hash_pair`."""
+    from ..functions.hashing import HASH_BASE, HASH_BASE2, HASH_MOD, HASH_MOD2
+
+    p1 = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({key_expr}, ''), c -> CAST(greatest(unicode(c), 0) AS BIGINT))), "
+        f"(acc, x) -> (acc * {HASH_BASE} + x) % {HASH_MOD})"
+    )
+    p2 = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({key_expr}, ''), c -> CAST(greatest(unicode(c), 0) AS BIGINT))), "
+        f"(acc, x) -> (acc * {HASH_BASE2} + x) % {HASH_MOD2})"
+    )
+    h1 = f"(({p1} * {p1} + 3) % {HASH_MOD})"
+    h2 = f"((({p2} * {p2} + 7) % {HASH_MOD2}) | 1)"
+    return h1, h2

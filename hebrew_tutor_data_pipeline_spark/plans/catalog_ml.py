@@ -14,6 +14,8 @@ size. Oracle-portability notes:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -21,6 +23,7 @@ from ..functions import hebrew, text, urls
 from ..sources.readers import spread
 from ..operators import alignment, ann, dedup
 from ..operators import membership as membership_mod
+from ..operators import freqsketch as freqsketch_mod
 from .catalog import CATALOG, T, _register
 
 HASH_MOD = dedup.HASH_MOD
@@ -4402,4 +4405,97 @@ def bloom_fpr_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div nullif(sum(CASE WHEN NOT truly_seen THEN 1 ELSE 0 END), 0) AS BIGINT)"
         ).alias("fpr_measured_ppm"),
         theory.alias("fpr_theory_ppm"),
+    )
+
+
+# ===========================================================================
+# Count-Min frequency sketch (approximate token counts + certificate)
+# ===========================================================================
+
+#: deterministic probe panel: the 20 heaviest tokens (exact-count desc,
+#: token asc tiebreak) — where collisions matter most — plus 5 tokens
+#: that do NOT occur, whose estimates expose pure collision mass.
+_CM_ABSENT = ("zzabsent0", "zzabsent1", "zzabsent2", "zzabsent3", "zzabsent4")
+
+
+@_register(
+    "cm_sketch_token_freq",
+    oracle=f"""
+WITH t AS (
+    SELECT unnest({_TOKENS_SQL}) AS token FROM documents
+), ex AS (
+    SELECT token, count(*) AS n FROM t GROUP BY token
+), tot AS (
+    SELECT CAST(sum(n) AS BIGINT) AS total FROM ex
+), cells AS (
+    SELECT n, unnest({freqsketch_mod.sql_cm_positions('token')}, recursive := true) FROM ex
+), sk AS (
+    SELECT r, p, CAST(sum(n) AS BIGINT) AS c FROM cells GROUP BY r, p
+), probes AS (
+    (SELECT token FROM ex ORDER BY n DESC, token LIMIT 20)
+    UNION ALL
+    SELECT unnest({list(_CM_ABSENT)})
+), pc AS (
+    SELECT token, unnest({freqsketch_mod.sql_cm_positions('token')}, recursive := true) FROM probes
+), est AS (
+    SELECT pc.token, min(coalesce(sk.c, 0)) AS cm_estimate
+    FROM pc LEFT JOIN sk USING (r, p) GROUP BY pc.token
+)
+SELECT est.token,
+       coalesce(ex.n, 0) AS exact_count,
+       est.cm_estimate,
+       est.cm_estimate - coalesce(ex.n, 0) AS overestimate,
+       (est.cm_estimate - coalesce(ex.n, 0))
+         <= CAST(ceil(2.718281828459045 * (SELECT total FROM tot) / {freqsketch_mod.WIDTH}) AS BIGINT)
+         AS within_eps
+FROM est LEFT JOIN ex USING (token)
+""",
+    tags=("sketch", "frequency", "cm", "evaluation", "certificate", "scale"),
+    bench=True,
+)
+def cm_sketch_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over the corpus token stream with its accuracy
+    certificate (Cormode & Muthukrishnan 2005): d·w = 4×2048 counters
+    estimate any token's frequency with estimate ≥ exact ALWAYS
+    (overestimate must never go negative — a negative value means the
+    hash replay diverged) and overestimate ≤ ⌈e/w · N⌉ with prob.
+    1−e⁻⁴ per key, reported as within_eps per probe. Probes: the 20
+    heaviest tokens plus 5 never-seen tokens whose estimates expose
+    pure collision mass.
+
+    Plan shape / 100 TB posture: one token-keyed exact aggregate (the
+    certificate's ground truth — production skips it and keeps only
+    the sketch), one explode of d=4 cells per DISTINCT token + a
+    (r,p)-keyed HashAggregate into ≤8192 counter rows, and a probe join
+    that always broadcasts (the sketch is fixed-size BY CONTRACT — the
+    one knob family that must NOT derive from the corpus count: CM
+    trades memory for ε·N absolute error, relative error is
+    size-invariant)."""
+    from ..operators import freqsketch
+
+    toks = T(spark, sf_dir, "documents").select(
+        F.explode(text.whitespace_tokens(F.col("text"))).alias("token")
+    )
+    ex = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    sk = freqsketch.cm_sketch(ex, "token", "n")
+    top = ex.orderBy(F.col("n").desc(), F.col("token")).limit(20).select("token")
+    absent = spark.createDataFrame([(a,) for a in _CM_ABSENT], "token string")
+    probes = top.unionAll(absent)
+    est = freqsketch.cm_estimate(probes, sk, "token")
+    total = ex.agg(F.sum("n")).collect()[0][0] or 0
+    bound = int(math.ceil(2.718281828459045 * total / freqsketch.WIDTH))
+    return (
+        est.join(ex, est["key"] == ex["token"], "left")
+        .select(
+            F.col("key").alias("token"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("exact_count"),
+            "cm_estimate",
+            (F.col("cm_estimate") - F.coalesce(F.col("n"), F.lit(0))).alias(
+                "overestimate"
+            ),
+            (
+                (F.col("cm_estimate") - F.coalesce(F.col("n"), F.lit(0)))
+                <= F.lit(bound)
+            ).alias("within_eps"),
+        )
     )

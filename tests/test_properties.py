@@ -2006,3 +2006,54 @@ class TestBloomMembershipProperties:
             assert got[key] == expect          # exact position replay
             if key in index_keys:
                 assert got[key] is True        # NEVER a false negative
+
+
+class TestCountMinProperties:
+    """operators.freqsketch vs a pure-Python Count-Min built from the
+    published construction with the same hash family recomputed from
+    codepoints. Pins the one-sided guarantee (estimate >= true, always,
+    for every key — not just the probe panel) and exact cell replay."""
+
+    @staticmethod
+    def _py_cells(key: str, w: int, d: int) -> list[tuple[int, int]]:
+        MOD1, B1, MOD2, B2 = 2**31 - 1, 31, 2147483629, 131
+        h1 = h2 = 0
+        for c in key:
+            h1 = (h1 * B1 + ord(c)) % MOD1
+            h2 = (h2 * B2 + ord(c)) % MOD2
+        h1 = (h1 * h1 + 3) % MOD1
+        h2 = ((h2 * h2 + 7) % MOD2) | 1
+        return [(j, (h1 + j * h2) % MOD1 % w) for j in range(d)]
+
+    @SLOW
+    @given(
+        keys=st.lists(
+            st.text(alphabet="abxy", min_size=1, max_size=6),
+            min_size=1, max_size=15,
+        ),
+        w=st.sampled_from([8, 64]),  # tiny widths force real collisions
+    )
+    def test_one_sided_and_replay(self, spark, keys, w):
+        from collections import Counter
+
+        from hebrew_tutor_data_pipeline_spark.operators import freqsketch
+
+        exact = Counter(keys)
+        d = freqsketch.DEPTH
+        ex = spark.createDataFrame(list(exact.items()), "key string, n long")
+        sk = freqsketch.cm_sketch(ex, "key", "n", w=w, d=d)
+        probe_keys = sorted(set(keys) | {"neverseen"})
+        probes = spark.createDataFrame([(x,) for x in probe_keys], "key string")
+        got = {
+            r["key"]: r["cm_estimate"]
+            for r in freqsketch.cm_estimate(probes, sk, "key", w=w, d=d).collect()
+        }
+        # python reference sketch
+        counters: dict[tuple[int, int], int] = {}
+        for key, n in exact.items():
+            for cell in self._py_cells(key, w, d):
+                counters[cell] = counters.get(cell, 0) + n
+        for key in probe_keys:
+            ref = min(counters.get(cell, 0) for cell in self._py_cells(key, w, d))
+            assert got[key] == ref                   # exact cell replay
+            assert got[key] >= exact.get(key, 0)     # one-sided, ALWAYS
