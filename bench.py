@@ -32,6 +32,42 @@ def sf_of(sf_dir: str) -> float:
         return -1.0
 
 
+#: Scale-tier skip list (VERDICT r10 #2): queries whose semantics are
+#: quadratic-by-design truth arms, adjudicated to DIE above the listed
+#: sf — running them there ERRORS the artifact and (r10's disk-full
+#: incident) contaminates neighbor measurements. Each has a measured
+#: production-tier counterpart that DOES run at scale. The skip is
+#: recorded in the output JSON with its adjudication string, so the
+#: artifact is clean evidence instead of evidence-plus-footnotes.
+SCALE_TIER_SKIPS: dict[str, tuple[float, str]] = {
+    "jaccard_token_pairs": (
+        10.0,
+        "exhaustive posting-join truth arm: fills the 75 GB disk at sf10 "
+        "by design (r10_sf10_143q.json); production tier = "
+        "jaccard_token_pairs_capped (10.3 s at sf10)",
+    ),
+    "embedding_near_dup_pairs": (
+        10.0,
+        "exhaustive all-pairs cosine truth arm: kills the JVM at sf10 by "
+        "design; production tier = embedding_near_dup_lsh (12.2 s at sf10)",
+    ),
+    "simhash_hamming_pairs": (
+        10.0,
+        "exploded pair list over equal-fingerprint cliques: the ANSWER "
+        "is ~n² on homogeneous corpora (520.7 s at sf10, adjudicated "
+        "r10); scale tier = simhash_neardup_quotient (multiplicity "
+        "algebra, sum(implied_pairs) == exploded row count) and "
+        "dedup_clusters (components)",
+    ),
+    "streaming_clicks_in_purchase_windows": (
+        10.0,
+        "unkeyed stream-stream interval join: quadratic OUTPUT by "
+        "semantics on a density-growing stream (600 s cap at sf10); "
+        "scale path = streaming_user_clicks_purchase_windows (keyed)",
+    ),
+}
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     only = set(sys.argv[1:])
@@ -121,9 +157,16 @@ def main() -> int:
     # the next with zero source change (the r06 doc_text_stats drift).
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    skipped: dict[str, str] = {}
+    sf = sf_of(sf_dir)
     for name in REGISTRATION_ORDER:
         spec = CATALOG[name]
         if only and name not in only:
+            continue
+        lim = SCALE_TIER_SKIPS.get(name)
+        if lim is not None and sf >= lim[0]:
+            skipped[name] = lim[1]
+            print(f"# {name}: SKIPPED at sf{sf:g} — {lim[1]}", file=sys.stderr)
             continue
         t0 = time.perf_counter()
         try:
@@ -141,10 +184,12 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": sf_of(sf_dir),
+        "sf": sf,
     }
     if errors:
         out["errors"] = errors
+    if skipped:
+        out["scale_tier_skipped"] = skipped
     print(json.dumps(out))
     spark.stop()
     return 0

@@ -401,7 +401,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
-    cache_hashed: bool | None = None,
+    materialize: str | bool | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
 
@@ -422,13 +422,13 @@ def minhash_lsh_pairs(
     plan. The verify now ships the 31-bit HASHED shingle arrays
     (~3× lighter than the trigram strings) through the same two
     equi-joins; the two corpus-side subtrees are identical, so AQE
-    reuses one exchange when both sides shuffle — and when AQE
-    broadcasts every join instead (all measured scales), the gated
-    cache below computes the hashed arrays once. Measured at x1..x100:
-    x100 wall 70→51.6 s (hashed-join rework,
-    bench_runs/r10_scaling_minhash_rework.json) →40.3 s (gated cache,
-    r10_scaling_minhash_cached.json, exponent 0.42), spill 54 MB→zero
-    at every scale.
+    reuses one exchange when both sides shuffle. Measured at x1..x100:
+    x100 wall 70→51.6 s (hashed-join rework, zero spill,
+    bench_runs/r10_scaling_minhash_rework.json; 53.2 s on the r11
+    re-probe). The r10 eager-cache attempt (persist + count) was
+    MEASURED WRONG-TRADE and retired in r11 — see the materialize
+    comment below for the three-variant adjudication
+    (r11_minhash_materialize.json).
     An explode-into-probe-rows + min_by/max_by
     regroup variant was MEASURED WORSE (133 s / 26 GB spill at x100 —
     the object-aggregate sort fallback over array payloads, the same
@@ -448,22 +448,33 @@ def minhash_lsh_pairs(
     )
     # The hashed shingle arrays feed FOUR plan subtrees (both sides of
     # the banding self-join via sigs, both sides of the verify join),
-    # and AQE broadcasts every join here at every measured scale — so
-    # there is never a shuffle-exchange pair for ReuseExchange to
-    # collapse and the per-char polynomial hashing (the dominant cost)
-    # runs 4x. Scale-conditional eager cache, same discipline and
-    # threshold as pagerank_neardup_graph's fps cache: the persist +
-    # count costs fixed seconds that dominate small corpora, and saves
-    # three corpus-wide shingle folds where the fold dominates
-    # (measured r10: x100 51.6 s -> 40.3 s, exponent 0.712 -> 0.42,
-    # bench_runs/r10_scaling_minhash_cached.json). cache_hashed=None
-    # decides from a corpus count; panel-sized callers pass False to
-    # skip even the count. Plain lineage-intact cache — evictable.
-    if cache_hashed is None:
-        cache_hashed = df.count() >= 100_000
-    if cache_hashed:
+    # so the per-char polynomial hashing runs 4x — and every attempt to
+    # compute it once LOSES, measured clean-serial with join-mix and
+    # separated spill/storage metrics at x100
+    # (bench_runs/r11_minhash_materialize.json):
+    #   recompute (False):    53.2 s, zero spill,   238 MB shuffle, BHJ×3
+    #   persist  ("persist"): 69.5 s, 14.2 GB spill, 3.4 GB shuffle, SMJ
+    #   repartition("reuse"): 194 s, 18.9 GB spill, 8.3 GB shuffle, SMJ
+    # Mechanism: ANY materialization replaces the subtree's optimistic
+    # lineage estimate with its real size, and the planner then demotes
+    # the three broadcasts to SortMergeJoins that shuffle AND SORT the
+    # corpus-sized `th` array column — the exact array-payload-through-
+    # heavy-exchange hazard this module documents elsewhere. The r10
+    # eager cache shipped on a 40.3 s wall win while its own JSON
+    # recorded the 14 GB footprint (VERDICT r10 #1) — retired here.
+    # Honest-scale caveat, recorded: the winning recomputation plan's
+    # zero-shuffle verify rides static-UNDERESTIMATE broadcasts of
+    # corpus-sized frames; on a real cluster with real stats those
+    # joins go SMJ and the scale cost center is the array verify — the
+    # banding join (narrow (id, band, bucket) rows) is safe at any
+    # scale. materialize stays as a probe knob; None = False.
+    if materialize is None:
+        materialize = False
+    if materialize == "persist" or materialize is True:
         hashed = hashed.persist()
         hashed.count()
+    elif materialize == "reuse":
+        hashed = hashed.repartition(F.col("id"))
     sigs = hashed.select("id", _sig_over_hashes(F.col("th"), num_hashes).alias("sig"))
     banded = sigs.select(
         "id", F.explode(_banded_sig_structs(rows_per_band, bands)).alias("bb")
@@ -481,9 +492,25 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
+    verify = hashed
+    if materialize == "reuse":
+        # Candidate-id SEMI-PRUNE of the verify side — bounds the array
+        # payload downstream to ∝ near-dup candidates instead of corpus
+        # (the honest-scale shape). Measured ONLY in combination with
+        # the repartition materialization (r11_minhash_materialize.json
+        # "reuse": 194 s / 18.9 GB spill at x100): once real sizes
+        # exist the planner SMJs every join and the prune's own joins
+        # compound the loss, so the combination is a rejected probe
+        # arm, kept measurable behind the same knob.
+        cand_ids = (
+            candidates.select(F.col("id_a").alias("id"))
+            .unionByName(candidates.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        verify = hashed.join(cand_ids, "id", "left_semi")
     both = candidates.join(
-        hashed.withColumnsRenamed({"id": "id_a", "th": "th_a"}), "id_a"
-    ).join(hashed.withColumnsRenamed({"id": "id_b", "th": "th_b"}), "id_b")
+        verify.withColumnsRenamed({"id": "id_a", "th": "th_a"}), "id_a"
+    ).join(verify.withColumnsRenamed({"id": "id_b", "th": "th_b"}), "id_b")
     return (
         both.withColumn("_inter", F.size(F.array_intersect("th_a", "th_b")))
         .withColumn(
@@ -796,6 +823,57 @@ def simhash_component_edges(
         "id_a", "id_b"
     )
     return star.unionByName(rep_pairs)
+
+
+def simhash_quotient_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+    bands: int = 4,
+    max_distance: int = 2,
+) -> DataFrame:
+    """The QUOTIENT of the pairwise Hamming ≤ d graph by fingerprint
+    equality — the scale-tier REPRESENTATIVE output for the exploded
+    pair list (VERDICT r10 #5): `(fp_a, m_a, fp_b, m_b, hamming,
+    implied_pairs)` where each row summarizes every document pair its
+    fingerprint pair implies. Cross rows (fp_a < fp_b, d ≤ d_max over
+    DISTINCT fingerprints) imply m_a·m_b pairs; self rows (one per
+    clique of size ≥ 2, hamming 0) imply m·(m−1)/2. Total information
+    equals the exploded form — sum(implied_pairs) IS its row count —
+    at O(distinct-fp pairs) output instead of Θ(Σ clique²): on the
+    homogeneous corpora where equal-fingerprint cliques make the
+    exploded answer itself quadratic (simhash_hamming_pairs, 520.7 s /
+    34× at sf10, adjudicated r10), the quotient stays linear-ish.
+    Same banded plan as simhash_near_dup_pairs, but over distinct
+    fingerprints only; pigeonhole exactness needs max_distance < bands.
+    """
+    fps = simhash(df, id_col, text_col, bits)
+    groups = fps.groupBy("simhash").agg(F.count(F.lit(1)).alias("m"))
+    reps = groups.select(F.col("simhash").alias("id"), "simhash")
+    cross = (
+        _banded_hamming_pairs(reps, bits, bands, max_distance)
+        .join(groups.withColumnsRenamed({"simhash": "id_a", "m": "m_a"}), "id_a")
+        .join(groups.withColumnsRenamed({"simhash": "id_b", "m": "m_b"}), "id_b")
+        .select(
+            F.col("id_a").alias("fp_a"),
+            "m_a",
+            F.col("id_b").alias("fp_b"),
+            "m_b",
+            F.col("hamming").cast("long").alias("hamming"),
+            (F.col("m_a") * F.col("m_b")).alias("implied_pairs"),
+        )
+    )
+    self_rows = groups.filter(F.col("m") >= 2).select(
+        F.col("simhash").alias("fp_a"),
+        F.col("m").alias("m_a"),
+        F.col("simhash").alias("fp_b"),
+        F.col("m").alias("m_b"),
+        F.lit(0).cast("long").alias("hamming"),
+        # integer div, not float `/`: the house integer-purity rule
+        F.expr("CAST((m * (m - 1)) DIV 2 AS BIGINT)").alias("implied_pairs"),
+    )
+    return cross.unionByName(self_rows)
 
 
 # ---------------------------------------------------------------------------
@@ -1664,7 +1742,21 @@ def line_dedup_stats(
             )
         )
     )
-    packed = safe_id * F.lit(1 << _SPAN_IDX_BITS) + F.col("span_idx")
+    # span_idx gets the low _SPAN_IDX_BITS of the pack; a pathological
+    # document beyond 2^20 spans (~5M+ tokens at span=5) would overflow
+    # into the id bits and SILENTLY corrupt both the keep-first min and
+    # the _kept equality — fail loudly instead (ADVICE r10)
+    safe_span_idx = F.when(
+        F.col("span_idx") < F.lit(1 << _SPAN_IDX_BITS), F.col("span_idx")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"line-dedup span_idx outside [0, 2^{_SPAN_IDX_BITS}): "),
+                F.col("span_idx").cast("string"),
+            )
+        )
+    )
+    packed = safe_id * F.lit(1 << _SPAN_IDX_BITS) + safe_span_idx
     occ = s.withColumn("_packed", packed)
     keepers = occ.groupBy("span_hash").agg(F.min("_packed").alias("_keeper"))
     return (

@@ -66,13 +66,13 @@ def bloom_positions(key: Column, m: int, k: int = NUM_HASHES) -> Column:
     (h < 2³¹ → h² < 2⁶²) and replayable in DuckDB, where a 64-bit
     wrapping multiply (the usual avalanche finalizer) is not. One
     map-only expression; positions may repeat for one key (harmless:
-    set-bit semantics)."""
-    from ..functions.hashing import HASH_MOD, HASH_MOD2
+    set-bit semantics).
 
-    h1 = (token_hash(key) * token_hash(key) + F.lit(3)) % F.lit(HASH_MOD)
-    h2 = (
-        (token_hash2(key) * token_hash2(key) + F.lit(7)) % F.lit(HASH_MOD2)
-    ).bitwiseOR(F.lit(1))
+    The (h1, h2) pair is :func:`mixed_hash_pair` — the single family
+    definition shared with Count-Min (operators/freqsketch.py), so the
+    engine and its oracle twins can never desynchronize per-structure.
+    """
+    h1, h2 = mixed_hash_pair(key)
     return F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
         lambda i: (h1 + i.cast("long") * h2) % F.lit(m).cast("long"),
@@ -81,21 +81,10 @@ def bloom_positions(key: Column, m: int, k: int = NUM_HASHES) -> Column:
 
 def sql_bloom_positions(key_expr: str, m_expr: str, k: int = NUM_HASHES) -> str:
     """DuckDB twin of :func:`bloom_positions` over SQL expression
-    strings (``m_expr`` may itself be a derived-count subquery)."""
-    from ..functions.hashing import HASH_BASE, HASH_BASE2, HASH_MOD, HASH_MOD2
-
-    p1 = (
-        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        f"list_transform(string_split({key_expr}, ''), c -> CAST(greatest(unicode(c), 0) AS BIGINT))), "
-        f"(acc, x) -> (acc * {HASH_BASE} + x) % {HASH_MOD})"
-    )
-    p2 = (
-        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        f"list_transform(string_split({key_expr}, ''), c -> CAST(greatest(unicode(c), 0) AS BIGINT))), "
-        f"(acc, x) -> (acc * {HASH_BASE2} + x) % {HASH_MOD2})"
-    )
-    h1 = f"(({p1} * {p1} + 3) % {HASH_MOD})"
-    h2 = f"((({p2} * {p2} + 7) % {HASH_MOD2}) | 1)"
+    strings (``m_expr`` may itself be a derived-count subquery).
+    Delegates to :func:`sql_mixed_hash_pair` — one family definition
+    per engine, same as the Column side."""
+    h1, h2 = sql_mixed_hash_pair(key_expr)
     return (
         f"list_transform(range(0, {k}), i -> ({h1} + i * {h2}) % ({m_expr}))"
     )
@@ -117,6 +106,7 @@ def bloom_membership(
     key_col: str,
     m: int,
     k: int = NUM_HASHES,
+    bits: DataFrame | None = None,
 ) -> DataFrame:
     """Probe every (distinct) batch key against the index's Bloom set:
     ``(key, maybe_seen)`` where maybe_seen=false is EXACT (no false
@@ -125,8 +115,14 @@ def bloom_membership(
     Plan: batch keys explode to k positions, LEFT join the bit table,
     and a key-grouped count of matched positions == k decides — two
     int-keyed shuffles (the semi-join probe and the per-key agg), no
-    key strings past the first projection."""
-    bits = bloom_bits(index, key_col, m, k)
+    key strings past the first projection.
+
+    ``bits`` lets a caller that already built (and typically persisted)
+    the position table share it across probes — the membership entry
+    and its FPR certificate pay the corpus fold once between them
+    instead of once each (VERDICT r10 next #7)."""
+    if bits is None:
+        bits = bloom_bits(index, key_col, m, k)
     probes = (
         batch.select(F.col(key_col).alias("key"))
         .distinct()

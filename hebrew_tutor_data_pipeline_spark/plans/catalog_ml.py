@@ -676,7 +676,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200))
     return dedup.minhash_lsh_pairs(
         d, "doc_id", "text", n=2, num_hashes=32, bands=8, threshold=0.2,
-        cache_hashed=False,  # 200-doc panel: skip even the gating count
+        materialize=False,  # 200-doc panel: skip even the gating count
     )
 
 
@@ -920,6 +920,60 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(T(spark, sf_dir, "documents"))
     bits = _hamming_bits_for(d.count())
     return dedup.simhash_near_dup_pairs(
+        d, "doc_id", "text", bits=bits, bands=4, max_distance=2
+    )
+
+
+@_register(
+    "simhash_neardup_quotient",
+    # Quotient-by-fingerprint of the d ≤ 2 Hamming graph: distinct
+    # fingerprints all-pairs in the oracle (few), multiplicity algebra
+    # in exact BIGINTs. sum(implied_pairs) equals the exploded
+    # simhash_hamming_pairs row count — the cross-entry conservation
+    # law the scale probe checks.
+    oracle=f"""
+WITH {_simhash_fp_sql(31).lstrip()},
+p AS (
+    SELECT least({_HAMMING_MAX_BITS}, greatest({_HAMMING_MIN_BITS},
+           4 * CAST(ceil(({_HAMMING_MIN_BITS} + ceil(log2(greatest(count(*), 1)
+               / {_HAMMING_BASE_DOCS}.0))) / 4.0) AS INTEGER))) AS bits
+    FROM fp
+),
+fpb AS (
+    SELECT doc_id, simhash % (CAST(1 AS BIGINT) << bits) AS f
+    FROM fp CROSS JOIN p
+),
+g AS (
+    SELECT f, CAST(count(*) AS BIGINT) AS m FROM fpb GROUP BY f
+)
+SELECT a.f AS fp_a, a.m AS m_a, b.f AS fp_b, b.m AS m_b,
+       CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming,
+       CAST(a.m * b.m AS BIGINT) AS implied_pairs
+FROM g a JOIN g b ON a.f < b.f AND bit_count(xor(a.f, b.f)) <= 2
+UNION ALL
+SELECT f, m, f, m, CAST(0 AS BIGINT), CAST(m * (m - 1) // 2 AS BIGINT)
+FROM g WHERE m >= 2
+""",
+    tags=("dedup", "simhash", "lsh", "scale"),
+    bench=True,
+)
+def simhash_neardup_quotient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-tier REPRESENTATIVE form of simhash_hamming_pairs
+    (VERDICT r10 #5): equal-fingerprint cliques collapse to one
+    (fingerprint, multiplicity) row and distinct-fingerprint pairs to
+    one row carrying both multiplicities, so the output is O(distinct-
+    fp pairs) where the exploded pair list is Θ(Σ clique²) — 520.7 s /
+    33% of the whole sf10 wall for the exploded form, by-semantics.
+    sum(implied_pairs) reproduces the exploded row count exactly
+    (conservation law, pinned by the scale probe), and the exploded
+    form stays oracled at sf ≤ 1 where its answer is tractable. Same
+    derived-width fingerprints, same 4-band exact-by-pigeonhole banded
+    join — but over DISTINCT fingerprints only, the
+    dedup_clusters/pagerank quotient discipline applied to the pair
+    report itself."""
+    d = spread(T(spark, sf_dir, "documents"))
+    bits = _hamming_bits_for(d.count())
+    return dedup.simhash_quotient_pairs(
         d, "doc_id", "text", bits=bits, bands=4, max_distance=2
     )
 
@@ -3655,6 +3709,198 @@ def incremental_curation_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "curation_refresh_e2e",
+    # The daily-refresh composition, oracled END TO END (VERDICT r10
+    # #8): snapshot diff → Gopher delta gate → incremental MinHash
+    # lookup against the standing corpus → temperature-mixture re-plan
+    # over the refreshed corpus. Every fragment is the registered
+    # oracle of its stage entry, composed verbatim with renamed CTEs —
+    # so a value-hash match here proves the COMPOSITION, not just the
+    # stages.
+    oracle=f"""
+WITH bsnap AS (
+    SELECT doc_id,
+           CASE WHEN {_sql_token_hash("'edit|' || CAST(doc_id AS VARCHAR)")} % 1000 < 100
+                THEN text || ' rev2' ELSE text END AS text
+    FROM documents
+    WHERE {_sql_token_hash("'snapB|' || CAST(doc_id AS VARCHAR)")} % 1000 < 900
+),
+aold AS (
+    SELECT doc_id, text, {_sql_fingerprint('text')} AS fp_old
+    FROM documents
+    WHERE {_sql_token_hash("'snapA|' || CAST(doc_id AS VARCHAR)")} % 1000 < 900
+),
+newf AS (
+    SELECT doc_id, text, {_sql_fingerprint('text')} AS fp_new FROM bsnap
+),
+delta AS (
+    SELECT n.doc_id, n.text
+    FROM newf n LEFT JOIN aold a USING (doc_id)
+    WHERE a.doc_id IS NULL OR a.fp_old IS DISTINCT FROM n.fp_new
+),
+unch AS (
+    SELECT n.doc_id FROM newf n JOIN aold a USING (doc_id)
+    WHERE a.fp_old IS NOT DISTINCT FROM n.fp_new
+),
+{_quality_m_sql('delta')},
+kept AS (
+    SELECT delta.doc_id, delta.text
+    FROM m JOIN delta USING (doc_id)
+    WHERE {_QUALITY_KEEP_SQL}
+),
+kg AS (
+    SELECT doc_id,
+           CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+                WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                ELSE list_distinct([list_aggr(t[i:i+2], 'string_agg', ' ')
+                                    for i in range(1, len(t) - 1)]) END AS toks
+    FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM kept)
+),
+kh AS (
+    SELECT doc_id, toks,
+           list_transform(toks, t2 -> {_sql_token_hash('t2')}) AS th
+    FROM kg
+),
+km AS (SELECT doc_id, toks, {_MH_COLS} FROM kh),
+xg AS (
+    SELECT doc_id,
+           CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+                WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                ELSE list_distinct([list_aggr(t[i:i+2], 'string_agg', ' ')
+                                    for i in range(1, len(t) - 1)]) END AS toks
+    FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM aold)
+),
+xh AS (
+    SELECT doc_id, toks,
+           list_transform(toks, t2 -> {_sql_token_hash('t2')}) AS th
+    FROM xg
+),
+xm AS (SELECT doc_id, toks, {_MH_COLS} FROM xh),
+matched AS (
+    SELECT DISTINCT b.doc_id
+    FROM km b JOIN xm x
+      ON ({_MH16_LOOKUP_CONDS})
+    WHERE round(len(list_intersect(b.toks, x.toks))
+                / (len(b.toks) + len(x.toks) - len(list_intersect(b.toks, x.toks))),
+                6) >= 0.5
+),
+uniq AS (
+    SELECT k.doc_id FROM kept k LEFT JOIN matched mt USING (doc_id)
+    WHERE mt.doc_id IS NULL
+),
+refreshed AS (
+    SELECT doc_id FROM unch UNION ALL SELECT doc_id FROM uniq
+),
+src AS (
+    SELECT r2.doc_id, dd.source FROM refreshed r2 JOIN documents dd USING (doc_id)
+),
+sc AS (SELECT source AS "group", count(*) AS n_docs FROM src GROUP BY source),
+tot AS (SELECT sum(pow(n_docs, 0.5)) AS z, sum(n_docs) AS n FROM sc),
+r AS (
+    SELECT "group", n_docs,
+           round(pow(n_docs, 0.5) / z, 6) AS weight,
+           CAST(round(least(1.0, (pow(n_docs, 0.5) / z) * (0.5 * n) / n_docs)
+                      * 1000000) AS BIGINT) AS rate_ppm
+    FROM sc CROSS JOIN tot
+),
+acc AS (
+    SELECT s.source AS "group", count(*) AS n_accepted
+    FROM src s JOIN r ON s.source = r."group"
+    WHERE {_sql_token_hash("'mix|' || CAST(doc_id AS VARCHAR)")} % 1000000 < rate_ppm
+    GROUP BY s.source
+),
+dstat AS (
+    SELECT dd.source AS "group", count(*) AS n_delta
+    FROM delta JOIN documents dd USING (doc_id) GROUP BY dd.source
+),
+kstat AS (
+    SELECT dd.source AS "group", count(*) AS n_delta_kept
+    FROM kept JOIN documents dd USING (doc_id) GROUP BY dd.source
+),
+ustat AS (
+    SELECT dd.source AS "group", count(*) AS n_delta_unique
+    FROM uniq JOIN documents dd USING (doc_id) GROUP BY dd.source
+)
+SELECT r."group", r.n_docs, r.weight, r.rate_ppm,
+       coalesce(acc.n_accepted, 0) AS n_accepted,
+       coalesce(dstat.n_delta, 0) AS n_delta,
+       coalesce(kstat.n_delta_kept, 0) AS n_delta_kept,
+       coalesce(ustat.n_delta_unique, 0) AS n_delta_unique
+FROM r LEFT JOIN acc USING ("group") LEFT JOIN dstat USING ("group")
+       LEFT JOIN kstat USING ("group") LEFT JOIN ustat USING ("group")
+""",
+    tags=("curation", "incremental", "diff", "minhash", "mixture", "e2e"),
+    bench=True,
+)
+def curation_refresh_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-refresh pipeline a 100 TB corpus actually schedules,
+    as ONE oracled entry (VERDICT r10 #8): (1) snapshot diff isolates
+    the added/changed delta by fingerprint (unchanged docs never
+    re-tokenize); (2) the Gopher quality gate runs on the DELTA only;
+    (3) surviving delta docs look up their best MinHash near-dup in
+    the STANDING corpus (batch×index banding, never index×index) and
+    only uniques enter; (4) the temperature-mixture plan recomputes
+    per-source acceptance rates over the REFRESHED corpus. Output: one
+    audit row per source — refreshed size, mixture weight/rate,
+    accepted count, and the delta funnel (arrived → quality-kept →
+    unique).
+
+    Plan shape / 100 TB posture: every stage's cost scales with the
+    DELTA except the diff's digest join and the mixture's per-source
+    counts (one map-side-combined groupBy each); text shuffles only for
+    the delta's shingle lookup against the banding buckets it collides
+    with. All four stages are individually hash-gated entries
+    (corpus_snapshot_diff, incremental_curation_delta,
+    incremental_minhash_dedup, corpus_mixture_plan); this entry pins
+    their composition."""
+    from ..operators import sampling
+
+    old, new = _snapshot_pair(spark, sf_dir)
+    a = old.select(
+        "doc_id", F.col("fp").alias("fp_old"), F.lit(True).alias("_in_old")
+    )
+    joined = new.withColumnRenamed("fp", "fp_new").join(a, "doc_id", "left")
+    delta = joined.filter(
+        F.col("_in_old").isNull() | ~F.col("fp_old").eqNullSafe(F.col("fp_new"))
+    ).select("doc_id", "text")
+    unchanged_ids = joined.filter(
+        F.col("_in_old").isNotNull() & F.col("fp_old").eqNullSafe(F.col("fp_new"))
+    ).select("doc_id")
+    kept = delta.join(
+        _quality_metrics(delta).filter(_quality_keep()).select("doc_id"), "doc_id"
+    )
+    looked = dedup.minhash_lookup_pairs(
+        kept, old.select("doc_id", "text"), "doc_id", "text",
+        n=3, num_hashes=32, bands=16, threshold=0.5,
+    )
+    unique_ids = looked.filter(F.col("is_unique")).select(F.col("id").alias("doc_id"))
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source")
+    refreshed = docs.join(
+        unchanged_ids.unionByName(unique_ids), "doc_id"
+    )
+    plan = sampling.mixture_plan(refreshed, "doc_id", "source", alpha=0.5, target_frac=0.5)
+
+    def _per_source(ids: DataFrame, out: str) -> DataFrame:
+        return (
+            docs.join(ids.select("doc_id"), "doc_id")
+            .groupBy(F.col("source").alias("group"))
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    out = (
+        plan.join(_per_source(delta, "n_delta"), "group", "left")
+        .join(_per_source(kept, "n_delta_kept"), "group", "left")
+        .join(_per_source(unique_ids, "n_delta_unique"), "group", "left")
+    )
+    return out.select(
+        "group", "n_docs", "weight", "rate_ppm", "n_accepted",
+        F.coalesce("n_delta", F.lit(0)).alias("n_delta"),
+        F.coalesce("n_delta_kept", F.lit(0)).alias("n_delta_kept"),
+        F.coalesce("n_delta_unique", F.lit(0)).alias("n_delta_unique"),
+    )
+
+
 # ===========================================================================
 # ANN recall evaluation report (index-quality harness)
 # ===========================================================================
@@ -4031,7 +4277,7 @@ def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = dedup.minhash_lsh_pairs(
         d, "doc_id", "text", n=2, num_hashes=32, bands=8, threshold=0.2,
-        cache_hashed=False,  # evaluation panel: skip even the gating count
+        materialize=False,  # evaluation panel: skip even the gating count
     )
     th = spark.createDataFrame([(0.2,), (0.4,), (0.6,), (0.8,)], "threshold double")
     tn = (
@@ -4302,6 +4548,46 @@ def _bloom_sql(select: str) -> str:
     )
 
 
+# Shared Bloom build, memoized per (application, sf_dir): the membership
+# entry and its FPR certificate are two views over ONE filter — without
+# sharing, each paid the full canonicalize-fold ~3x (the eager m-count
+# plus both plan sides), ~28 s EACH at sf10/x100 (VERDICT r10 next #7).
+# The index keys and the position table persist (narrow strings / BIGINTs
+# — no array payload, so the minhash persist-demotes-broadcast hazard
+# does not apply: every downstream join here is int-keyed and SMJ-honest
+# at scale anyway); the first entry to execute populates them and the
+# second rides the cache. Lineage stays intact, so an unpersist (e.g.
+# scale_bench hygiene between queries) degrades to recompute, never to
+# wrong answers. Bounded: entries evict (and unpersist) beyond 4 keys.
+_BLOOM_SHARED: dict[tuple[str, str], dict] = {}
+
+
+def _bloom_parts(spark: SparkSession, sf_dir: str) -> dict:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    parts = _BLOOM_SHARED.get(key)
+    if parts is None:
+        u = T(spark, sf_dir, "documents").select(
+            "doc_id", urls.canonicalize_url(_url_raw_spark()).alias("curl")
+        )
+        idx = (
+            u.filter(F.expr(_BLOOM_INDEX_PRED_SPARK)).select("curl").distinct().persist()
+        )
+        n_index = idx.count()
+        m = membership_mod.bloom_m_for(n_index)
+        bits = membership_mod.bloom_bits(idx, "curl", m).persist()
+        batch = u.filter(F.expr(_BLOOM_BATCH_PRED_SPARK)).select("curl")
+        parts = {"idx": idx, "bits": bits, "batch": batch, "m": m, "n_index": n_index}
+        while len(_BLOOM_SHARED) >= 4:
+            _, old = _BLOOM_SHARED.popitem()
+            for f in (old["idx"], old["bits"]):
+                try:
+                    f.unpersist()
+                except Exception:  # noqa: BLE001 — eviction is best-effort
+                    pass
+        _BLOOM_SHARED[key] = parts
+    return parts
+
+
 @_register(
     "bloom_url_membership",
     oracle=_bloom_sql("SELECT key AS canonical_url, maybe_seen FROM probed"),
@@ -4323,18 +4609,13 @@ def bloom_url_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     count==k — int-only shuffles, no key strings past the first
     projection, no driver-side bitmap. Composes the urls.py
     canonicalizer, so scheme/www/port/tracking variants of an indexed
-    page correctly test as SEEN."""
-    from ..operators import membership
-
-    u = T(spark, sf_dir, "documents").select(
-        "doc_id", urls.canonicalize_url(_url_raw_spark()).alias("curl")
-    )
-    idx = u.filter(F.expr(_BLOOM_INDEX_PRED_SPARK)).select("curl").distinct()
-    batch = u.filter(F.expr(_BLOOM_BATCH_PRED_SPARK)).select("curl")
-    m = membership.bloom_m_for(idx.count())
-    return membership.bloom_membership(batch, idx, "curl", m).select(
-        F.col("key").alias("canonical_url"), "maybe_seen"
-    )
+    page correctly test as SEEN. The filter build (index keys +
+    position table) is shared with bloom_fpr_certificate via
+    _bloom_parts — one corpus fold between the pair (VERDICT r10 #7)."""
+    p = _bloom_parts(spark, sf_dir)
+    return membership_mod.bloom_membership(
+        p["batch"], p["idx"], "curl", p["m"], bits=p["bits"]
+    ).select(F.col("key").alias("canonical_url"), "maybe_seen")
 
 
 @_register(
@@ -4371,16 +4652,15 @@ def bloom_fpr_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture: adds one exact semi-probe (broadcast at panel sizes,
     int-keyed SMJ at scale) and a single-row aggregate on top of the
-    membership plan."""
-    from ..operators import membership
-
-    u = T(spark, sf_dir, "documents").select(
-        "doc_id", urls.canonicalize_url(_url_raw_spark()).alias("curl")
+    membership plan — whose filter build (index keys + position table)
+    it SHARES via _bloom_parts, so the pair pays the corpus fold once
+    between them (VERDICT r10 #7)."""
+    membership = membership_mod
+    p = _bloom_parts(spark, sf_dir)
+    idx, m = p["idx"], p["m"]
+    probed = membership.bloom_membership(
+        p["batch"], idx, "curl", m, bits=p["bits"]
     )
-    idx = u.filter(F.expr(_BLOOM_INDEX_PRED_SPARK)).select("curl").distinct()
-    batch = u.filter(F.expr(_BLOOM_BATCH_PRED_SPARK)).select("curl")
-    m = membership.bloom_m_for(idx.count())
-    probed = membership.bloom_membership(batch, idx, "curl", m)
     truth = probed.join(
         idx.withColumn("truly_seen", F.lit(True)),
         probed["key"] == idx["curl"],
@@ -4391,7 +4671,7 @@ def bloom_fpr_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pow(F.lit(1.0) - F.exp(F.lit(-float(k) / bpk)), F.lit(k)) * 1_000_000
     ).cast("long")
     return truth.agg(
-        F.lit(idx.count()).alias("n_index_keys"),
+        F.lit(p["n_index"]).alias("n_index_keys"),
         F.count(F.lit(1)).alias("n_probes"),
         F.sum(F.when(F.col("truly_seen"), 1).otherwise(0)).alias("n_truly_seen"),
         F.sum(F.when(F.col("maybe_seen") & ~F.col("truly_seen"), 1).otherwise(0)).alias(

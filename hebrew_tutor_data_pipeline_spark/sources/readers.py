@@ -165,8 +165,17 @@ def local_first_scan(
         # the rendered `path` column is the fully-qualified Hadoop URI
         # (`file:/abs/...` for local FS, scheme://authority/... for
         # remote stores); normalize the scan root to that form so the
-        # relkey is an exact prefix strip, never a pattern match
-        if "://" in d or d.startswith("file:"):
+        # relkey is an exact prefix strip, never a pattern match.
+        # `file:` roots are re-rendered through the same single-slash
+        # spelling Hadoop emits: a caller passing `file:///abs/dir`
+        # previously kept its spelling verbatim, the prefix never
+        # matched, and EVERY row silently fell back to basename-only
+        # identity — collapsing distinct same-basename files (ADVICE
+        # r10). Authority-full `file://host/path` is not a local-FS
+        # form this reader supports; it collapses to the path.
+        if d.startswith("file:"):
+            return "file:/" + d[len("file:"):].lstrip("/").rstrip("/")
+        if "://" in d:
             return d.rstrip("/")
         return "file:" + _os.path.abspath(d).rstrip("/")
 
@@ -188,10 +197,24 @@ def local_first_scan(
             .withColumn("filename", F.regexp_extract("path", r"([^/]+)$", 1))
             .withColumn(
                 "_relkey",
+                # a rendered path outside the resolved root prefix means
+                # the normalization above missed a URI spelling — fail
+                # LOUDLY rather than degrade to basename-only identity,
+                # which merges distinct same-basename files at different
+                # depths into one logical file (ADVICE r10)
                 F.when(
                     F.col("path").startswith(F.lit(prefix)),
                     F.col("path").substr(F.lit(len(prefix) + 1), F.length("path")),
-                ).otherwise(F.regexp_extract("path", r"([^/]+)$", 1)),
+                ).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                f"local_first_scan: scanned path outside resolved root '{prefix}': "
+                            ),
+                            F.col("path"),
+                        )
+                    )
+                ),
             )
         )
 

@@ -1205,6 +1205,48 @@ class TestProductQuantization:
         assert ra == rb
 
 
+class TestSimhashQuotient:
+    def test_conservation_law_vs_exploded_pairs(self, spark):
+        """sum(implied_pairs) over the quotient == the exploded pair
+        list's row count, and every cross row's hamming matches the
+        exploded form's — the representative output carries the full
+        pair-mass information at O(distinct-fp pairs) rows
+        (VERDICT r10 #5)."""
+        from hebrew_tutor_data_pipeline_spark.operators.dedup import (
+            simhash_near_dup_pairs,
+            simhash_quotient_pairs,
+        )
+
+        # planted cliques: rows 0-2 identical, 3-4 identical, 5 unique
+        docs = [
+            (0, "alpha beta gamma delta epsilon"),
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "one two three four five six"),
+            (4, "one two three four five six"),
+            (5, "totally different words entirely here"),
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        exploded = simhash_near_dup_pairs(
+            df, "doc_id", "text", bits=16, bands=4, max_distance=2
+        )
+        quotient = simhash_quotient_pairs(
+            df, "doc_id", "text", bits=16, bands=4, max_distance=2
+        )
+        qrows = quotient.collect()
+        assert sum(r["implied_pairs"] for r in qrows) == exploded.count()
+        # the two planted cliques appear as self rows with m=3 and m=2
+        selfs = sorted(
+            (r["m_a"], r["implied_pairs"]) for r in qrows if r["fp_a"] == r["fp_b"]
+        )
+        assert selfs[-2:] == [(2, 1), (3, 3)] or (2, 1) in selfs and (3, 3) in selfs
+        # every cross row is a genuine distinct-fp pair within distance
+        for r in qrows:
+            if r["fp_a"] != r["fp_b"]:
+                assert 1 <= r["hamming"] <= 2
+                assert r["implied_pairs"] == r["m_a"] * r["m_b"]
+
+
 class TestSimhashLookup:
     def test_batch_finds_planted_dup_and_unique(self, spark):
         from hebrew_tutor_data_pipeline_spark.operators.dedup import (

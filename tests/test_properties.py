@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -1950,6 +1951,26 @@ class TestLineDedupProperties:
             for r in rows
         }
         assert got == self._py_stats(docs, span)
+
+    def test_span_idx_overflow_fails_loudly(self, spark, monkeypatch):
+        """The pack gives span_idx the low _SPAN_IDX_BITS; a document
+        with more spans than that would overflow into the id bits and
+        SILENTLY corrupt the keep-first min (ADVICE r10). The guard
+        must raise, not mis-dedupe. Bits shrunk via monkeypatch so the
+        pathological document stays test-sized (at the real 2^20 it
+        needs a 5M-token doc)."""
+        import hebrew_tutor_data_pipeline_spark.operators.dedup as dd
+
+        monkeypatch.setattr(dd, "_SPAN_IDX_BITS", 4)
+        # 17 spans at span=1 -> max span_idx 16 >= 2^4
+        df = spark.createDataFrame(
+            [(0, " ".join(f"t{i}" for i in range(17)))], "doc_id long, text string"
+        )
+        with pytest.raises(Exception, match="span_idx outside"):
+            dd.line_dedup_stats(df, "doc_id", "text", span=1).collect()
+        # one bit wider and the same doc packs fine
+        monkeypatch.setattr(dd, "_SPAN_IDX_BITS", 5)
+        assert dd.line_dedup_stats(df, "doc_id", "text", span=1).count() == 1
 
 
 class TestBloomMembershipProperties:

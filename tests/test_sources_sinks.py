@@ -245,6 +245,27 @@ class TestLocalFirstScan:
         ).collect()
         assert [(r["source"], r["length"]) for r in rows] == [("local", 7)]
 
+    def test_triple_slash_file_uri_root_keeps_depth_identity(self, spark, tmp_path):
+        """A root spelled `file:///abs/dir` renders as `file:/abs/dir`
+        in the path column; the verbatim-spelling prefix never matched,
+        so every row silently fell back to basename-only relkeys and
+        same-basename files at different depths collapsed into one
+        logical file (ADVICE r10). The root is now re-rendered through
+        Hadoop's single-slash spelling: both depths must survive."""
+        from hebrew_tutor_data_pipeline_spark.sources.readers import local_first_scan
+
+        loc = tmp_path / "loc"
+        rem = tmp_path / "rem"
+        (loc / "d1").mkdir(parents=True)
+        (loc / "d2").mkdir(parents=True)
+        rem.mkdir()
+        (loc / "d1" / "a.mp3").write_bytes(b"L" * 3)
+        (loc / "d2" / "a.mp3").write_bytes(b"L" * 5)
+        rows = local_first_scan(
+            spark, "file://" + str(loc), "file:///" + str(rem).lstrip("/")
+        ).collect()
+        assert sorted(r["length"] for r in rows) == [3, 5]
+
     def test_missing_everywhere_is_absent(self, spark, tmp_path):
         """The declarative FileNotFoundError: expected-vs-resolved anti join."""
         from hebrew_tutor_data_pipeline_spark.sources.readers import local_first_scan

@@ -459,6 +459,84 @@ class TestCheckpointRecovery:
         assert len(second) == len(first) + 5
 
 
+    def test_hard_kill_midstream_recovers_exactly_once(self, spark, tmp_path):
+        """Crash-recovery, not graceful-stop recovery (VERDICT r10 #6):
+        a CHILD process runs the dedup stream to a parquet sink and
+        `os._exit(1)`s right after its first progress event — a hard
+        JVM kill with no stop(), no shutdown hooks, leaving whatever
+        batch was in flight uncommitted. Resuming the SAME checkpoint
+        in this session must drain to EXACTLY the distinct input keys:
+        nothing lost from the killed batch, nothing duplicated by its
+        replay (checkpoint offsets + parquet sink manifest)."""
+        import subprocess
+        import sys as _sys
+        import textwrap
+        from pathlib import Path as _P
+
+        src, sink, ckpt = (str(tmp_path / d) for d in ("src", "sink", "ckpt"))
+        for i in range(8):
+            (
+                spark.range(i * 500, (i + 1) * 500)
+                .selectExpr(
+                    "id AS event_id",
+                    "timestamp'2024-01-01 00:00:00' AS ts",
+                )
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(src)
+            )
+        repo = str(_P(__file__).resolve().parent.parent)
+        child = textwrap.dedent(
+            f"""
+            import os, sys, threading, time
+            sys.path.insert(0, {repo!r})
+            from hebrew_tutor_data_pipeline_spark.session import get_spark
+            spark = get_spark("kill-test")
+            spark.sparkContext.setLogLevel("ERROR")
+            schema = spark.read.parquet({src!r}).schema
+            q = (spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+                 .parquet({src!r})
+                 .withWatermark("ts", "3650 days")
+                 .dropDuplicatesWithinWatermark(["event_id"])
+                 .writeStream.format("parquet").outputMode("append")
+                 .option("path", {sink!r}).option("checkpointLocation", {ckpt!r})
+                 .trigger(processingTime="0 seconds").start())
+            def reaper():
+                while not q.recentProgress:
+                    time.sleep(0.1)
+                os._exit(1)  # hard kill mid-stream
+            threading.Thread(target=reaper, daemon=True).start()
+            q.awaitTermination(120)
+            os._exit(2)  # drained before the kill — mis-timed
+            """
+        )
+        r = subprocess.run(
+            [_sys.executable, "-c", child],
+            capture_output=True,
+            text=True,
+            timeout=300,
+        )
+        assert r.returncode == 1, f"child exited {r.returncode}:\n{r.stdout}\n{r.stderr}"
+
+        schema = spark.read.parquet(src).schema
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .withWatermark("ts", "3650 days")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180), "recovery did not drain"
+        out = spark.read.parquet(sink)
+        assert out.count() == 4000
+        assert out.select("event_id").distinct().count() == 4000
+
+
 class TestStreamingCuration:
     def test_curation_gates_stream_equals_batch(self, spark, tmp_path):
         """The corpus-curation flow on an unbounded ingest: the quality

@@ -513,6 +513,9 @@ _NONEQUI_JOIN_ALLOWED: dict[str, tuple[str, int]] = {
     "hybrid_rrf_fusion": ("corpus stats rows across both fusion arms", 3),
     "retrieval_hard_negatives": ("corpus stats rows across composed retrieval arms", 5),
     "corpus_mixture_plan": ("1-row temperature normalizer per mixture arm", 2),
+    "curation_refresh_e2e": (
+        "composed mixture stage's 1-row temperature normalizer", 2,
+    ),
     "corpus_mixture_upsample": ("1-row temperature normalizer per mixture arm", 2),
     "distinct_dimensions": ("cross of single-row distinct-count aggregates", 2),
     "doc_lm_perplexity": ("1-row vocab-total normalizer broadcast", 1),
@@ -569,7 +572,17 @@ def sweep_plan_shape(spark, catalog, sf_dir: str, update: bool = False) -> list[
         if name.startswith("streaming_"):
             continue  # stream entries execute sinks on build
         try:
-            plan = spec.spark(spark, sf_dir)._jdf.queryExecution().sparkPlan().toString()
+            # executedPlan, NOT sparkPlan: EnsureRequirements inserts the
+            # join/aggregate shuffle Exchanges only into the executed tree
+            # (verified empirically: a groupBy+join plan shows 0 Exchanges
+            # in sparkPlan vs 1+ in executedPlan), so the old sparkPlan
+            # sweep pinned 0 for most entries and could not detect a
+            # silent extra shuffle (ADVICE r10). Unexecuted AQE plans
+            # stringify their initial plan (isFinalPlan=false) — a
+            # deterministic static shape, which is what a snapshot wants.
+            plan = (
+                spec.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+            )
         except Exception as exc:  # noqa: BLE001 — report, keep sweeping
             problems.append(f"{name}: PLAN BUILD ERROR {str(exc)[:120]}")
             continue

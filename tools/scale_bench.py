@@ -37,6 +37,7 @@ HEAVY = (
     # --queries when a recall audit needs the truth arm.
     "jaccard_token_pairs_capped",
     "minhash_dedup_pairs_corpus",
+    "simhash_neardup_quotient",
     "dedup_clusters",
     "duplicate_token_spans",
     "benchmark_contamination",
