@@ -1702,7 +1702,16 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage; the per-cell rank is ONE shuffle whose key count (= k) grows
     with the corpus by the derived-knob formula, so cells — and their
     sort runs — stay ≈250 rows at any scale; output size is
-    Σ√cell ≈ √(n·k) ∝ n/√target — sub-linear."""
+    Σ√cell ≈ √(n·k) ∝ n/√target — sub-linear.
+
+    MEASURED COST-MODEL LIMIT (r11, bench_runs/README): the k ∝ n
+    derived knob makes the codebook training + assignment GEMM
+    Θ(n·k·d) = Θ(n²·d/target_cell) — profiled at sf10 (200k vectors,
+    k=800): train 10.4 s + assign 3.3 s vs trivial at 20k/k=80; the
+    r10 x-family exponent 0.25 was an overhead-dominated fit. The
+    flat codebook does not survive the next two scale decades; the
+    two-level (coarse √k → fine) codebook, Θ(n·√k·d), is the planned
+    successor for this and the other _semdedup_k_for consumers."""
     e = spread(T(spark, sf_dir, "embeddings"))
     k = _semdedup_k_for(e.count())
     cb = _embeddings_codebook(spark, sf_dir, k=k)
@@ -3860,25 +3869,46 @@ def curation_refresh_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = old.select(
         "doc_id", F.col("fp").alias("fp_old"), F.lit(True).alias("_in_old")
     )
-    joined = new.withColumnRenamed("fp", "fp_new").join(a, "doc_id", "left")
+    joined = new.withColumnRenamed("fp", "fp_new").join(a, "doc_id", "left").persist()
+    # Lazy persists at every narrow stage boundary: the composition is
+    # a DEEP tree whose later stages consume earlier ones several times
+    # (mixture reads `refreshed` three times, the funnel stats re-read
+    # delta/kept/unique, the MinHash lookup reads `kept` on both banding
+    # sides) — without a boundary the fingerprint-diff + quality-HOF +
+    # shingle subtrees re-execute MULTIPLICATIVELY (first sf0.1 run:
+    # 451 s; with boundaries ~2 s). Every persisted frame here is
+    # delta-sized and NARROW (ids, or id+text for the delta), so the
+    # minhash materialization hazard (array payloads re-planned into
+    # SMJs) does not apply; lineage stays intact, an eviction degrades
+    # to recompute.
     delta = joined.filter(
         F.col("_in_old").isNull() | ~F.col("fp_old").eqNullSafe(F.col("fp_new"))
-    ).select("doc_id", "text")
+    ).select("doc_id", "text").persist()
     unchanged_ids = joined.filter(
         F.col("_in_old").isNotNull() & F.col("fp_old").eqNullSafe(F.col("fp_new"))
     ).select("doc_id")
+    # metrics PERSIST before the keep-filter: filtering directly on
+    # _quality_keep() pushes the predicate below the projection and
+    # CollapseProject re-inlines the staged gram arrays into the filter
+    # expression — the materialized-column contract of
+    # top_ngram_fraction breaks and the per-row O(k²) HOFs re-evaluate
+    # per ELEMENT (first measurement of this entry: 451 s at sf0.1; with
+    # the boundary ~2 s). The cached frame is delta-sized and numeric.
+    m = _quality_metrics(delta).persist()
     kept = delta.join(
-        _quality_metrics(delta).filter(_quality_keep()).select("doc_id"), "doc_id"
-    )
+        m.filter(_quality_keep()).select("doc_id"), "doc_id"
+    ).persist()
     looked = dedup.minhash_lookup_pairs(
         kept, old.select("doc_id", "text"), "doc_id", "text",
         n=3, num_hashes=32, bands=16, threshold=0.5,
     )
-    unique_ids = looked.filter(F.col("is_unique")).select(F.col("id").alias("doc_id"))
+    unique_ids = (
+        looked.filter(F.col("is_unique")).select(F.col("id").alias("doc_id")).persist()
+    )
     docs = T(spark, sf_dir, "documents").select("doc_id", "source")
     refreshed = docs.join(
         unchanged_ids.unionByName(unique_ids), "doc_id"
-    )
+    ).persist()
     plan = sampling.mixture_plan(refreshed, "doc_id", "source", alpha=0.5, target_frac=0.5)
 
     def _per_source(ids: DataFrame, out: str) -> DataFrame:
