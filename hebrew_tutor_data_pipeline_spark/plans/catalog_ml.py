@@ -916,7 +916,12 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense d≤2 output (~n²) is the CORRECT answer, not a knob failure —
     the corpus-wide production tier for such data is the star-collapsed
     component form (`dedup_clusters`, n^0.345), which never
-    materializes intra-clique pairs."""
+    materializes intra-clique pairs. Since r11 the PAIR-semantics scale
+    tier is `simhash_neardup_quotient` (multiplicity algebra,
+    sum(implied_pairs) == this entry's row count), and this exploded
+    form is scale-tier skip-listed above sf1 (bench.py
+    SCALE_TIER_SKIPS) — its 520.7 s at sf10 was a third of the whole
+    r10 wall."""
     d = spread(T(spark, sf_dir, "documents"))
     bits = _hamming_bits_for(d.count())
     return dedup.simhash_near_dup_pairs(

@@ -1973,6 +1973,32 @@ class TestLineDedupProperties:
         assert dd.line_dedup_stats(df, "doc_id", "text", span=1).count() == 1
 
 
+class TestBloomSharedBuild:
+    def test_memo_shares_and_survives_unpersist(self, spark):
+        """The Bloom pair's shared build (VERDICT r10 #7): the memo
+        returns the SAME persisted frames for both entries within one
+        application+sf_dir, and an external unpersist (scale_bench
+        hygiene) degrades to recompute — results stay identical,
+        because lineage is intact."""
+        from hebrew_tutor_data_pipeline_spark.plans import catalog_ml as cm
+
+        sf = "/root/testdata/sf0.001"
+        p1 = cm._bloom_parts(spark, sf)
+        p2 = cm._bloom_parts(spark, sf)
+        assert p1 is p2  # one build per (app, sf_dir)
+        before = sorted(
+            tuple(r)
+            for r in cm.CATALOG["bloom_url_membership"].spark(spark, sf).collect()
+        )
+        p1["idx"].unpersist()
+        p1["bits"].unpersist()
+        after = sorted(
+            tuple(r)
+            for r in cm.CATALOG["bloom_url_membership"].spark(spark, sf).collect()
+        )
+        assert before == after and len(before) > 0
+
+
 class TestBloomMembershipProperties:
     """operators.membership vs a pure-Python Bloom built from the same
     published construction (polynomial hashes recomputed from raw

@@ -160,9 +160,11 @@ def main() -> int:
     spark = get_spark("parity")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        # a table may be a single file (driver testdata) or a directory
+        # of part files (the generated scale trees) — glob the latter
+        p = Path(sf_dir) / f"{t}.parquet"
+        src = f"{p}/*.parquet" if p.is_dir() else str(p)
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     failures = []
     for name, spec in CATALOG.items():
