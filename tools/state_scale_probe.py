@@ -56,21 +56,27 @@ spark = get_spark("state-crash-phase1")
 spark.sparkContext.setLogLevel("ERROR")
 spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
 schema = spark.read.parquet({src!r}).schema
+from pyspark.sql import functions as F
 stream = (
     spark.readStream.schema(schema)
     .option("maxFilesPerTrigger", 1)
     .parquet({src!r})
+    .withColumn("ts", F.col("ts").cast("timestamp"))  # raw scan reads NTZ
     .withWatermark("ts", "365 days")
     .dropDuplicatesWithinWatermark(["event_id"])
 )
-q = (
-    stream.writeStream.outputMode("append")
-    .format("parquet")
-    .option("path", {sink!r})
-    .option("checkpointLocation", {ckpt!r})
-    .trigger(processingTime="0 seconds")
-    .start()
-)
+try:
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", {sink!r})
+        .option("checkpointLocation", {ckpt!r})
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+except Exception as exc:
+    print("PHASE1 START FAILED:", exc, flush=True)
+    os._exit(3)
 def reaper():
     deadline = time.time() + {kill_after}
     while time.time() < deadline:
@@ -79,7 +85,11 @@ def reaper():
     print(f"KILLING after {{n}} progress events", flush=True)
     os._exit(1)  # hard kill: no stop(), no JVM shutdown hooks
 threading.Thread(target=reaper, daemon=True).start()
-q.awaitTermination(600)
+try:
+    q.awaitTermination(600)
+except Exception as exc:
+    print("PHASE1 STREAM FAILED:", exc, flush=True)
+    os._exit(3)
 os._exit(2)  # stream drained before the kill fired — probe misconfigured
 """
 
@@ -101,7 +111,7 @@ def probe_crash_restart(out_root: Path) -> dict:
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=900
     )
     phase1_sec = round(time.perf_counter() - t0, 2)
-    if r.returncode != 1:
+    if r.returncode != 1 or "KILLING" not in r.stdout:
         raise RuntimeError(
             f"phase-1 child exited {r.returncode} (wanted the hard kill=1):\n"
             + r.stdout[-2000:] + r.stderr[-2000:]
@@ -118,10 +128,13 @@ def probe_crash_restart(out_root: Path) -> dict:
         except Exception:  # noqa: BLE001 — kill can precede the first commit
             rows_before = 0
         schema = spark.read.parquet(X100_EVENTS).schema
+        from pyspark.sql import functions as F
+
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 4)
             .parquet(X100_EVENTS)
+            .withColumn("ts", F.col("ts").cast("timestamp"))  # raw scan reads NTZ
             .withWatermark("ts", "365 days")
             .dropDuplicatesWithinWatermark(["event_id"])
         )
