@@ -65,6 +65,14 @@ SCALE_TIER_SKIPS: dict[str, tuple[float, str]] = {
         "semantics on a density-growing stream (600 s cap at sf10); "
         "scale path = streaming_user_clicks_purchase_windows (keyed)",
     ),
+    "clicks_in_purchase_windows": (
+        10.0,
+        "unkeyed batch interval join, the streaming twin's batch form: "
+        "the OUTPUT is quadratic by semantics on a density-growing "
+        "event table (15.9x sf1->sf10, 36.1 s, r11_sf10.json — VERDICT "
+        "r11 #3); scale path = user_clicks_purchase_windows (keyed, "
+        "exp ~0.19)",
+    ),
 }
 
 
@@ -164,6 +172,13 @@ def main() -> int:
         if only and name not in only:
             continue
         lim = SCALE_TIER_SKIPS.get(name)
+        # An explicitly named query wins over the scale-tier skip list
+        # (ADVICE r11): an operator deliberately re-running a truth arm
+        # via `python bench.py <name>` gets the run, not a skip. The
+        # skip stays in force for full-catalog runs, where an errored
+        # truth arm would contaminate the artifact.
+        if lim is not None and name in only:
+            lim = None
         if lim is not None and sf >= lim[0]:
             skipped[name] = lim[1]
             print(f"# {name}: SKIPPED at sf{sf:g} — {lim[1]}", file=sys.stderr)
@@ -190,7 +205,49 @@ def main() -> int:
         out["errors"] = errors
     if skipped:
         out["scale_tier_skipped"] = skipped
+    # Output contract vs the driver's 2000-char stdout tail (VERDICT r11
+    # next #6): 148 named timings are ~4.3 KB even maximally compacted
+    # (sum of query-name lengths alone is ~3.1 KB), so no single line
+    # holding them all can survive the tail capture — r01 (46 queries,
+    # ~1.5 KB) was the last round whose line parsed. Three-part emit:
+    #   1. the FULL contract line, first on stdout (complete for any
+    #      consumer that captures whole stdout);
+    #   2. a complete sidecar at bench_runs/BENCH_last.json (committed
+    #      per round, the durable full record);
+    #   3. a compact LAST line, kept under ~1.9 KB so the driver's
+    #      tail-parse always succeeds: same metric/value/unit/sf/errors/
+    #      skips, plus the slowest timings that fit, explicitly flagged
+    #      truncated with a pointer to the sidecar.
     print(json.dumps(out))
+    sidecar = Path(__file__).resolve().parent / "bench_runs" / "BENCH_last.json"
+    try:
+        sidecar.parent.mkdir(parents=True, exist_ok=True)
+        sidecar.write_text(json.dumps(out, indent=1) + "\n")
+    except OSError as exc:
+        print(f"# sidecar write failed: {exc}", file=sys.stderr)
+    compact = {
+        "metric": out["metric"],
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "n_skipped": len(skipped),
+        "queries_full": "bench_runs/BENCH_last.json",
+        "queries_truncated": True,
+        "queries": {},
+    }
+    budget = 1900 - len(json.dumps(compact, separators=(",", ":")))
+    for name in sorted(timings, key=timings.get, reverse=True):
+        item = len(json.dumps({name: timings[name]}, separators=(",", ":"))) - 1
+        if budget - item < 0:
+            break
+        compact["queries"][name] = timings[name]
+        budget -= item
+    if len(compact["queries"]) == len(timings):
+        compact["queries_truncated"] = False
+        del compact["queries_full"]
+    print(json.dumps(compact, separators=(",", ":")))
     spark.stop()
     return 0
 

@@ -732,8 +732,6 @@ def simhash_near_dup_pairs(
     dial at 100 TB is (bits, bands): 64-bit fingerprints with 4 bands
     give 16-bit bands (selective buckets) and exactness to d ≤ 3.
     """
-    if bits % bands != 0:
-        raise ValueError(f"bands ({bands}) must divide bits ({bits}) evenly")
     fps = simhash(df, id_col, text_col, bits)
     return _banded_hamming_pairs(fps, bits, bands, max_distance)
 
@@ -742,8 +740,14 @@ def _banded_hamming_pairs(
     fps: DataFrame, bits: int, bands: int, max_distance: int
 ) -> DataFrame:
     """Banded Hamming join over an (id, simhash) frame — the shared body
-    of simhash_near_dup_pairs (full corpus) and simhash_component_edges
-    (distinct fingerprints only)."""
+    of simhash_near_dup_pairs (full corpus), simhash_component_edges and
+    simhash_quotient_pairs (distinct fingerprints only). The divisibility
+    guard lives HERE so every caller inherits it: if bands did not divide
+    bits, the top `bits % bands` fingerprint bits would sit outside every
+    band and qualifying pairs would be silently missed despite the
+    documented pigeonhole exactness."""
+    if bits % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide bits ({bits}) evenly")
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
     band_vals = F.array(

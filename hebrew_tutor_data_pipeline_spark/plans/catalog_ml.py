@@ -4613,7 +4613,10 @@ def _bloom_parts(spark: SparkSession, sf_dir: str) -> dict:
         batch = u.filter(F.expr(_BLOOM_BATCH_PRED_SPARK)).select("curl")
         parts = {"idx": idx, "bits": bits, "batch": batch, "m": m, "n_index": n_index}
         while len(_BLOOM_SHARED) >= 4:
-            _, old = _BLOOM_SHARED.popitem()
+            # FIFO: evict the OLDEST key (dict preserves insertion order).
+            # dict.popitem() pops the NEWEST — with it, the three oldest
+            # persisted frames were never evictable (ADVICE r11).
+            old = _BLOOM_SHARED.pop(next(iter(_BLOOM_SHARED)))
             for f in (old["idx"], old["bits"]):
                 try:
                     f.unpersist()

@@ -172,7 +172,19 @@ def local_first_scan(
         # matched, and EVERY row silently fell back to basename-only
         # identity — collapsing distinct same-basename files (ADVICE
         # r10). Authority-full `file://host/path` is not a local-FS
-        # form this reader supports; it collapses to the path.
+        # form this reader supports: rejected UPFRONT at call time
+        # (ADVICE r11) rather than silently folding the host into the
+        # path, which would surface later as a confusing whole-scan
+        # raise_error (or a wrong-root prefix).
+        if d.startswith("file://") and not d.startswith("file:///"):
+            authority = d[len("file://"):].split("/", 1)[0]
+            if authority:
+                raise ValueError(
+                    "local_first_scan: authority-full file URI "
+                    f"'file://{authority}/...' is not a supported local-FS "
+                    "form; use 'file:/abs/path', 'file:///abs/path', or a "
+                    "plain path"
+                )
         if d.startswith("file:"):
             return "file:/" + d[len("file:"):].lstrip("/").rstrip("/")
         if "://" in d:

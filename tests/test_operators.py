@@ -175,6 +175,29 @@ class TestDedup:
         with pytest.raises(ValueError, match="must divide"):
             minhash_lookup_pairs(df, df, "id", "text", num_hashes=32, bands=5)
 
+    def test_simhash_bands_must_divide_bits_all_callers(self, spark):
+        """The bits % bands guard lives in _banded_hamming_pairs so ALL
+        three banded callers inherit it (ADVICE r11): with bits not a
+        multiple of bands, the top bits sit outside every band and
+        qualifying pairs are silently missed despite the documented
+        pigeonhole exactness. Previously only simhash_near_dup_pairs
+        checked; the quotient and component forms accepted the bad
+        geometry silently."""
+        from hebrew_tutor_data_pipeline_spark.operators.dedup import (
+            simhash_component_edges,
+            simhash_near_dup_pairs,
+            simhash_quotient_pairs,
+        )
+
+        df = spark.createDataFrame([(1, "a b c")], ["id", "text"])
+        for fn in (
+            simhash_near_dup_pairs,
+            simhash_quotient_pairs,
+            simhash_component_edges,
+        ):
+            with pytest.raises(ValueError, match="must divide"):
+                fn(df, "id", "text", bits=30, bands=4).collect()
+
     def test_shingle_sets_empty_docs_yield_empty_sets(self, spark):
         """Empty/whitespace docs must not carry an artifact [''] shingle
         (which made every pair of empty docs a jaccard-1.0 'near-dup' in

@@ -1998,6 +1998,41 @@ class TestBloomSharedBuild:
         )
         assert before == after and len(before) > 0
 
+    def test_memo_evicts_oldest_not_newest(self, spark, monkeypatch):
+        """Bounded-memo eviction must be FIFO (ADVICE r11): the old
+        dict.popitem() removed the MOST recently inserted entry, so once
+        4 keys accumulated the three oldest persisted frames were never
+        evictable and stayed pinned for the application lifetime."""
+        from hebrew_tutor_data_pipeline_spark.plans import catalog_ml as cm
+
+        class _Fake:
+            def __init__(self):
+                self.unpersisted = False
+
+            def unpersist(self):
+                self.unpersisted = True
+
+        fakes = {f"sf_fake_{i}": {"idx": _Fake(), "bits": _Fake()} for i in range(4)}
+        monkeypatch.setattr(
+            cm,
+            "_BLOOM_SHARED",
+            {
+                (spark.sparkContext.applicationId, k): dict(v)
+                for k, v in fakes.items()
+            },
+        )
+        cm._bloom_parts(spark, "/root/testdata/sf0.001")
+        live = {k[1] for k in cm._BLOOM_SHARED}
+        assert "/root/testdata/sf0.001" in live
+        # FIFO: the single evicted key is the OLDEST fake, and its
+        # frames were unpersisted; the newer three survive untouched
+        assert "sf_fake_0" not in live
+        assert fakes["sf_fake_0"]["idx"].unpersisted
+        assert fakes["sf_fake_0"]["bits"].unpersisted
+        for i in (1, 2, 3):
+            assert f"sf_fake_{i}" in live
+            assert not fakes[f"sf_fake_{i}"]["idx"].unpersisted
+
 
 class TestBloomMembershipProperties:
     """operators.membership vs a pure-Python Bloom built from the same

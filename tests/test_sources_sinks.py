@@ -266,6 +266,29 @@ class TestLocalFirstScan:
         ).collect()
         assert sorted(r["length"] for r in rows) == [3, 5]
 
+    def test_authority_full_file_uri_rejected_upfront(self, spark, tmp_path):
+        """`file://host/path` (non-empty authority) is not a local-FS
+        form this reader supports; it used to silently fold the host
+        into the path, which surfaced later as a confusing whole-scan
+        raise_error (ADVICE r11). It must now be a ValueError at CALL
+        time, while the empty-authority spellings keep working."""
+        import pytest as _pytest
+
+        from hebrew_tutor_data_pipeline_spark.sources.readers import local_first_scan
+
+        loc = tmp_path / "loc"
+        rem = tmp_path / "rem"
+        loc.mkdir()
+        rem.mkdir()
+        (loc / "a.mp3").write_bytes(b"L" * 3)
+        with _pytest.raises(ValueError, match="authority-full"):
+            local_first_scan(spark, f"file://somehost{loc}", str(rem))
+        with _pytest.raises(ValueError, match="authority-full"):
+            local_first_scan(spark, str(loc), f"file://h{rem}")
+        # empty-authority and single-slash forms still resolve
+        rows = local_first_scan(spark, f"file://{loc}", f"file:{rem}").collect()
+        assert [(r["source"], r["length"]) for r in rows] == [("local", 3)]
+
     def test_missing_everywhere_is_absent(self, spark, tmp_path):
         """The declarative FileNotFoundError: expected-vs-resolved anti join."""
         from hebrew_tutor_data_pipeline_spark.sources.readers import local_first_scan

@@ -78,8 +78,16 @@ def main() -> int:
             if errs:
                 print(f"{label} run {run} recorded {len(errs)} query error(s): {sorted(errs)}")
                 # errored queries that were in the old run are already flagged
-                # 'removed' above — only count ones the diff rows missed
-                bad += sum(1 for q in errs if q not in old) if label == "new" else 0
+                # 'removed' above — only count ones the diff rows missed.
+                # A query absent from old that errored in ONE merged new
+                # run but has a valid best-of timing from another is NOT
+                # a regression (ADVICE r11): require it missing from the
+                # merged new dict too.
+                bad += (
+                    sum(1 for q in errs if q not in old and q not in new)
+                    if label == "new"
+                    else 0
+                )
     tot_o, tot_n = sum(old.values()), sum(new.values())
     print(f"\ntotal: {tot_o:.1f}s -> {tot_n:.1f}s  ({tot_n / tot_o:.2f}x), "
           f"{bad} regression(s) past {threshold}x+0.5s (removed/errored count)")
