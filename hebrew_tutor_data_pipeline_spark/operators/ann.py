@@ -417,6 +417,292 @@ def kmeans_codebook(
     return [(i, [float(x) for x in cent[i]]) for i in range(k)]
 
 
+#: global fine-cell id = coarse_cell * _FINE_STRIDE + fine_idx. A coarse
+#: cell can never hold 10^6 fine cells (fine_k = ceil(n_c / target) and
+#: target ≥ 1 bounds fine_k by the cell population, which the coarse
+#: quantizer keeps far below 10^6 per cell at any k ∝ n), so ids are
+#: collision-free and the oracle reproduces them with plain arithmetic.
+_FINE_STRIDE = 1_000_000
+
+
+class TwoLevelCodebook:
+    """Hierarchical k-means model: ``coarse`` is a flat codebook of
+    ``k_c ≈ √k`` cells; ``fine`` maps each coarse cell to its within-cell
+    codebook of ``ceil(n_cell / target_cell)`` centroids, identified
+    globally as ``coarse * _FINE_STRIDE + fine_idx``.
+
+    Why it exists (VERDICT r11 #2): the derived knob k = n/target makes
+    the FLAT codebook's training + assignment GEMM Θ(n·k·d) =
+    Θ(n²·d/target) — measured 17.1× sf1→sf10 on cluster_balanced_sample.
+    Routing every vector through a √k-cell coarse quantizer first makes
+    both stages Θ(n·√k·d): train coarse on n, then train each coarse
+    cell's ~√k fine centroids only on that cell's members, so the summed
+    fine GEMM is Σ n_c·fine_k_c·d ≈ n·√k·d when the coarse cells are
+    roughly balanced (Lloyd's usual outcome; a pathologically skewed
+    coarse cell degrades only its own term, and its fine_k grows with
+    its population so the WITHIN-cell pairwise consumers stay bounded).
+
+    100 TB posture: the full model is k·d floats — the same artifact
+    size the flat codebook already shipped — but at extreme k the
+    broadcast in ``assign`` would be replaced by a shuffle join of
+    vectors against their coarse cell's fine block (coarse id is known
+    map-side, so the join is 1:few on a small dimension table); the
+    local[32] tier keeps the broadcast.
+    """
+
+    def __init__(
+        self,
+        coarse: list[tuple[int, list[float]]],
+        fine: dict[int, list[tuple[int, list[float]]]],
+    ):
+        self.coarse = coarse
+        self.fine = fine
+
+    def flat(self) -> list[tuple[int, list[float]]]:
+        """Every fine centroid under its global id, sorted — the bounded
+        model artifact (k rows), feedable anywhere a flat codebook is."""
+        out = [pair for cell in sorted(self.fine) for pair in self.fine[cell]]
+        return sorted(out)
+
+    def assign(self, corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+        """Two-stage map-only assignment: rounded-6dp cosine argmax to a
+        coarse cell (ties → smallest id), then rounded argmax among THAT
+        cell's fine centroids (ties → smallest global id). Same output
+        shape as ``cell_assign``: (id, vec array<double>, cell). The
+        corpus is never shuffled; both GEMMs run per Arrow batch against
+        the broadcast model — Θ(n·√k·d) where the flat path was Θ(n·k·d).
+
+        Two-stage is the standard IVF approximation, not flat-nearest:
+        a vector whose globally nearest fine centroid lives in a
+        DIFFERENT coarse cell lands by coarse-then-fine routing; the
+        DuckDB oracle replays exactly this rule, so the approximation is
+        part of the registered semantics, not drift.
+        """
+        import numpy as np
+        from pyspark.sql.types import (
+            ArrayType,
+            DoubleType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        c = _as_double_vec(corpus, id_col, vec_col)
+        coarse_ids = np.array([cid for cid, _ in self.coarse], dtype="int64")
+        cmat = np.stack([np.asarray(v, dtype="float64") for _, v in self.coarse])
+        cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+        fine_model = {}
+        for cell, pairs in self.fine.items():
+            gids = np.array([g for g, _ in pairs], dtype="int64")
+            fmat = np.stack([np.asarray(v, dtype="float64") for _, v in pairs])
+            fine_model[int(cell)] = (gids, fmat, np.sqrt((fmat * fmat).sum(axis=1)))
+        bc = corpus.sparkSession.sparkContext.broadcast(
+            (coarse_ids, cmat, cnorm, fine_model)
+        )
+
+        def _r6(x):
+            return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+        def assign(batches):
+            cids, cm, cn, fm = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.stack(pdf["vec"].to_numpy())
+                vn = np.sqrt((mat * mat).sum(axis=1))
+                coarse = cids[
+                    np.argmax(_r6((mat @ cm.T) / (vn[:, None] * cn[None, :])), axis=1)
+                ]
+                out = np.empty(len(pdf), dtype="int64")
+                for cell in np.unique(coarse):
+                    sel = coarse == cell
+                    gids, fmat, fn = fm[int(cell)]
+                    sim = _r6(
+                        (mat[sel] @ fmat.T) / (vn[sel][:, None] * fn[None, :])
+                    )
+                    out[sel] = gids[np.argmax(sim, axis=1)]
+                pdf["cell"] = out
+                yield pdf
+
+        return c.mapInPandas(
+            assign,
+            StructType(
+                [
+                    StructField("id", c.schema["id"].dataType, False),
+                    StructField("vec", ArrayType(DoubleType()), False),
+                    StructField("cell", LongType(), False),
+                ]
+            ),
+        )
+
+
+def two_level_codebook(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    iters: int = 2,
+    target_cell: int = 250,
+) -> TwoLevelCodebook:
+    """Train the two-level (coarse √k → fine within-cell) codebook —
+    the scale successor to a flat ``kmeans_codebook(k)`` when k is
+    derived from the corpus count (see TwoLevelCodebook).
+
+    Recipe, every step deterministic and oracle-replayable:
+    1. coarse = kmeans_codebook(k_c = isqrt(k), ``iters`` Lloyd steps)
+       — init is the k_c smallest-id vectors, raw-cosine training
+       assignment, empty cells carry forward;
+    2. block the corpus with the ROUNDED cell_assign rule (the same
+       rounding the final assignment uses, so training and serving see
+       identical blocks);
+    3. per coarse cell: fine_k = max(1, ceil(n_cell / target_cell)),
+       init = the cell's fine_k smallest-id member vectors, then
+       ``iters`` Lloyd steps over ALL cells simultaneously — one
+       map-side-combined partials pass per iteration, keyed
+       (coarse, fine), shuffling ≤ partitions × k tiny rows; only the
+       k×d model ever reaches the driver.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    k_c = max(1, math.isqrt(k))
+    coarse = kmeans_codebook(corpus, id_col, vec_col, k=k_c, iters=iters)
+    # blocking assignment reads `iters`+1 more times below — cache it
+    # (narrow: id, 64-dim vec, cell; executor-memory bounded exactly as
+    # kmeans_codebook's cached input is)
+    assigned = cell_assign(corpus, id_col, vec_col, coarse).persist()
+
+    # fine init: per coarse cell, its fine_k smallest-id member vectors.
+    # Σ fine_k ≈ k rows collected — the bounded model artifact itself.
+    wc = Window.partitionBy("cell")
+    wr = Window.partitionBy("cell").orderBy("id")
+    init_rows = (
+        assigned.withColumn("rn", F.row_number().over(wr))
+        .withColumn(
+            "fk",
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.count(F.lit(1)).over(wc) / F.lit(float(target_cell))),
+            ),
+        )
+        .filter(F.col("rn") <= F.col("fk"))
+        .select("cell", (F.col("rn") - 1).alias("fine"), "vec")
+        .collect()
+    )
+    fine_mats: dict[int, np.ndarray] = {}
+    for cell in sorted({r["cell"] for r in init_rows}):
+        rows = sorted(
+            (r for r in init_rows if r["cell"] == cell), key=lambda r: r["fine"]
+        )
+        fine_mats[int(cell)] = np.stack(
+            [np.asarray(r["vec"], dtype="float64") for r in rows]
+        )
+
+    sc = corpus.sparkSession.sparkContext
+    partial_schema = StructType(
+        [
+            StructField("pid", LongType(), False),
+            StructField("ccell", LongType(), False),
+            StructField("fine", LongType(), False),
+            StructField("psum", ArrayType(DoubleType()), False),
+            StructField("n", LongType(), False),
+        ]
+    )
+    for _ in range(iters):
+        bc = sc.broadcast(
+            {
+                cell: (m, np.sqrt((m * m).sum(axis=1)))
+                for cell, m in fine_mats.items()
+            }
+        )
+
+        def fine_partials(batches):
+            # raw-cosine training argmax (ties → smallest fine idx),
+            # map-side combined per (coarse, fine) per partition —
+            # kmeans_codebook's assign_partials, one level down
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            model = bc.value
+            acc: dict[tuple[int, int], list] = {}
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                for ccell, grp in pdf.groupby("cell", sort=True):
+                    mat = np.stack(grp["vec"].to_numpy())
+                    fm, fn = model[int(ccell)]
+                    sim = (mat @ fm.T) / (
+                        np.sqrt((mat * mat).sum(axis=1))[:, None] * fn[None, :]
+                    )
+                    fines = np.argmax(sim, axis=1)
+                    for f in np.unique(fines):
+                        block = mat[fines == f]
+                        key = (int(ccell), int(f))
+                        if key in acc:
+                            acc[key][0] += block.sum(axis=0)
+                            acc[key][1] += len(block)
+                        else:
+                            acc[key] = [block.sum(axis=0), len(block)]
+            if acc:
+                yield pd.DataFrame(
+                    {
+                        "pid": [pid] * len(acc),
+                        "ccell": [c_ for c_, _ in acc],
+                        "fine": [f_ for _, f_ in acc],
+                        "psum": [list(v[0]) for v in acc.values()],
+                        "n": [int(v[1]) for v in acc.values()],
+                    }
+                )
+
+        partials = assigned.mapInPandas(fine_partials, partial_schema)
+
+        def cell_mean(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            # partial sums ordered by source partition id — the same
+            # bit-exactness contract as kmeans_codebook's merge
+            pdf = pdf.sort_values("pid")
+            s = np.stack(pdf["psum"].to_numpy()).sum(axis=0)
+            n = int(pdf["n"].sum())
+            return pd.DataFrame(
+                {
+                    "ccell": [int(pdf["ccell"].iloc[0])],
+                    "fine": [int(pdf["fine"].iloc[0])],
+                    "vec": [list(s / n)],
+                }
+            )
+
+        means = (
+            partials.groupBy("ccell", "fine")
+            .applyInPandas(cell_mean, "ccell long, fine long, vec array<double>")
+            .collect()
+        )
+        new_mats = {cell: m.copy() for cell, m in fine_mats.items()}
+        for r in means:  # empty fine cells keep their previous centroid
+            new_mats[r["ccell"]][r["fine"], :] = np.asarray(
+                r["vec"], dtype="float64"
+            )
+        bc.unpersist()
+        fine_mats = new_mats
+    assigned.unpersist()
+
+    fine = {
+        cell: [
+            (cell * _FINE_STRIDE + i, [float(x) for x in m[i]])
+            for i in range(m.shape[0])
+        ]
+        for cell, m in fine_mats.items()
+    }
+    return TwoLevelCodebook(coarse, fine)
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,

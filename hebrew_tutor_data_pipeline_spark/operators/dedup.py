@@ -1640,7 +1640,14 @@ def semantic_dedup(
     from ..functions.similarity import cosine_similarity
     from .ann import cell_assign
 
-    assigned = cell_assign(corpus, id_col, vec_col, codebook)
+    # a TwoLevelCodebook (derived-k scale tier, VERDICT r11 #2) carries
+    # its own two-stage Θ(n·√k·d) assignment; a flat codebook list keeps
+    # the classic broadcast GEMM — downstream semantics are identical
+    # (block on `cell`, prune within)
+    if hasattr(codebook, "assign"):
+        assigned = codebook.assign(corpus, id_col, vec_col)
+    else:
+        assigned = cell_assign(corpus, id_col, vec_col, codebook)
     left = assigned.select(
         F.col("cell"), F.col("id").alias("keep_id"), F.col("vec").alias("kvec")
     )

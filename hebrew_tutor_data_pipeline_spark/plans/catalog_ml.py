@@ -1586,6 +1586,105 @@ _SEMDEDUP_TARGET_CELL = 250
 _SEMDEDUP_MIN_K = 16
 
 
+def _fine_lloyd_sql(prev: str, a: str, m: str, out: str) -> str:
+    """One deterministic Lloyd iteration WITHIN each coarse cell, in SQL:
+    ``prev(ccell, fine, ce)`` → ``out`` with the same shape. Raw-cosine
+    assignment restricted to the row's own coarse cell (ties → smallest
+    fine idx), per-(ccell, fine, dim) mean, empty fine cells carry
+    forward — ann.two_level_codebook's fine recurrence, one level below
+    ``_lloyd_sql``. Reads the coarse blocking from the fixed CTE ``ca``."""
+    return f"""
+{a} AS (
+    SELECT ca.vec_id, ca.e, ca.ccell, b.fine
+    FROM ca
+    JOIN LATERAL (
+        SELECT p.fine, {_cos_sql('ca.e', 'p.ce', raw=True)} AS sim
+        FROM {prev} p WHERE p.ccell = ca.ccell
+        ORDER BY sim DESC, p.fine ASC LIMIT 1
+    ) b ON TRUE
+),
+{m} AS (
+    SELECT ccell, fine, list(sx ORDER BY i) AS ce FROM (
+        SELECT ccell, fine, i, sum(x) / count(*) AS sx FROM (
+            SELECT ccell, fine, generate_subscripts(e, 1) AS i, unnest(e) AS x
+            FROM {a}
+        ) GROUP BY ccell, fine, i
+    ) GROUP BY ccell, fine
+),
+{out} AS (
+    SELECT p.ccell, p.fine, coalesce(m.ce, p.ce) AS ce
+    FROM {prev} p LEFT JOIN {m} m ON p.ccell = m.ccell AND p.fine = m.fine
+)"""
+
+
+def _two_level_sql() -> str:
+    """CTE chain ``v`` → ``tl(vec_id, e, cell)``: the exact recurrence of
+    ann.two_level_codebook + TwoLevelCodebook.assign with the derived
+    k = greatest(16, n // 250) (VERDICT r11 #2's Θ(n·√k·d) successor to
+    the flat codebook). Stages, each mirroring the engine bit-for-bit:
+    coarse init = the isqrt(k) smallest-id vectors; two raw-cosine Lloyd
+    steps (``_lloyd_sql``); ROUNDED coarse blocking (ties → smallest
+    cell); per-cell fine_k = ceil(n_cell / 250); fine init = each cell's
+    fine_k smallest-id members; two within-cell Lloyd steps
+    (``_fine_lloyd_sql``); ROUNDED fine assignment; global cell id =
+    ccell * 1000000 + fine."""
+    return f"""
+c0 AS (
+    SELECT rn - 1 AS cell, e AS ce
+    FROM (SELECT row_number() OVER (ORDER BY vec_id) AS rn, e FROM v)
+    WHERE rn <= (
+        SELECT CAST(floor(sqrt(CAST(greatest({_SEMDEDUP_MIN_K},
+                    count(*) // {_SEMDEDUP_TARGET_CELL}) AS DOUBLE))) AS BIGINT)
+        FROM v
+    )
+),
+{_lloyd_sql('c0', 'tla1', 'tlm1', 'tlc1')},
+{_lloyd_sql('tlc1', 'tla2', 'tlm2', 'tlc2')},
+ca AS (
+    SELECT v.vec_id, v.e, b.cell AS ccell
+    FROM v
+    JOIN LATERAL (
+        SELECT c.cell, {_cos_sql('v.e', 'c.ce')} AS sim
+        FROM tlc2 c ORDER BY sim DESC, c.cell ASC LIMIT 1
+    ) b ON TRUE
+),
+cnts AS (SELECT ccell, count(*) AS n_c FROM ca GROUP BY ccell),
+f0 AS (
+    SELECT ccell, rn - 1 AS fine, e AS ce FROM (
+        SELECT ca.ccell, ca.e,
+               row_number() OVER (PARTITION BY ca.ccell ORDER BY ca.vec_id) AS rn,
+               greatest(1, CAST(ceil(CAST(c.n_c AS DOUBLE)
+                                     / {_SEMDEDUP_TARGET_CELL}.0) AS BIGINT)) AS fk
+        FROM ca JOIN cnts c USING (ccell)
+    ) WHERE rn <= fk
+),
+{_fine_lloyd_sql('f0', 'fla1', 'flm1', 'flc1')},
+{_fine_lloyd_sql('flc1', 'fla2', 'flm2', 'flc2')},
+tl AS (
+    SELECT ca.vec_id, ca.e, ca.ccell * 1000000 + b.fine AS cell
+    FROM ca
+    JOIN LATERAL (
+        SELECT p.fine, {_cos_sql('ca.e', 'p.ce')} AS sim
+        FROM flc2 p WHERE p.ccell = ca.ccell
+        ORDER BY sim DESC, p.fine ASC LIMIT 1
+    ) b ON TRUE
+)"""
+
+
+def _embeddings_codebook2(spark: SparkSession, sf_dir: str, k: int):
+    """Memoized two-level codebook over the embeddings table — same
+    process-lifetime contract as ``_embeddings_codebook`` (one model
+    artifact per (sf_dir, k); ``clear_codebook_cache`` drops it)."""
+    key = (sf_dir, "two-level", k, 2)
+    if key not in _CODEBOOK_CACHE:
+        e = spread(T(spark, sf_dir, "embeddings"))
+        _CODEBOOK_CACHE[key] = ann.two_level_codebook(
+            e, "vec_id", "embedding", k=k, iters=2,
+            target_cell=_SEMDEDUP_TARGET_CELL,
+        )
+    return _CODEBOOK_CACHE[key]
+
+
 def _semdedup_k_for(n: int) -> int:
     """Count-derived SemDeDup cluster count: k grows with the corpus so
     expected cell population stays ≈ _SEMDEDUP_TARGET_CELL and
@@ -1597,32 +1696,17 @@ def _semdedup_k_for(n: int) -> int:
 
 @_register(
     "semantic_dedup_flags",
-    # The full SemDeDup pipeline replays in SQL: the same two unrolled
-    # Lloyd iterations as ann_ivf_kmeans_top10 — but with the cluster
-    # count DERIVED from count(*) by the engine's own formula
-    # (greatest(16, n // 250)), so the driver-validated plan is the
-    # scale-correct parameterization. Init = the k smallest-id vectors;
-    # the Lloyd CTEs are k-agnostic (they iterate whatever c0 holds).
-    # Then rounded-cosine best-cell assignment and the within-cluster
-    # smaller-id-wins pruning rule as a DISTINCT + LEFT JOIN.
+    # The full SemDeDup pipeline replays in SQL with the TWO-LEVEL
+    # codebook (VERDICT r11 #2): _two_level_sql unrolls coarse init →
+    # 2 Lloyd steps → rounded coarse blocking → derived fine_k → 2
+    # within-cell Lloyd steps → rounded fine assignment, with the
+    # cluster count DERIVED from count(*) by the engine's own formula.
+    # Then the within-cluster smaller-id-wins pruning rule as a
+    # DISTINCT + LEFT JOIN, unchanged.
     oracle=f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-c0 AS (
-    SELECT rn - 1 AS cell, e AS ce
-    FROM (SELECT row_number() OVER (ORDER BY vec_id) AS rn, e FROM v)
-    WHERE rn <= greatest({_SEMDEDUP_MIN_K},
-                         (SELECT count(*) FROM v) // {_SEMDEDUP_TARGET_CELL})
-),
-{_lloyd_sql('c0', 'sa1', 'sm1', 'sc1')},
-{_lloyd_sql('sc1', 'sa2', 'sm2', 'sc2')},
-assigned AS (
-    SELECT v.vec_id AS id, v.e, b.cell
-    FROM v
-    JOIN LATERAL (
-        SELECT c.cell, {_cos_sql('v.e', 'c.ce')} AS sim
-        FROM sc2 c ORDER BY sim DESC, c.cell ASC LIMIT 1
-    ) b ON TRUE
-),
+{_two_level_sql()},
+assigned AS (SELECT vec_id AS id, e, cell FROM tl),
 dups AS (
     SELECT DISTINCT b.id
     FROM assigned a JOIN assigned b USING (cell)
@@ -1636,22 +1720,26 @@ FROM assigned a LEFT JOIN dups d ON a.id = d.id
 )
 def semantic_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic deduplication (Abbas et al. 2023): k-means
-    cluster blocking (trained codebook, 2 deterministic Lloyd steps)
-    then within-cluster pairwise-cosine pruning with the keep-first
-    rule. One flag row per vector — the curation-pipeline face of
-    embedding dedup, complementing the pair-producing LSH tier.
+    cluster blocking (trained codebook) then within-cluster
+    pairwise-cosine pruning with the keep-first rule. One flag row per
+    vector — the curation-pipeline face of embedding dedup,
+    complementing the pair-producing LSH tier.
 
     The cluster count is DERIVED from the corpus count (k = max(16,
     n//250), mirrored exactly in the oracle SQL): the r06 scale runs
-    measured fixed k=16 as superlinear (within-cell pairs ∝ n²/k) and
-    scaled k as n^0.47, 36× faster at x100 — that production knob is
-    now the registered plan itself. The sizing count is one scalar job
-    (bounded driver read); at the small SFs the formula floors at
-    k=16, so derived and historical plans coincide there."""
+    measured fixed k=16 as superlinear (within-cell pairs ∝ n²/k).
+    Since r12 the blocking is the TWO-LEVEL codebook (coarse isqrt(k)
+    cells → fine within-cell; ann.two_level_codebook): the flat
+    derived-k codebook's training+assignment GEMM was Θ(n·k·d) =
+    Θ(n²·d/250) — the confirmed r11 scale-killer (17.1× sf1→sf10 on
+    the sibling cluster_balanced_sample) — while the two-level route
+    is Θ(n·√k·d), with identical downstream semantics (block on cell,
+    prune within). The sizing count is one scalar job (bounded driver
+    read)."""
     e = spread(T(spark, sf_dir, "embeddings"))
     k = _semdedup_k_for(e.count())
-    cb = _embeddings_codebook(spark, sf_dir, k=k)
-    out = dedup.semantic_dedup(e, "vec_id", "embedding", codebook=cb, tau=0.35)
+    model = _embeddings_codebook2(spark, sf_dir, k=k)
+    out = dedup.semantic_dedup(e, "vec_id", "embedding", codebook=model, tau=0.35)
     return out.withColumnRenamed("id", "vec_id")
 
 
@@ -1661,28 +1749,15 @@ def semantic_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     # move after SemDeDup: sample per semantic CLUSTER, not per corpus,
     # so head clusters stop dominating): ceil(sqrt(cell_n)) docs per
     # k-means cell, chosen by salted-hash order (retry-stable, no RNG).
-    # The oracle replays the identical derived-k codebook chain as
-    # semantic_dedup_flags, the salted polynomial hash, and the sqrt
-    # budget (IEEE sqrt is correctly rounded — identical both engines;
-    # perfect squares are exact, so ceil never sits on a float boundary).
+    # The oracle replays the identical two-level derived-k codebook
+    # chain as semantic_dedup_flags (_two_level_sql), the salted
+    # polynomial hash, and the sqrt budget (IEEE sqrt is correctly
+    # rounded — identical both engines; perfect squares are exact, so
+    # ceil never sits on a float boundary).
     oracle=f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-c0 AS (
-    SELECT rn - 1 AS cell, e AS ce
-    FROM (SELECT row_number() OVER (ORDER BY vec_id) AS rn, e FROM v)
-    WHERE rn <= greatest({_SEMDEDUP_MIN_K},
-                         (SELECT count(*) FROM v) // {_SEMDEDUP_TARGET_CELL})
-),
-{_lloyd_sql('c0', 'ba1', 'bm1', 'bc1')},
-{_lloyd_sql('bc1', 'ba2', 'bm2', 'bc2')},
-assigned AS (
-    SELECT v.vec_id AS id, b.cell
-    FROM v
-    JOIN LATERAL (
-        SELECT c.cell, {_cos_sql('v.e', 'c.ce')} AS sim
-        FROM bc2 c ORDER BY sim DESC, c.cell ASC LIMIT 1
-    ) b ON TRUE
-),
+{_two_level_sql()},
+assigned AS (SELECT vec_id AS id, cell FROM tl),
 rk AS (
     SELECT id, cell,
            count(*) OVER (PARTITION BY cell) AS cell_n,
@@ -1709,18 +1784,20 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort runs — stay ≈250 rows at any scale; output size is
     Σ√cell ≈ √(n·k) ∝ n/√target — sub-linear.
 
-    MEASURED COST-MODEL LIMIT (r11, bench_runs/README): the k ∝ n
-    derived knob makes the codebook training + assignment GEMM
-    Θ(n·k·d) = Θ(n²·d/target_cell) — profiled at sf10 (200k vectors,
-    k=800): train 10.4 s + assign 3.3 s vs trivial at 20k/k=80; the
-    r10 x-family exponent 0.25 was an overhead-dominated fit. The
-    flat codebook does not survive the next two scale decades; the
-    two-level (coarse √k → fine) codebook, Θ(n·√k·d), is the planned
-    successor for this and the other _semdedup_k_for consumers."""
+    COST-MODEL HISTORY (r11 → r12): the k ∝ n derived knob made the
+    FLAT codebook's training + assignment GEMM Θ(n·k·d) =
+    Θ(n²·d/target_cell) — profiled at sf10 (200k vectors, k=800):
+    train 10.4 s + assign 3.3 s vs trivial at 20k/k=80 (the r10
+    x-family exponent 0.25 was an overhead-dominated fit; 17.1×
+    sf1→sf10 confirmed, VERDICT r11 #2). Since r12 the blocking is
+    ann.two_level_codebook — coarse isqrt(k) cells, then
+    ceil(n_cell/250) fine cells trained only on each cell's members —
+    Θ(n·√k·d) for training AND assignment, same derived cell
+    population, oracle replays the exact two-level recurrence."""
     e = spread(T(spark, sf_dir, "embeddings"))
     k = _semdedup_k_for(e.count())
-    cb = _embeddings_codebook(spark, sf_dir, k=k)
-    assigned = ann.cell_assign(e, "vec_id", "embedding", cb)
+    model = _embeddings_codebook2(spark, sf_dir, k=k)
+    assigned = model.assign(e, "vec_id", "embedding")
     order_key = dedup.token_hash(
         F.concat(F.lit("cbs|"), F.col("id").cast("string"))
     )

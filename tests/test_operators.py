@@ -647,6 +647,126 @@ class TestKmeansCodebook:
         assert recall >= 0.5, recall
 
 
+class TestTwoLevelCodebook:
+    """ann.two_level_codebook — the Θ(n·√k·d) successor to the derived-k
+    flat codebook (VERDICT r11 #2). DuckDB replays the full training
+    recurrence in the semantic_dedup_flags / cluster_balanced_sample
+    oracles; these tests pin the model-side contracts that replay can't
+    see: id algebra, assignment-vs-model consistency (a numpy replay
+    FROM the returned artifact), population-tracking fine splits, and
+    run-to-run determinism."""
+
+    def make_corpus(self, spark, n=120, dim=8):
+        rows = [
+            (i, [math.sin((i + 1) * (d + 1) * 0.7) for d in range(dim)])
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, ["id", "vec"])
+
+    def test_deterministic_and_id_algebra(self, spark):
+        from hebrew_tutor_data_pipeline_spark.operators.ann import (
+            _FINE_STRIDE,
+            two_level_codebook,
+        )
+
+        corpus = self.make_corpus(spark)
+        m1 = two_level_codebook(corpus, "id", "vec", k=16, iters=2, target_cell=10)
+        m2 = two_level_codebook(corpus, "id", "vec", k=16, iters=2, target_cell=10)
+        assert m1.flat() == m2.flat()  # no RNG anywhere
+        assert m1.coarse == m2.coarse
+        for ccell, pairs in m1.fine.items():
+            for i, (gid, vec) in enumerate(pairs):
+                assert gid == ccell * _FINE_STRIDE + i
+                assert len(vec) == 8
+
+    def test_assign_matches_numpy_replay_of_model(self, spark):
+        """assign() must route every vector exactly as the returned
+        artifact dictates: rounded-6dp cosine argmax over coarse (ties →
+        smallest cell), then rounded argmax over THAT cell's fine
+        centroids (ties → smallest global id) — replayed here in plain
+        numpy from model.coarse/model.fine, independent of any Spark
+        code path."""
+        import numpy as np
+
+        from hebrew_tutor_data_pipeline_spark.operators.ann import (
+            two_level_codebook,
+        )
+
+        corpus = self.make_corpus(spark).repartition(5)
+        model = two_level_codebook(corpus, "id", "vec", k=16, iters=2, target_cell=10)
+        got = {
+            r["id"]: r["cell"]
+            for r in model.assign(corpus, "id", "vec").collect()
+        }
+
+        def r6(x):
+            return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+        cmat = np.stack([np.asarray(v) for _, v in model.coarse])
+        cn = np.sqrt((cmat * cmat).sum(axis=1))
+        rows = {r["id"]: np.asarray(r["vec"]) for r in corpus.collect()}
+        for vid, v in rows.items():
+            vn = np.sqrt((v * v).sum())
+            coarse = int(np.argmax(r6((cmat @ v) / (cn * vn))))
+            gids = [g for g, _ in model.fine[coarse]]
+            fmat = np.stack([np.asarray(x) for _, x in model.fine[coarse]])
+            fn = np.sqrt((fmat * fmat).sum(axis=1))
+            expect = gids[int(np.argmax(r6((fmat @ v) / (fn * vn))))]
+            assert got[vid] == expect, vid
+
+    def test_fine_split_tracks_cell_population(self, spark):
+        """Each coarse cell's fine codebook holds exactly
+        ceil(n_cell / target_cell) centroids, where n_cell counts the
+        ROUNDED coarse blocking — the knob that keeps within-cell
+        pairwise work (SemDeDup's cost model) bounded per cell."""
+        from hebrew_tutor_data_pipeline_spark.operators.ann import (
+            cell_assign,
+            two_level_codebook,
+        )
+
+        corpus = self.make_corpus(spark)
+        target = 10
+        model = two_level_codebook(
+            corpus, "id", "vec", k=16, iters=2, target_cell=target
+        )
+        counts: dict[int, int] = {}
+        for r in cell_assign(corpus, "id", "vec", model.coarse).collect():
+            counts[r["cell"]] = counts.get(r["cell"], 0) + 1
+        assert set(model.fine) == {c for c, n in counts.items() if n > 0}
+        for ccell, pairs in model.fine.items():
+            assert len(pairs) == -(-counts[ccell] // target), ccell
+
+    def test_semantic_dedup_accepts_two_level_model(self, spark):
+        """Planted near-identical twins land in one (two-level) cell and
+        the larger-id twin is flagged — the downstream contract is
+        unchanged when the blocking model is hierarchical."""
+        from hebrew_tutor_data_pipeline_spark.operators.ann import (
+            two_level_codebook,
+        )
+        from hebrew_tutor_data_pipeline_spark.operators.dedup import semantic_dedup
+
+        rows = []
+        for i in range(20):
+            base = [math.sin((i + 1) * (d + 3) * 0.29) for d in range(16)]
+            rows.append((2 * i, base))
+            rows.append(
+                (2 * i + 1, [x + 0.003 * math.sin(d + i) for d, x in enumerate(base)])
+            )
+        df = spark.createDataFrame(rows, ["id", "vec"])
+        model = two_level_codebook(df, "id", "vec", k=16, iters=2, target_cell=10)
+        out = {
+            r["id"]: (r["cell"], r["is_dup"])
+            for r in semantic_dedup(df, "id", "vec", codebook=model, tau=0.99).collect()
+        }
+        assert len(out) == 40
+        for i in range(20):
+            keep_cell, keep_dup = out[2 * i]
+            dup_cell, dup_dup = out[2 * i + 1]
+            assert keep_cell == dup_cell
+            assert not keep_dup
+            assert dup_dup
+
+
 class TestDuplicateSpans:
     def test_planted_shared_span_found_and_merged(self, spark):
         """Two docs share a 12-token run; with n=10 that run yields 3

@@ -150,13 +150,28 @@ def table_hash(rows: list[tuple], cols: list[str]) -> str:
     return h.hexdigest()
 
 
+#: One session must survive a full sweep at ANY sf (VERDICT r11 next #5):
+#: the r11 sf1 sweep lost its Spark session to a driver-side broadcast
+#: store failure while collecting simhash_hamming_pairs' quadratic
+#: answer. Results are now collected through a LocalLimit at cap+1 —
+#: the plan stops producing once the cap is passed, so a quadratic
+#: answer FAILS ITS OWN ENTRY with a row-cap diagnostic instead of
+#: OOMing the session and voiding the rest of the sweep.
+ROW_CAP = 2_000_000
+
+
 def main() -> int:
+    import os
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
+    row_cap = int(os.environ.get("PARITY_ROW_CAP", str(ROW_CAP)))
 
+    import bench
     from hebrew_tutor_data_pipeline_spark.plans import CATALOG
     from hebrew_tutor_data_pipeline_spark.session import get_spark
 
+    sf = bench.sf_of(sf_dir)
     spark = get_spark("parity")
     con = duckdb.connect()
     for t in TABLES:
@@ -167,17 +182,37 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     failures = []
+    skipped = []
     for name, spec in CATALOG.items():
         if only and name not in only:
+            continue
+        # Honor bench.py's scale-tier skip list above its SF (VERDICT
+        # r11 next #5) — the adjudicated-to-die truth arms stay out of
+        # full sweeps at scale; naming a query explicitly overrides,
+        # same contract as bench.py.
+        lim = bench.SCALE_TIER_SKIPS.get(name)
+        if lim is not None and sf >= lim[0] and name not in only:
+            skipped.append(name)
+            print(f"skip  {name}: scale-tier skip at sf{sf:g} — {lim[1]}")
             continue
         t0 = time.time()
         try:
             sdf = spec.spark(spark, sf_dir)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            # LocalLimit at cap+1: a pathological answer stops producing
+            # at the cap and fails THIS entry, never the session
+            srows = [tuple(r) for r in sdf.limit(row_cap + 1).collect()]
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {str(e)[:300]}")
+            continue
+        if len(srows) > row_cap:
+            failures.append(name)
+            print(
+                f"FAIL  {name}: spark answer exceeds PARITY_ROW_CAP="
+                f"{row_cap} rows — quadratic-answer guard "
+                f"({time.time()-t0:.1f}s)"
+            )
             continue
         if spec.oracle is None:
             print(
@@ -188,10 +223,19 @@ def main() -> int:
         try:
             cur = con.execute(spec.oracle)
             ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            # same bounded fetch on the oracle side: a quadratic oracle
+            # answer must not OOM the process either
+            orows = cur.fetchmany(row_cap + 1)
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: oracle error: {str(e)[:300]}")
+            continue
+        if len(orows) > row_cap:
+            failures.append(name)
+            print(
+                f"FAIL  {name}: oracle answer exceeds PARITY_ROW_CAP="
+                f"{row_cap} rows ({time.time()-t0:.1f}s)"
+            )
             continue
         problems = []
         if len(srows) != len(orows):
@@ -225,6 +269,8 @@ def main() -> int:
         else:
             print(f"ok    {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
 
+    if skipped:
+        print(f"\n{len(skipped)} scale-tier skip(s): {skipped}")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     spark.stop()
     return 1 if failures else 0

@@ -200,6 +200,17 @@ def main() -> int:
             leaked = clear_persisted(spark)
             if leaked:
                 print(f"# {label} {name}: cleared {leaked} persisted RDDs", file=sys.stderr)
+            # each query pays its FULL model cost (codebook training
+            # included): without this, whichever _embeddings_codebook*
+            # consumer runs first absorbs training and the rest measure
+            # assignment only — the isolated numbers here are the
+            # cost-model evidence, unlike bench.py's in-catalog totals
+            # where the memo sharing is the deliberate production posture
+            from hebrew_tutor_data_pipeline_spark.plans.catalog_ml import (
+                clear_codebook_cache,
+            )
+
+            clear_codebook_cache()
             rec: dict = {"sec": sec}
             if err:
                 rec["error"] = err
@@ -230,13 +241,17 @@ def main() -> int:
             print(msg, file=sys.stderr)
 
     for name, by_label in report["queries"].items():
-        # Fit only within the generated self-similar family (x*): sf0.1
-        # is recorded as the reference point but is a different draw of
-        # the process, so it would only add noise to the exponent.
+        # Fit only within the generated self-similar families (the
+        # /root/scale_data trees — x* and sf*): driver testdata sf0.1 is
+        # recorded as the reference point but is a different draw of the
+        # process, so it would only add noise to the exponent. (The old
+        # label.startswith("x") filter silently dropped sf1/sf10 probes
+        # and emitted null exponents.)
         pts = [
             (report["dirs"][lbl]["n_docs"], rec["sec"])
             for lbl, rec in by_label.items()
-            if rec.get("sec") and lbl.startswith("x")
+            if rec.get("sec")
+            and report["dirs"][lbl]["path"].startswith("/root/scale_data/")
         ]
         report["exponents"][name] = fit_exponent(pts)
 
