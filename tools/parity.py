@@ -168,12 +168,49 @@ def table_hash(rows: list[tuple], cols: list[str]) -> str:
 ROW_CAP = 2_000_000
 
 
+#: Per-oracle wall cap. Some oracles are CHEAP on Spark but quadratic in
+#: DuckDB's execution at sf ≥ 1 (correlated-subquery as-of joins are the
+#: canonical case: fine at the sf0.01 driver gate, an open-ended grind on
+#: 100× the rows). A watchdog interrupts the oracle past the cap and the
+#: entry records a self-adjudicating "rows!" degrade line (spark rows +
+#: schema stand; values pinned at the lower SFs) instead of stalling the
+#: sweep for hours — the bound keeps a full-catalog sweep's worst case at
+#: minutes per pathological oracle, unconditionally.
+ORACLE_TIMEOUT_S = 600
+
+
+def _oracle_exec(con, sql: str, fetch, timeout_s: float):
+    """Execute an oracle under the watchdog. Returns (result, None) on
+    success or (None, 'timeout') when the watchdog interrupted it; other
+    exceptions propagate to the caller's error handling."""
+    import threading
+
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(timeout_s) and not done.is_set():
+            con.interrupt()
+
+    threading.Thread(target=watchdog, daemon=True).start()
+    try:
+        out = fetch(con.execute(sql))
+        done.set()
+        return out, None
+    except duckdb.InterruptException:
+        return None, "timeout"
+    finally:
+        done.set()
+
+
 def main() -> int:
     import os
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
     row_cap = int(os.environ.get("PARITY_ROW_CAP", str(ROW_CAP)))
+    oracle_timeout = float(
+        os.environ.get("PARITY_ORACLE_TIMEOUT", str(ORACLE_TIMEOUT_S))
+    )
 
     import bench
     from hebrew_tutor_data_pipeline_spark.plans import CATALOG
@@ -191,6 +228,7 @@ def main() -> int:
 
     failures = []
     skipped = []
+    oracle_timeouts = []
     for name, spec in CATALOG.items():
         if only and name not in only:
             continue
@@ -223,14 +261,27 @@ def main() -> int:
                 )
                 continue
             try:
-                n_oracle = con.execute(
-                    f"SELECT count(*) FROM ({spec.oracle})"
-                ).fetchone()[0]
+                counted, tmo = _oracle_exec(
+                    con,
+                    f"SELECT count(*) FROM ({spec.oracle})",
+                    lambda cur: cur.fetchone()[0],
+                    oracle_timeout,
+                )
                 duck_types = oracle_output_types(con, spec.oracle)
             except Exception as e:
                 failures.append(name)
                 print(f"FAIL  {name}: oracle error: {str(e)[:300]}")
                 continue
+            if tmo:
+                oracle_timeouts.append(name)
+                print(
+                    f"rows! {name}: spark {n_spark} rows, schema checked; "
+                    f"ORACLE count interrupted past {oracle_timeout:.0f}s "
+                    f"(quadratic oracle execution at this sf — values "
+                    f"pinned at lower SFs) ({time.time()-t0:.1f}s)"
+                )
+                continue
+            n_oracle = counted
             if n_spark != n_oracle:
                 problems.append(f"rowcount {n_spark} vs {n_oracle}")
             if sorted(scols) != sorted(duck_types):
@@ -269,15 +320,28 @@ def main() -> int:
             )
             continue
         try:
-            cur = con.execute(spec.oracle)
-            ocols = [d[0] for d in cur.description]
-            # same bounded fetch on the oracle side: a quadratic oracle
-            # answer must not OOM the process either
-            orows = cur.fetchmany(row_cap + 1)
+            fetched, tmo = _oracle_exec(
+                con,
+                spec.oracle,
+                # same bounded fetch on the oracle side: a quadratic
+                # oracle answer must not OOM the process either
+                lambda cur: ([d[0] for d in cur.description], cur.fetchmany(row_cap + 1)),
+                oracle_timeout,
+            )
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: oracle error: {str(e)[:300]}")
             continue
+        if tmo:
+            oracle_timeouts.append(name)
+            print(
+                f"rows! {name}: spark {n_spark} rows; ORACLE interrupted "
+                f"past {oracle_timeout:.0f}s (quadratic oracle execution "
+                f"at this sf — values pinned at lower SFs) "
+                f"({time.time()-t0:.1f}s)"
+            )
+            continue
+        ocols, orows = fetched
         if len(orows) > row_cap:
             failures.append(name)
             print(
@@ -319,6 +383,12 @@ def main() -> int:
 
     if skipped:
         print(f"\n{len(skipped)} scale-tier skip(s): {skipped}")
+    if oracle_timeouts:
+        print(
+            f"\n{len(oracle_timeouts)} oracle timeout(s) past "
+            f"{oracle_timeout:.0f}s (rows+schema checked, values pinned "
+            f"at lower SFs): {oracle_timeouts}"
+        )
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     spark.stop()
     return 1 if failures else 0
