@@ -1607,7 +1607,7 @@ def semantic_dedup(
     corpus: DataFrame,
     id_col: str,
     vec_col: str,
-    codebook: list[tuple[int, list[float]]],
+    codebook: "list[tuple[int, list[float]]] | object",  # flat list or ann.TwoLevelCodebook
     tau: float = 0.95,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column:
