@@ -191,6 +191,46 @@ def test_every_survey_s2_id_has_a_tagged_carrier():
     assert not missing, f"§2 IDs with no tagged catalog carrier: {missing}"
 
 
+def test_every_cited_bench_artifact_is_committed():
+    """Records-over-prose (VERDICT r11 #1): every bench_runs artifact
+    cited in SURVEY.md or bench_runs/README.md must exist IN GIT — a
+    dangling citation turns a measurement claim into prose. r11 shipped
+    two headline claims (sf1 typed parity, 10^8-key state probe) whose
+    cited files were never committed; this gate makes that class of
+    drift a test failure at the commit that introduces it."""
+    import re
+    import subprocess
+
+    repo = Path(__file__).resolve().parent.parent
+    committed = set(
+        subprocess.run(
+            ["git", "ls-files", "bench_runs"],
+            cwd=repo,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout.split()
+    )
+    # two citation spellings: path-qualified anywhere, and bare
+    # `rNN_*.json|txt` backticked names inside bench_runs' own README
+    qualified = re.compile(r"bench_runs/([A-Za-z0-9_.\-]+\.(?:json|txt))")
+    bare = re.compile(r"`((?:r\d+[A-Za-z0-9_.\-]*|BENCH_last)\.(?:json|txt))`")
+    dangling: dict[str, list[str]] = {}
+    for rel, pats in (
+        ("SURVEY.md", [qualified]),
+        ("bench_runs/README.md", [qualified, bare]),
+    ):
+        text = (repo / rel).read_text()
+        for pat in pats:
+            for name in pat.findall(text):
+                if f"bench_runs/{name}" not in committed:
+                    dangling.setdefault(name, []).append(rel)
+    assert not dangling, (
+        "artifacts cited but not committed (re-run and commit them, or "
+        f"fix the citation): {dangling}"
+    )
+
+
 def test_no_banned_oracle_output_dtypes(oracle_con):
     """Every oracle's OUTPUT types must be driver-canonicalizable: no
     HUGEINT/UHUGEINT (bare integer sum() → int128), no DECIMAL (str()
