@@ -212,8 +212,11 @@ def main() -> int:
     # ~1.5 KB) was the last round whose line parsed. Three-part emit:
     #   1. the FULL contract line, first on stdout (complete for any
     #      consumer that captures whole stdout);
-    #   2. a complete sidecar at bench_runs/BENCH_last.json (committed
-    #      per round, the durable full record);
+    #   2. a complete sidecar at bench_runs/BENCH_last.json — an
+    #      UNTRACKED scratch file (gitignored, ADVICE r12: ad-hoc runs
+    #      must not dirty the tree or masquerade as round evidence);
+    #      tools/round_close.py copies it to the committed
+    #      r{N}_quiet_run_*.json artifacts that ARE the durable record;
     #   3. a compact LAST line, kept under ~1.9 KB so the driver's
     #      tail-parse always succeeds: same metric/value/unit/sf/errors/
     #      skips, plus the slowest timings that fit, explicitly flagged

@@ -488,8 +488,19 @@ class TwoLevelCodebook:
         )
 
         c = _as_double_vec(corpus, id_col, vec_col)
-        coarse_ids = np.array([cid for cid, _ in self.coarse], dtype="int64")
-        cmat = np.stack([np.asarray(v, dtype="float64") for _, v in self.coarse])
+        # Route only among coarse cells that HAVE a fine codebook. A
+        # Lloyd cell empty at training time carries forward a centroid
+        # but trains no fine block, so an unseen vector nearest to it
+        # would KeyError below (ADVICE r12). For the training corpus the
+        # restriction is a no-op — blocking used the identical rounded
+        # rule, so any cell a training vector can win has members and
+        # therefore fine centroids; for arbitrary corpora it is the
+        # documented fallback: nearest coarse cell present in the model.
+        routable = [(cid, v) for cid, v in self.coarse if int(cid) in self.fine]
+        if not routable:
+            raise ValueError("codebook has no fine cells — model is empty")
+        coarse_ids = np.array([cid for cid, _ in routable], dtype="int64")
+        cmat = np.stack([np.asarray(v, dtype="float64") for _, v in routable])
         cnorm = np.sqrt((cmat * cmat).sum(axis=1))
         fine_model = {}
         for cell, pairs in self.fine.items():
@@ -580,118 +591,129 @@ def two_level_codebook(
     # (narrow: id, 64-dim vec, cell; executor-memory bounded exactly as
     # kmeans_codebook's cached input is)
     assigned = cell_assign(corpus, id_col, vec_col, coarse).persist()
+    # Unpersist the cached blocking and any live per-iteration
+    # broadcast even when a Lloyd step fails (ADVICE r12):
+    # _CODEBOOK_CACHE consumers retry within one process, so an
+    # error path that leaked them would pin executor memory for
+    # the session lifetime.
+    bc = None
+    try:
 
-    # fine init: per coarse cell, its fine_k smallest-id member vectors.
-    # Σ fine_k ≈ k rows collected — the bounded model artifact itself.
-    wc = Window.partitionBy("cell")
-    wr = Window.partitionBy("cell").orderBy("id")
-    init_rows = (
-        assigned.withColumn("rn", F.row_number().over(wr))
-        .withColumn(
-            "fk",
-            F.greatest(
-                F.lit(1),
-                F.ceil(F.count(F.lit(1)).over(wc) / F.lit(float(target_cell))),
-            ),
+        # fine init: per coarse cell, its fine_k smallest-id member vectors.
+        # Σ fine_k ≈ k rows collected — the bounded model artifact itself.
+        wc = Window.partitionBy("cell")
+        wr = Window.partitionBy("cell").orderBy("id")
+        init_rows = (
+            assigned.withColumn("rn", F.row_number().over(wr))
+            .withColumn(
+                "fk",
+                F.greatest(
+                    F.lit(1),
+                    F.ceil(F.count(F.lit(1)).over(wc) / F.lit(float(target_cell))),
+                ),
+            )
+            .filter(F.col("rn") <= F.col("fk"))
+            .select("cell", (F.col("rn") - 1).alias("fine"), "vec")
+            .collect()
         )
-        .filter(F.col("rn") <= F.col("fk"))
-        .select("cell", (F.col("rn") - 1).alias("fine"), "vec")
-        .collect()
-    )
-    fine_mats: dict[int, np.ndarray] = {}
-    for cell in sorted({r["cell"] for r in init_rows}):
-        rows = sorted(
-            (r for r in init_rows if r["cell"] == cell), key=lambda r: r["fine"]
+        fine_mats: dict[int, np.ndarray] = {}
+        for cell in sorted({r["cell"] for r in init_rows}):
+            rows = sorted(
+                (r for r in init_rows if r["cell"] == cell), key=lambda r: r["fine"]
+            )
+            fine_mats[int(cell)] = np.stack(
+                [np.asarray(r["vec"], dtype="float64") for r in rows]
+            )
+
+        sc = corpus.sparkSession.sparkContext
+        partial_schema = StructType(
+            [
+                StructField("pid", LongType(), False),
+                StructField("ccell", LongType(), False),
+                StructField("fine", LongType(), False),
+                StructField("psum", ArrayType(DoubleType()), False),
+                StructField("n", LongType(), False),
+            ]
         )
-        fine_mats[int(cell)] = np.stack(
-            [np.asarray(r["vec"], dtype="float64") for r in rows]
-        )
-
-    sc = corpus.sparkSession.sparkContext
-    partial_schema = StructType(
-        [
-            StructField("pid", LongType(), False),
-            StructField("ccell", LongType(), False),
-            StructField("fine", LongType(), False),
-            StructField("psum", ArrayType(DoubleType()), False),
-            StructField("n", LongType(), False),
-        ]
-    )
-    for _ in range(iters):
-        bc = sc.broadcast(
-            {
-                cell: (m, np.sqrt((m * m).sum(axis=1)))
-                for cell, m in fine_mats.items()
-            }
-        )
-
-        def fine_partials(batches):
-            # raw-cosine training argmax (ties → smallest fine idx),
-            # map-side combined per (coarse, fine) per partition —
-            # kmeans_codebook's assign_partials, one level down
-            from pyspark import TaskContext
-
-            pid = TaskContext.get().partitionId()
-            model = bc.value
-            acc: dict[tuple[int, int], list] = {}
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                for ccell, grp in pdf.groupby("cell", sort=True):
-                    mat = np.stack(grp["vec"].to_numpy())
-                    fm, fn = model[int(ccell)]
-                    sim = (mat @ fm.T) / (
-                        np.sqrt((mat * mat).sum(axis=1))[:, None] * fn[None, :]
-                    )
-                    fines = np.argmax(sim, axis=1)
-                    for f in np.unique(fines):
-                        block = mat[fines == f]
-                        key = (int(ccell), int(f))
-                        if key in acc:
-                            acc[key][0] += block.sum(axis=0)
-                            acc[key][1] += len(block)
-                        else:
-                            acc[key] = [block.sum(axis=0), len(block)]
-            if acc:
-                yield pd.DataFrame(
-                    {
-                        "pid": [pid] * len(acc),
-                        "ccell": [c_ for c_, _ in acc],
-                        "fine": [f_ for _, f_ in acc],
-                        "psum": [list(v[0]) for v in acc.values()],
-                        "n": [int(v[1]) for v in acc.values()],
-                    }
-                )
-
-        partials = assigned.mapInPandas(fine_partials, partial_schema)
-
-        def cell_mean(pdf: "pd.DataFrame") -> "pd.DataFrame":
-            # partial sums ordered by source partition id — the same
-            # bit-exactness contract as kmeans_codebook's merge
-            pdf = pdf.sort_values("pid")
-            s = np.stack(pdf["psum"].to_numpy()).sum(axis=0)
-            n = int(pdf["n"].sum())
-            return pd.DataFrame(
+        for _ in range(iters):
+            bc = sc.broadcast(
                 {
-                    "ccell": [int(pdf["ccell"].iloc[0])],
-                    "fine": [int(pdf["fine"].iloc[0])],
-                    "vec": [list(s / n)],
+                    cell: (m, np.sqrt((m * m).sum(axis=1)))
+                    for cell, m in fine_mats.items()
                 }
             )
 
-        means = (
-            partials.groupBy("ccell", "fine")
-            .applyInPandas(cell_mean, "ccell long, fine long, vec array<double>")
-            .collect()
-        )
-        new_mats = {cell: m.copy() for cell, m in fine_mats.items()}
-        for r in means:  # empty fine cells keep their previous centroid
-            new_mats[r["ccell"]][r["fine"], :] = np.asarray(
-                r["vec"], dtype="float64"
+            def fine_partials(batches):
+                # raw-cosine training argmax (ties → smallest fine idx),
+                # map-side combined per (coarse, fine) per partition —
+                # kmeans_codebook's assign_partials, one level down
+                from pyspark import TaskContext
+
+                pid = TaskContext.get().partitionId()
+                model = bc.value
+                acc: dict[tuple[int, int], list] = {}
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    for ccell, grp in pdf.groupby("cell", sort=True):
+                        mat = np.stack(grp["vec"].to_numpy())
+                        fm, fn = model[int(ccell)]
+                        sim = (mat @ fm.T) / (
+                            np.sqrt((mat * mat).sum(axis=1))[:, None] * fn[None, :]
+                        )
+                        fines = np.argmax(sim, axis=1)
+                        for f in np.unique(fines):
+                            block = mat[fines == f]
+                            key = (int(ccell), int(f))
+                            if key in acc:
+                                acc[key][0] += block.sum(axis=0)
+                                acc[key][1] += len(block)
+                            else:
+                                acc[key] = [block.sum(axis=0), len(block)]
+                if acc:
+                    yield pd.DataFrame(
+                        {
+                            "pid": [pid] * len(acc),
+                            "ccell": [c_ for c_, _ in acc],
+                            "fine": [f_ for _, f_ in acc],
+                            "psum": [list(v[0]) for v in acc.values()],
+                            "n": [int(v[1]) for v in acc.values()],
+                        }
+                    )
+
+            partials = assigned.mapInPandas(fine_partials, partial_schema)
+
+            def cell_mean(pdf: "pd.DataFrame") -> "pd.DataFrame":
+                # partial sums ordered by source partition id — the same
+                # bit-exactness contract as kmeans_codebook's merge
+                pdf = pdf.sort_values("pid")
+                s = np.stack(pdf["psum"].to_numpy()).sum(axis=0)
+                n = int(pdf["n"].sum())
+                return pd.DataFrame(
+                    {
+                        "ccell": [int(pdf["ccell"].iloc[0])],
+                        "fine": [int(pdf["fine"].iloc[0])],
+                        "vec": [list(s / n)],
+                    }
+                )
+
+            means = (
+                partials.groupBy("ccell", "fine")
+                .applyInPandas(cell_mean, "ccell long, fine long, vec array<double>")
+                .collect()
             )
-        bc.unpersist()
-        fine_mats = new_mats
-    assigned.unpersist()
+            new_mats = {cell: m.copy() for cell, m in fine_mats.items()}
+            for r in means:  # empty fine cells keep their previous centroid
+                new_mats[r["ccell"]][r["fine"], :] = np.asarray(
+                    r["vec"], dtype="float64"
+                )
+            bc.unpersist()
+            bc = None
+            fine_mats = new_mats
+    finally:
+        if bc is not None:
+            bc.unpersist()
+        assigned.unpersist()
 
     fine = {
         cell: [

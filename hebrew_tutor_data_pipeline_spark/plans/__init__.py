@@ -61,20 +61,62 @@ def load_last_green() -> dict[str, int]:
     return last_green
 
 
+#: name → sha256 of the oracle text as it stood when the entry was last
+#: driver-green; maintained by tools/refresh_oracle_hashes.py (run right
+#: after each round's CORRECTNESS file lands, BEFORE any oracle edits).
+#: A mismatch against the live oracle text flags the entry CHANGED.
+_HASH_SNAPSHOT = Path(__file__).resolve().parent / "oracle_green_hashes.json"
+
+
+def oracle_text_hash(sql: str) -> str:
+    import hashlib
+
+    return hashlib.sha256(sql.encode("utf-8")).hexdigest()
+
+
+def load_changed(catalog: dict[str, QuerySpec] | None = None) -> frozenset[str]:
+    """Oracled entries whose oracle text differs from the snapshot taken
+    at their last driver-green round — i.e. their SEMANTICS were
+    rewritten since the driver last hash-validated them (VERDICT r12
+    #3: the r12 two-level rewrite left both rewritten entries outside
+    the window because least-recently-green gives changed-but-
+    previously-green entries no priority). Entries absent from the
+    snapshot are NOT flagged (a brand-new entry is never-green and
+    already sorts first); an unreadable snapshot degrades to 'nothing
+    flagged', never breaks `import plans`."""
+    cat = CATALOG if catalog is None else catalog
+    try:
+        snap = json.loads(_HASH_SNAPSHOT.read_text())
+    except (OSError, ValueError):
+        return frozenset()
+    if not isinstance(snap, dict):
+        return frozenset()
+    return frozenset(
+        n
+        for n, s in cat.items()
+        if s.oracle is not None
+        and n in snap
+        and snap[n] != oracle_text_hash(s.oracle)
+    )
+
+
 def rotation_order(
     names: list[str],
     has_oracle: dict[str, bool],
     last_green: dict[str, int],
+    changed: frozenset[str] = frozenset(),
 ) -> list[str]:
     """Pure ordering function (unit-testable without touching disk):
-    oracled entries by (last-green round ascending, registration order),
+    oracled entries by (last-green round ascending, registration order)
+    — with CHANGED entries (oracle text rewritten since last green)
+    demoted to never-green rank so they re-enter the very next window —
     then rows-only entries in registration order."""
     reg = {n: i for i, n in enumerate(names)}
     return sorted(
         names,
         key=lambda n: (
             0 if has_oracle.get(n, False) else 1,
-            last_green.get(n, -1),
+            -1 if n in changed else last_green.get(n, -1),
             reg[n],
         ),
     )
@@ -103,6 +145,7 @@ def _reorder() -> None:
         list(CATALOG),
         {n: s.oracle is not None for n, s in CATALOG.items()},
         last_green,
+        load_changed(),
     )
     specs = {n: CATALOG[n] for n in ordered}
     CATALOG.clear()
@@ -118,7 +161,9 @@ __all__ = [
     "WINDOW_SIZE",
     "bench_queries",
     "driver_window",
+    "load_changed",
     "load_last_green",
+    "oracle_text_hash",
     "oracle_map",
     "query_map",
     "rotation_order",

@@ -4,6 +4,7 @@ tools/parity.py)."""
 
 from __future__ import annotations
 
+import json
 import sys
 from pathlib import Path
 
@@ -95,6 +96,36 @@ class TestRotation:
         assert a == rotation_order(list(names), has_oracle, dict(lg))
         assert a[-1] == "q005"  # rows-only sorts behind every oracled entry
         assert a[-3:-1] == ["q001", "q010"]  # green entries behind never-green
+
+    def test_changed_entry_enters_next_window(self):
+        """VERDICT r12 #3: an entry whose oracle text was rewritten
+        AFTER its last driver-green must re-enter the very next window —
+        least-recently-green alone gives it no priority. Pure-function
+        form: a recently-green entry flagged changed sorts at
+        never-green rank."""
+        from hebrew_tutor_data_pipeline_spark.plans import rotation_order
+
+        names = [f"q{i:03d}" for i in range(120)]
+        has_oracle = dict.fromkeys(names, True)
+        lg = {n: 1 + (i % 5) for i, n in enumerate(names)}  # all green
+        rewritten = "q117"  # greenest tier, registration tail — worst case
+        win = rotation_order(names, has_oracle, lg, frozenset({rewritten}))[:50]
+        assert rewritten in win
+        # and it ranks WITH never-green entries, ahead of every
+        # unchanged green entry
+        assert win.index(rewritten) == 0
+
+    def test_live_changed_entries_are_in_window(self):
+        """Integration form: every entry the committed snapshot flags as
+        changed (oracle text ≠ hash at last green) is inside the live
+        driver window, so the driver re-validates rewritten semantics
+        the next round. (Empty changed-set is fine — the snapshot is
+        refreshed via tools/refresh_oracle_hashes.py at round start.)"""
+        from hebrew_tutor_data_pipeline_spark.plans import load_changed
+
+        changed = load_changed()
+        out = [n for n in changed if n not in _window]
+        assert not out, f"changed entries left out of the driver window: {out}"
 
     def test_live_window_is_fifty_oracled(self):
         from hebrew_tutor_data_pipeline_spark.plans import WINDOW_SIZE, driver_window
@@ -214,8 +245,12 @@ def test_every_cited_bench_artifact_is_committed():
     # two citation spellings: path-qualified anywhere, and bare
     # `rNN_*.json|txt` backticked names inside bench_runs' own README
     qualified = re.compile(r"bench_runs/([A-Za-z0-9_.\-]+\.(?:json|txt))")
-    bare = re.compile(r"`((?:r\d+[A-Za-z0-9_.\-]*|BENCH_last)\.(?:json|txt))`")
+    # BENCH_last.json is intentionally absent: it is the untracked
+    # per-run scratch sidecar (ADVICE r12); only the r{N}_* copies that
+    # round_close.py writes are committable evidence.
+    bare = re.compile(r"`(r\d+[A-Za-z0-9_.\-]*\.(?:json|txt))`")
     dangling: dict[str, list[str]] = {}
+    cited: set[str] = set()
     for rel, pats in (
         ("SURVEY.md", [qualified]),
         ("bench_runs/README.md", [qualified, bare]),
@@ -223,11 +258,60 @@ def test_every_cited_bench_artifact_is_committed():
         text = (repo / rel).read_text()
         for pat in pats:
             for name in pat.findall(text):
+                cited.add(name)
                 if f"bench_runs/{name}" not in committed:
                     dangling.setdefault(name, []).append(rel)
     assert not dangling, (
         "artifacts cited but not committed (re-run and commit them, or "
         f"fix the citation): {dangling}"
+    )
+    # VERDICT r12 #1: existence is not enough — r12's close snapshotted
+    # two artifacts MID-WRITE, so HEAD held an empty control JSON and a
+    # one-query bench sidecar while this gate stayed green. A cited
+    # artifact's STAGED blob (`git show :path`, == HEAD on a clean
+    # tree) must be non-empty, and a .json one must parse.
+    hollow: dict[str, str] = {}
+    for name in sorted(cited):
+        rel = f"bench_runs/{name}"
+        if rel not in committed:
+            continue
+        blob = subprocess.run(
+            ["git", "show", f":{rel}"], cwd=repo, capture_output=True
+        ).stdout
+        if not blob.strip():
+            hollow[name] = "empty blob"
+        elif name.endswith(".json"):
+            try:
+                json.loads(blob)
+            except ValueError as e:
+                hollow[name] = f"unparseable JSON: {e}"
+    assert not hollow, (
+        f"cited artifacts committed hollow (mid-write snapshot?): {hollow}"
+    )
+
+
+def test_readme_round_section_crossrefs_resolve():
+    """The other half of VERDICT r12 #1: bench_runs/README.md twice
+    cited a 'Round 12 section' that did not exist. Every 'Round N
+    section' cross-reference (in the README or SURVEY.md) must resolve
+    to an actual `## Round N` header in the README."""
+    import re
+
+    repo = Path(__file__).resolve().parent.parent
+    readme = (repo / "bench_runs" / "README.md").read_text()
+    headers = {int(m) for m in re.findall(r"^## Round (\d+)", readme, re.M)}
+    missing: dict[str, list[int]] = {}
+    for rel in ("bench_runs/README.md", "SURVEY.md"):
+        refs = {
+            int(m)
+            for m in re.findall(r"Round (\d+) section", (repo / rel).read_text())
+        }
+        bad = sorted(refs - headers)
+        if bad:
+            missing[rel] = bad
+    assert not missing, (
+        f"'Round N section' cross-references with no `## Round N` header "
+        f"in bench_runs/README.md: {missing}"
     )
 
 

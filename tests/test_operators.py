@@ -766,6 +766,45 @@ class TestTwoLevelCodebook:
             assert not keep_dup
             assert dup_dup
 
+    def test_assign_unseen_vector_near_empty_coarse_cell(self, spark):
+        """ADVICE r12 (medium): a Lloyd cell empty at training time has
+        a coarse centroid but no fine codebook, and an UNSEEN vector
+        whose rounded argmax lands there used to KeyError the executor.
+        assign() now routes only among coarse cells present in the fine
+        model — the nearest ROUTABLE cell — so arbitrary corpora are
+        safe. Constructed directly: coarse cell 7 has no fine entry and
+        a query vector sits exactly on its centroid."""
+        from hebrew_tutor_data_pipeline_spark.operators.ann import (
+            _FINE_STRIDE,
+            TwoLevelCodebook,
+        )
+
+        model = TwoLevelCodebook(
+            coarse=[(0, [1.0, 0.0, 0.0]), (7, [0.0, 1.0, 0.0])],
+            fine={0: [(0, [1.0, 0.0, 0.0]), (1, [0.9, 0.1, 0.0])]},
+        )
+        df = spark.createDataFrame(
+            [(100, [0.0, 1.0, 0.0]), (101, [1.0, 0.05, 0.0])], ["id", "vec"]
+        )
+        got = {r["id"]: r["cell"] for r in model.assign(df, "id", "vec").collect()}
+        # both vectors route into coarse cell 0's fine block — the only
+        # routable cell. id 100 = [0,1,0] (ON the empty cell's centroid)
+        # no longer crashes and picks fine gid 1 (cos 0.110 to [.9,.1,0]
+        # beats 0.0 to [1,0,0]); id 101 = [1,.05,0] picks gid 0
+        # (cos 0.9988 beats 0.9982).
+        assert got[100] == 0 * _FINE_STRIDE + 1
+        assert got[101] == 0 * _FINE_STRIDE + 0
+
+    def test_assign_all_cells_empty_raises(self, spark):
+        from hebrew_tutor_data_pipeline_spark.operators.ann import (
+            TwoLevelCodebook,
+        )
+
+        model = TwoLevelCodebook(coarse=[(0, [1.0, 0.0])], fine={})
+        df = spark.createDataFrame([(1, [1.0, 0.0])], ["id", "vec"])
+        with pytest.raises(ValueError, match="no fine cells"):
+            model.assign(df, "id", "vec")
+
 
 class TestDuplicateSpans:
     def test_planted_shared_span_found_and_merged(self, spark):

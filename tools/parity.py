@@ -182,24 +182,35 @@ ORACLE_TIMEOUT_S = 600
 def _oracle_exec(con, sql: str, fetch, timeout_s: float):
     """Execute an oracle under the watchdog. Returns (result, None) on
     success or (None, 'timeout') when the watchdog interrupted it; other
-    exceptions propagate to the caller's error handling."""
+    exceptions propagate to the caller's error handling.
+
+    Each oracle runs on a DEDICATED cursor (``con.cursor()`` — a child
+    connection to the same in-memory catalog, so the registered views
+    resolve), and the watchdog interrupts only that cursor. This closes
+    the ADVICE r12 race on the previous shared-connection form: a query
+    finishing right at the timeout could take a ``con.interrupt()``
+    AFTER its fetch returned but before ``done.set()``, leaving a
+    pending interrupt that spuriously aborted the NEXT bind/oracle.
+    With a per-oracle cursor a stray interrupt dies with the cursor."""
     import threading
 
+    cur = con.cursor()
     done = threading.Event()
 
     def watchdog():
         if not done.wait(timeout_s) and not done.is_set():
-            con.interrupt()
+            cur.interrupt()
 
     threading.Thread(target=watchdog, daemon=True).start()
     try:
-        out = fetch(con.execute(sql))
+        out = fetch(cur.execute(sql))
         done.set()
         return out, None
     except duckdb.InterruptException:
         return None, "timeout"
     finally:
         done.set()
+        cur.close()
 
 
 def main() -> int:
@@ -391,6 +402,17 @@ def main() -> int:
         )
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     spark.stop()
+    # A 'rows!' entry is only safe because its VALUES are pinned at a
+    # lower SF; an oracle that times out at EVERY value-checkable SF
+    # would never be value-gated anywhere (ADVICE r12). Gate runs that
+    # must prove value coverage set PARITY_FAIL_ON_TIMEOUT=1 so the
+    # sweep's exit status surfaces timeouts instead of absorbing them.
+    if oracle_timeouts and os.environ.get("PARITY_FAIL_ON_TIMEOUT"):
+        print(
+            f"exit 1: PARITY_FAIL_ON_TIMEOUT set and {len(oracle_timeouts)} "
+            f"oracle(s) were never value-checked this run: {oracle_timeouts}"
+        )
+        return 1
     return 1 if failures else 0
 
 
