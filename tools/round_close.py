@@ -15,6 +15,12 @@ the r06/r11 lesson):
      fails the close, not the next judge pass.
 
 Usage: python tools/round_close.py N old1.json,old2.json
+
+RUN TWICE PER ROUND (VERDICT r12 #6): once at ~70% of the turn budget
+(the CHECKPOINT close — guarantees a complete committed evidence set
+even if the final minutes are lost, the exact failure that hollowed two
+r12 artifacts) and once at the end (the refresh). The quiet-pair files
+are simply overwritten by the refresh; commit after each run.
 """
 
 from __future__ import annotations
