@@ -115,6 +115,23 @@ class TestRotation:
         # unchanged green entry
         assert win.index(rewritten) == 0
 
+    def test_refresh_merge_rule(self):
+        """tools/refresh_oracle_hashes.merge_snapshot: latest-round
+        green entries take the live hash (clearing their changed flag);
+        entries green only in OLDER rounds keep the recorded hash even
+        if the live text differs (a rewrite must stay flagged until the
+        driver re-validates); names gone from the catalog are dropped."""
+        from tools.refresh_oracle_hashes import merge_snapshot
+
+        snap = {"a": "old-a", "b": "rewritten-sentinel", "gone": "x"}
+        latest = {"a": {"hash_match": True}, "c": {"hash_match": True},
+                  "d": {"hash_match": False}}
+        hashes = {"a": "new-a", "b": "new-b", "c": "new-c", "d": "new-d"}
+        out, updated, dropped = merge_snapshot(snap, latest, hashes)
+        assert out == {"a": "new-a", "b": "rewritten-sentinel", "c": "new-c"}
+        assert sorted(updated) == ["a", "c"]
+        assert dropped == ["gone"]
+
     def test_live_changed_entries_are_in_window(self):
         """Integration form: every entry the committed snapshot flags as
         changed (oracle text ≠ hash at last green) is inside the live
@@ -287,6 +304,42 @@ def test_every_cited_bench_artifact_is_committed():
                 hollow[name] = f"unparseable JSON: {e}"
     assert not hollow, (
         f"cited artifacts committed hollow (mid-write snapshot?): {hollow}"
+    )
+
+
+def test_rows_bang_entries_are_value_green_somewhere():
+    """ADVICE r12: a `rows!` line in a committed typed-parity sweep
+    (oracle interrupted past the wall cap) leans on "values pinned at
+    lower SFs" — this gate makes that claim checkable: every such entry
+    must be hash-green in at least one committed CORRECTNESS_r*.json
+    (the driver's sf0.01 value gate). An entry whose oracle times out at
+    EVERY value-checkable SF would fail here instead of hiding behind
+    the degrade tier."""
+    import re
+    import subprocess
+
+    from hebrew_tutor_data_pipeline_spark.plans import load_last_green
+
+    repo = Path(__file__).resolve().parent.parent
+    committed = subprocess.run(
+        ["git", "ls-files", "bench_runs"],
+        cwd=repo,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout.split()
+    green = set(load_last_green())
+    unpinned: dict[str, list[str]] = {}
+    for rel in committed:
+        if "typed_parity" not in rel:
+            continue
+        for line in (repo / rel).read_text().splitlines():
+            m = re.match(r"rows! (\w+):", line)
+            if m and m.group(1) not in green:
+                unpinned.setdefault(m.group(1), []).append(rel)
+    assert not unpinned, (
+        f"rows!-degraded entries with NO committed value-green record "
+        f"at any SF: {unpinned}"
     )
 
 

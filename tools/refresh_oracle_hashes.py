@@ -25,6 +25,32 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
+def merge_snapshot(
+    snap: dict[str, str],
+    latest_record: dict,
+    oracle_hashes: dict[str, str],
+) -> tuple[dict[str, str], list[str], list[str]]:
+    """Pure merge rule: entries hash-green in the LATEST record take the
+    live oracle hash (the text the driver just validated); entries green
+    only in older rounds keep their existing snapshot value (updating
+    them would silently clear a changed flag without driver
+    validation); names no longer in the catalog are dropped. Returns
+    (new_snapshot, updated_names, dropped_names)."""
+    out = dict(snap)
+    updated = []
+    for name, rec in latest_record.items():
+        if not (isinstance(rec, dict) and rec.get("hash_match") is True):
+            continue
+        h = oracle_hashes.get(name)
+        if h is not None and out.get(name) != h:
+            out[name] = h
+            updated.append(name)
+    dropped = sorted(set(out) - set(oracle_hashes))
+    for name in dropped:
+        del out[name]
+    return out, updated, dropped
+
+
 def main() -> int:
     from hebrew_tutor_data_pipeline_spark.plans import (
         CATALOG,
@@ -48,21 +74,12 @@ def main() -> int:
     except (OSError, ValueError):
         snap = {}
 
-    updated = []
-    for name, rec in data.items():
-        if not (isinstance(rec, dict) and rec.get("hash_match") is True):
-            continue
-        spec = CATALOG.get(name)
-        if spec is None or spec.oracle is None:
-            continue
-        h = oracle_text_hash(spec.oracle)
-        if snap.get(name) != h:
-            snap[name] = h
-            updated.append(name)
-
-    stale = sorted(set(snap) - set(CATALOG))
-    for name in stale:
-        del snap[name]
+    hashes = {
+        n: oracle_text_hash(s.oracle)
+        for n, s in CATALOG.items()
+        if s.oracle is not None
+    }
+    snap, updated, stale = merge_snapshot(snap, data, hashes)
 
     print(
         f"latest record: r{rnd} ({latest.name}); "
