@@ -20,8 +20,15 @@ B. 10^8-KEY STATE BUILD (RocksDB only — the heap provider is the
    RESTART-AND-DRAIN from the checkpoint with no new data, timing the
    state reload.
 
+C. STATE RELOAD UNDER LOAD (``--reload-only``) — closes the caveat
+   probe B recorded: build n_keys distinct-key state, append a second
+   batch (half duplicates of existing state, half fresh), restart from
+   the checkpoint; the second drain pays the RocksDB load and the sink
+   count proves the reloaded state was consulted (see
+   probe_state_reload).
+
 Usage: python tools/state_scale_probe.py [--out bench_runs/r11_state_scale.json]
-       [--keys N] (default 100_000_000) [--skip-b]
+       [--keys N] (default 100_000_000) [--skip-b] [--reload-only]
 """
 
 from __future__ import annotations
@@ -241,12 +248,142 @@ def probe_big_state(n_keys: int, out_root: Path) -> dict:
         spark.stop()
 
 
+def probe_state_reload(n_keys: int, n_second: int, out_root: Path) -> dict:
+    """C. STATE RELOAD UNDER LOAD — the caveat r12_state_scale.json
+    recorded against probe B: an availableNow restart with NO new input
+    drains in ~0.1 s because RocksDB loads state lazily, so the 'reload
+    wall' there never touched the SSTs. This probe makes the restart
+    EARN the reload: build ``n_keys`` distinct-key dedup state, stop,
+    append a second batch of ``n_second`` rows — half duplicate keys
+    from the existing state (must be DROPPED, provable only by reading
+    the state back), half fresh (must pass) — and restart from the same
+    checkpoint. The second drain's wall includes the RocksDB load that
+    serving the duplicate lookups requires, and the sink row count
+    certifies the reloaded state was actually consulted:
+    ``n_keys + n_second/2`` exactly.
+
+    Watermark is 365 days so no state evicts between batches; batch-2
+    timestamps sit 2 minutes after batch-1's so they are never late.
+
+    The second drain runs under a FRESH SparkContext (the first is
+    stopped after batch 2 is written): stopping the context tears down
+    the SparkEnv whose per-executor provider cache holds the live
+    native store, so the restarted query must load the checkpointed
+    SSTs — a same-session restart would serve lookups from the warm
+    in-process store and measure nothing."""
+
+    def _start(spark, src, sink, ckpt):
+        schema = spark.read.parquet(str(src)).schema
+        return (
+            spark.readStream.schema(schema)
+            .parquet(str(src))
+            .withWatermark("ts", "365 days")
+            .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    src = out_root / "reload_src"
+    sink = out_root / "reload_sink"
+    ckpt = out_root / "reload_ckpt"
+    for p in (src, sink, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    base = "timestamp'2024-01-01 00:00:00'"
+    half = n_second // 2
+
+    spark = get_spark("state-reload-build")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+        )
+        (
+            spark.range(n_keys)
+            .selectExpr(
+                "id AS user_id",
+                f"CAST({base} + make_interval(0,0,0,0,0,0, id % 60) AS timestamp) AS ts",
+                "CAST(id AS STRING) AS event_type",
+            )
+            .coalesce(8)
+            .write.mode("append")
+            .parquet(str(src))
+        )
+        t0 = time.perf_counter()
+        q = _start(spark, src, sink, ckpt)
+        if not q.awaitTermination(3600):
+            q.stop()
+            raise TimeoutError("reload probe: state build did not drain")
+        build_sec = round(time.perf_counter() - t0, 2)
+
+        # batch 2: half the keys already IN state (same (user_id,
+        # event_type) pair — must be deduped against the reloaded
+        # store), half brand-new; appended as new files the restarted
+        # query discovers via the checkpointed file-source log
+        (
+            spark.range(n_second)
+            .selectExpr(
+                f"CASE WHEN id < {half} THEN id ELSE {n_keys} + id - {half} END AS user_id",
+                f"CAST({base} + make_interval(0,0,0,0,0,0, 120) AS timestamp) AS ts",
+                f"CAST(CASE WHEN id < {half} THEN id ELSE {n_keys} + id - {half} END AS STRING) AS event_type",
+            )
+            .coalesce(4)
+            .write.mode("append")
+            .parquet(str(src))
+        )
+    finally:
+        spark.stop()
+
+    spark = get_spark("state-reload-drain")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+        )
+        t1 = time.perf_counter()
+        q2 = _start(spark, src, sink, ckpt)
+        if not q2.awaitTermination(3600):
+            q2.stop()
+            raise TimeoutError("reload probe: second drain did not finish")
+        reload_sec = round(time.perf_counter() - t1, 2)
+        loaded = {}
+        for p in q2.recentProgress:
+            for so in p.get("stateOperators", []):
+                cm = so.get("customMetrics", {}) or {}
+                for k in ("rocksdbGetCount", "rocksdbTotalBytesRead",
+                          "rocksdbSstFileSize", "loadedMapCacheHitCount"):
+                    if k in cm:
+                        loaded[k] = loaded.get(k, 0) + cm[k]
+        n_out = spark.read.parquet(str(sink)).count()
+        expected = n_keys + half
+        rec = {
+            "n_keys": n_keys,
+            "n_second_batch": n_second,
+            "build_wall_sec": build_sec,
+            "reload_drain_wall_sec": reload_sec,
+            "fresh_spark_context_for_drain": True,
+            "rows_after_second_drain": n_out,
+            "expected_rows": expected,
+            "duplicates_dropped_via_reloaded_state": n_out == expected,
+            "rocksdb_metrics_second_drain": loaded,
+        }
+        for p in (src, sink, ckpt):
+            shutil.rmtree(p, ignore_errors=True)
+        return rec
+    finally:
+        spark.stop()
+
+
 def main() -> int:
     args = sys.argv[1:]
     out_path = "bench_runs/r11_state_scale.json"
     n_keys = 100_000_000
     skip_b = "--skip-b" in args
-    args = [a for a in args if a != "--skip-b"]
+    reload_only = "--reload-only" in args
+    args = [a for a in args if a not in ("--skip-b", "--reload-only")]
     while args and args[0] in ("--out", "--keys"):
         flag, val, args = args[0], args[1], args[2:]
         if flag == "--out":
@@ -258,13 +395,25 @@ def main() -> int:
     root.mkdir(parents=True, exist_ok=True)
     report: dict = {}
     try:
-        report["crash_restart_x100"] = probe_crash_restart(root / "crash")
-        print(f"# crash_restart: {report['crash_restart_x100']}", file=sys.stderr)
-        if not skip_b:
-            report["state_build"] = {
-                str(n_keys): probe_big_state(n_keys, root / "big")
-            }
-            print(f"# state_build: {report['state_build']}", file=sys.stderr)
+        if reload_only:
+            report["state_reload_under_load"] = probe_state_reload(
+                n_keys, max(2, n_keys // 10), root / "reload"
+            )
+            print(
+                f"# state_reload: {report['state_reload_under_load']}",
+                file=sys.stderr,
+            )
+        else:
+            report["crash_restart_x100"] = probe_crash_restart(root / "crash")
+            print(
+                f"# crash_restart: {report['crash_restart_x100']}",
+                file=sys.stderr,
+            )
+            if not skip_b:
+                report["state_build"] = {
+                    str(n_keys): probe_big_state(n_keys, root / "big")
+                }
+                print(f"# state_build: {report['state_build']}", file=sys.stderr)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     Path(out_path).write_text(json.dumps(report, indent=1))
