@@ -2139,3 +2139,94 @@ class TestCountMinProperties:
             ref = min(counters.get(cell, 0) for cell in self._py_cells(key, w, d))
             assert got[key] == ref                   # exact cell replay
             assert got[key] >= exact.get(key, 0)     # one-sided, ALWAYS
+
+
+class TestTwoLevelTrainingProperties:
+    """Independent VALUE reference for the full two-level codebook
+    recurrence. Oracle parity is blind to SHARED semantic bugs (the
+    k-gram-hash lesson): the engine and its DuckDB twin replay the same
+    recipe, so a drift in BOTH stays hash-green. This reference
+    re-implements the documented recipe (coarse init = isqrt(k)
+    smallest-id vectors → raw-cosine Lloyd, empty cells carry forward →
+    ROUNDED-6dp blocking → fine_k = ceil(n_cell/target) smallest-id
+    init → per-cell raw-cosine Lloyd) from the docstrings alone, in
+    plain numpy over collected rows.
+
+    Bit-exactness preconditions (why exact equality is legitimate):
+    inputs are INTEGER-valued vectors on a SINGLE partition in id
+    order, so every dot/sum both sides computes is the same IEEE
+    operation sequence (integer dots are exact; per-cell row blocks
+    stack in id order; one partition ⇒ one partial per cell)."""
+
+    @staticmethod
+    def _ref_two_level(rows, k, iters, target):
+        import math as m
+
+        import numpy as np
+
+        ids = [i for i, _ in rows]
+        X = np.stack([np.asarray(v, dtype="float64") for _, v in rows])
+
+        def lloyd(mat, cent, n_iter):
+            for _ in range(n_iter):
+                cn = np.sqrt((cent * cent).sum(axis=1))
+                sim = (mat @ cent.T) / (
+                    np.sqrt((mat * mat).sum(axis=1))[:, None] * cn[None, :]
+                )
+                cells = np.argmax(sim, axis=1)
+                new = cent.copy()
+                for c in np.unique(cells):
+                    blk = mat[cells == c]
+                    new[int(c), :] = blk.sum(axis=0) / len(blk)
+                cent = new
+            return cent
+
+        def r6(x):
+            return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+        k_c = max(1, m.isqrt(k))
+        coarse = lloyd(X, X[:k_c].copy(), iters)
+        cn = np.sqrt((coarse * coarse).sum(axis=1))
+        block = np.argmax(
+            r6((X @ coarse.T) / (np.sqrt((X * X).sum(axis=1))[:, None] * cn[None, :])),
+            axis=1,
+        )
+        fine = {}
+        for c in sorted(set(int(b) for b in block)):
+            members = [i for i in range(len(ids)) if block[i] == c]
+            mat = X[members]
+            fk = max(1, -(-len(members) // target))
+            cent = lloyd(mat, mat[:fk].copy(), iters)
+            fine[c] = [
+                (c * 1_000_000 + j, [float(x) for x in cent[j]])
+                for j in range(fk)
+            ]
+        return fine
+
+    @SLOW
+    @given(
+        data=st.lists(
+            st.lists(st.integers(min_value=1, max_value=4), min_size=4, max_size=4),
+            min_size=4,
+            max_size=24,
+        ),
+        k=st.integers(min_value=1, max_value=16),
+        target=st.integers(min_value=1, max_value=8),
+    )
+    def test_two_level_training_matches_pure_reference(
+        self, spark, data, k, target
+    ):
+        from hebrew_tutor_data_pipeline_spark.operators.ann import (
+            two_level_codebook,
+        )
+
+        rows = [(3 * i + 1, [float(x) for x in v]) for i, v in enumerate(data)]
+        df = spark.createDataFrame(rows, ["id", "vec"]).coalesce(1)
+        model = two_level_codebook(df, "id", "vec", k=k, iters=2, target_cell=target)
+        ref = self._ref_two_level(rows, k, iters=2, target=target)
+        got = {c: pairs for c, pairs in model.fine.items()}
+        assert set(got) == set(ref)
+        for c in ref:
+            assert [g for g, _ in got[c]] == [g for g, _ in ref[c]], c
+            for (_, gv), (_, rv) in zip(got[c], ref[c]):
+                assert gv == rv, (c, gv, rv)
