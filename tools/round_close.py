@@ -14,7 +14,7 @@ the r06/r11 lesson):
   3. the citation contract test, so a dangling bench_runs reference
      fails the close, not the next judge pass.
 
-Usage: python tools/round_close.py N old1.json,old2.json
+Usage: python tools/round_close.py N old1.json,old2.json [tag1,tag2]
 
 RUN TWICE PER ROUND (VERDICT r12 #6): once at ~70% of the turn budget
 (the CHECKPOINT close — guarantees a complete committed evidence set
@@ -55,16 +55,20 @@ def run_bench(out: Path) -> None:
 
 
 def main() -> int:
-    if len(sys.argv) != 3:
+    if len(sys.argv) not in (3, 4):
         sys.exit(__doc__)
     n, old = int(sys.argv[1]), sys.argv[2]
+    # optional pair of run tags, e.g. "d,e" for the end-of-round refresh
+    # so it does not overwrite the checkpoint close's a/b record
+    tags = tuple(sys.argv[3].split(",")) if len(sys.argv) == 4 else ("a", "b")
     runs = []
-    for tag in ("a", "b"):
+    for tag in tags:
         out = REPO / "bench_runs" / f"r{n:02d}_quiet_run_{tag}.json"
         run_bench(out)
         runs.append(str(out))
 
-    cmp_out = REPO / "bench_runs" / f"r{n:02d}_cross_round_compare.txt"
+    suffix = "" if tags == ("a", "b") else "_" + "".join(tags)
+    cmp_out = REPO / "bench_runs" / f"r{n:02d}_cross_round_compare{suffix}.txt"
     r = subprocess.run(
         [sys.executable, str(REPO / "tools" / "bench_compare.py"), old, ",".join(runs)],
         cwd=REPO,
