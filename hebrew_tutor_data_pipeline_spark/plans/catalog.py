@@ -532,11 +532,18 @@ def top5_recent_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     "avg_after_skip2",
     # per-row value quantized to INTEGER micro-units so the mean rides
     # an exact BIGINT sum — round(avg(float8),4) flipped 1 ulp at sf0.1
-    # (cross-engine float-summation order)
+    # (cross-engine float-summation order). The 6-dp rounding of the
+    # mean is ALSO integer arithmetic: (2·sum + n) div (2·n) is the
+    # half-up-rounded micro-unit mean, so the emitted double is the
+    # same integer/1e6 on both engines. round(double, 6) on the float
+    # quotient is NOT safe: group sizes like n=64 make the true mean
+    # land EXACTLY on the x.xxxxxx5 decimal boundary, where Spark's
+    # BigDecimal(double) HALF_UP and DuckDB's double round() disagree —
+    # 12 of 150k groups flipped at sf10 (r13 sf10 spot sweep).
     oracle="""
 SELECT user_id,
-       round(CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
-             / 1000000.0 / count(*), 6) AS avg_value,
+       CAST((2 * sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) + count(*))
+            // (2 * count(*)) AS DOUBLE) / 1000000.0 AS avg_value,
        count(*) AS n
 FROM (
     SELECT user_id, value,
@@ -559,11 +566,14 @@ def avg_after_skip2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") > 2)
         .withColumn("vm", F.floor(F.col("value") * F.lit(1000000) + F.lit(0.5)))
         .groupBy("user_id")
-        .agg(
-            F.round(
-                F.sum("vm").cast("double") / F.lit(1000000.0) / F.count("*"), 6
+        .agg(F.sum("vm").alias("s_micro"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            (
+                F.expr("(2 * s_micro + n) div (2 * n)").cast("double")
+                / F.lit(1000000.0)
             ).alias("avg_value"),
-            F.count("*").alias("n"),
+            "n",
         )
     )
 
@@ -579,8 +589,8 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n,
        round(sqrt(CAST(sum(CAST(floor(value * value * 1000000 + 0.5) AS BIGINT))
                        AS DOUBLE) / 1000000.0 / count(*)), 6) AS rms_value,
-       round(CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
-             / 1000000.0 / count(*), 6) AS avg_value
+       CAST((2 * sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) + count(*))
+            // (2 * count(*)) AS DOUBLE) / 1000000.0 AS avg_value
 FROM events
 GROUP BY 1, 2
 """,
@@ -605,8 +615,21 @@ def tumbling_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 6,
             ).alias("rms_value"),
-            F.round(
-                F.sum("vm").cast("double") / F.lit(1000000.0) / F.count("*"), 6
+            F.sum("vm").alias("s_micro"),
+        )
+        # avg_value rides exact integer half-up division like
+        # avg_after_skip2 (the round-of-float-quotient boundary class
+        # found at sf10); rms_value keeps round(double, 6): sqrt output
+        # is irrational, so it cannot land exactly on a decimal .5
+        # boundary and both engines round the identical IEEE double.
+        .select(
+            "hour",
+            "event_type",
+            "n",
+            "rms_value",
+            (
+                F.expr("(2 * s_micro + n) div (2 * n)").cast("double")
+                / F.lit(1000000.0)
             ).alias("avg_value"),
         )
     )
@@ -624,7 +647,8 @@ SELECT date_trunc('hour', ts) AS window_start,
        event_type,
        count(*) AS n_events,
        round(sum(value), 4) AS sum_value,
-       round(round(sum(value), 4) / count(*), 6) AS avg_value
+       CAST((2 * CAST(floor(round(sum(value), 4) * 10000 + 0.5) AS BIGINT) * 100
+             + count(*)) // (2 * count(*)) AS DOUBLE) / 1000000.0 AS avg_value
 FROM events
 GROUP BY 1, 2, 3
 """,
@@ -952,7 +976,8 @@ SELECT window_start,
        window_start + INTERVAL 1 HOUR AS window_end,
        count(*) AS n_events,
        round(sum(value), 4) AS sum_value,
-       round(round(sum(value), 4) / count(*), 6) AS avg_value
+       CAST((2 * CAST(floor(round(sum(value), 4) * 10000 + 0.5) AS BIGINT) * 100
+             + count(*)) // (2 * count(*)) AS DOUBLE) / 1000000.0 AS avg_value
 FROM w GROUP BY 1
 """,
     tags=("T1", "T2", "T4", "A7"),

@@ -317,7 +317,8 @@ model AS (
     FROM bc JOIN uc ON split_part(bg, ' ', 1) = w CROSS JOIN vv
 )
 SELECT doc_id, count(*) AS bigram_ct,
-       round(CAST(sum(nll_e8) AS DOUBLE) / 100000000.0 / count(*), 6) AS avg_nll
+       CAST((2 * sum(nll_e8) + 100 * count(*)) // (200 * count(*)) AS DOUBLE)
+       / 1000000.0 AS avg_nll
 FROM bi JOIN model USING (bg)
 GROUP BY doc_id
 """,
@@ -375,10 +376,18 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         bi.join(model, "bg")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("bigram_ct"),
-            F.round(
-                F.sum("nll_e8").cast("double") / F.lit(100000000.0) / F.count("*"),
-                6,
+            F.count(F.lit(1)).alias("bigram_ct"),
+            F.sum("nll_e8").alias("s_nll"),
+        )
+        # exact integer half-up division at 6 dp (the r13 sf10
+        # round-of-float-quotient boundary class; see avg_after_skip2)
+        .select(
+            "doc_id",
+            "bigram_ct",
+            (
+                F.expr("(2 * s_nll + 100 * bigram_ct) div (200 * bigram_ct)")
+                .cast("double")
+                / F.lit(1000000.0)
             ).alias("avg_nll"),
         )
     )

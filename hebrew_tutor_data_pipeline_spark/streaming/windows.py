@@ -53,9 +53,25 @@ def tumbling_window_stats(
         # (see sliding_window_stats): a second independent float
         # aggregation re-exposes incremental-state summation order,
         # which flips round(avg, 6) by 1 ulp against any batch oracle
+        # exact integer half-up division, not round(float-quotient, 6):
+        # group sizes like n=64 put the true mean EXACTLY on a 6-dp .5
+        # decimal boundary where Spark's and DuckDB's double rounding
+        # disagree (12/150k groups flipped at sf10, r13). sum_e4
+        # recovers the 4-dp sum's integer exactly (the double is within
+        # ulps of it), so avg = (2*s4*100 + n) div (2n) micro-units is
+        # the same integer on both engines.
         .withColumn(
-            "avg_value", F.round(F.col("sum_value") / F.col("n_events"), 6)
+            "sum_e4",
+            F.floor(F.col("sum_value") * F.lit(10000) + F.lit(0.5)).cast("long"),
         )
+        .withColumn(
+            "avg_value",
+            F.expr("(2 * sum_e4 * 100 + n_events) div (2 * n_events)").cast(
+                "double"
+            )
+            / F.lit(1000000.0),
+        )
+        .drop("sum_e4")
         .select(
             F.col("window.start").alias("window_start"),
             F.col("window.end").alias("window_end"),
@@ -88,9 +104,25 @@ def sliding_window_stats(
             F.count("*").alias("n_events"),
             F.round(F.sum(value_col), 4).alias("sum_value"),
         )
+        # exact integer half-up division, not round(float-quotient, 6):
+        # group sizes like n=64 put the true mean EXACTLY on a 6-dp .5
+        # decimal boundary where Spark's and DuckDB's double rounding
+        # disagree (12/150k groups flipped at sf10, r13). sum_e4
+        # recovers the 4-dp sum's integer exactly (the double is within
+        # ulps of it), so avg = (2*s4*100 + n) div (2n) micro-units is
+        # the same integer on both engines.
         .withColumn(
-            "avg_value", F.round(F.col("sum_value") / F.col("n_events"), 6)
+            "sum_e4",
+            F.floor(F.col("sum_value") * F.lit(10000) + F.lit(0.5)).cast("long"),
         )
+        .withColumn(
+            "avg_value",
+            F.expr("(2 * sum_e4 * 100 + n_events) div (2 * n_events)").cast(
+                "double"
+            )
+            / F.lit(1000000.0),
+        )
+        .drop("sum_e4")
         .select(
             F.col("window.start").alias("window_start"),
             F.col("window.end").alias("window_end"),
