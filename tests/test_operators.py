@@ -2382,3 +2382,62 @@ class TestExplodeNonempty:
             ls = line.strip().lstrip("+-: ")
             if ls.startswith("Filter"):
                 assert "array_distinct" not in ls, ls
+
+
+class TestDedupClusterMemo:
+    """The shared SimHash-clustering memo behind dedup_clusters /
+    dedup_cluster_stats (catalog_ml._dedup_cluster_labels): one
+    connected-components run serves both entries, keyed per
+    (application, sf_dir) with FIFO eviction — the _BLOOM_SHARED
+    discipline applied to the #3/#5 catalog entries by sf0.1 cost."""
+
+    SF_SMOKE = "/root/testdata/sf0.001"
+
+    def test_stats_consistent_with_clusters_and_memo_shared(self, spark):
+        from hebrew_tutor_data_pipeline_spark.plans import catalog_ml as ml
+
+        ml.clear_dedup_cluster_cache()
+        clusters = ml.dedup_clusters(spark, self.SF_SMOKE).collect()
+        assert len(ml._DEDUP_LAB_SHARED) == 1
+        stats = {
+            r["cluster_size"]: (r["n_clusters"], r["n_docs"], r["n_dup_docs"])
+            for r in ml.dedup_cluster_stats(spark, self.SF_SMOKE).collect()
+        }
+        # the second entry rode the memo — no new key
+        assert len(ml._DEDUP_LAB_SHARED) == 1
+        # independent recomputation of the size distribution from the
+        # parent entry's own output
+        from collections import Counter
+
+        sizes = Counter(r["component_size"] for r in clusters)
+        expect = {}
+        for size, total_docs in sizes.items():
+            n_clusters = total_docs // size
+            expect[size] = (
+                n_clusters,
+                size * n_clusters,
+                (size - 1) * n_clusters,
+            )
+        assert stats == expect
+        ml.clear_dedup_cluster_cache()
+        assert len(ml._DEDUP_LAB_SHARED) == 0
+
+    def test_memo_fifo_eviction_unpersists_oldest(self, spark):
+        from hebrew_tutor_data_pipeline_spark.plans import catalog_ml as ml
+
+        ml.clear_dedup_cluster_cache()
+        dummies = []
+        for i in range(4):
+            f = spark.createDataFrame(
+                [(i, i)], "doc_id long, component_id long"
+            ).persist()
+            f.count()
+            dummies.append(f)
+            ml._DEDUP_LAB_SHARED[("fake-app", f"dir{i}")] = f
+        ml._dedup_cluster_labels(spark, self.SF_SMOKE)
+        # one real key + at most 3 survivors; the OLDEST fake evicted
+        # and unpersisted, newest fakes still present
+        assert ("fake-app", "dir0") not in ml._DEDUP_LAB_SHARED
+        assert dummies[0].storageLevel.useMemory is False
+        assert len(ml._DEDUP_LAB_SHARED) <= 4
+        ml.clear_dedup_cluster_cache()

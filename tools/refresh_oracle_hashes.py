@@ -74,8 +74,14 @@ def main() -> int:
     except (OSError, ValueError):
         snap = {}
 
+    from hebrew_tutor_data_pipeline_spark.plans import plan_source_hash
+
+    # dict form (r13): oracle-text hash + plan-function source hash, so
+    # a plan refactor re-enters the window even when the oracle text is
+    # untouched. Legacy bare-string records remain readable by
+    # load_changed and upgrade here on the entry's next driver-green.
     hashes = {
-        n: oracle_text_hash(s.oracle)
+        n: {"oracle": oracle_text_hash(s.oracle), "plan": plan_source_hash(s)}
         for n, s in CATALOG.items()
         if s.oracle is not None
     }
