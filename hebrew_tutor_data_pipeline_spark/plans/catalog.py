@@ -676,6 +676,7 @@ def streaming_tumbling_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     """
     from ..streaming.sources import (
         events_parquet_stream,
+        parquet_num_rows,
         run_available_now_to_parquet,
         scratch_key_for,
     )
@@ -697,6 +698,7 @@ def streaming_tumbling_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         scratch_key=scratch_key_for(sf_dir),
         output_mode="complete",
         query_name="tumbling_hour_stats_stream",
+        input_rows=parquet_num_rows(sf_dir, "events"),
     )
 
 
@@ -725,6 +727,7 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.dedup import dedup_within_watermark
     from ..streaming.sources import (
         events_parquet_stream,
+        parquet_num_rows,
         run_available_now_to_parquet,
         scratch_key_for,
     )
@@ -743,6 +746,7 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         scratch_key=scratch_key_for(sf_dir),
         output_mode="append",
         query_name="dedup_events_stream",
+        input_rows=parquet_num_rows(sf_dir, "events"),
     )
 
 
@@ -779,6 +783,7 @@ def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rounded sum is the cross-engine-stable surface)."""
     from ..streaming.sources import (
         events_parquet_stream,
+        parquet_num_rows,
         run_available_now_to_parquet,
         scratch_key_for,
     )
@@ -800,6 +805,7 @@ def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         scratch_key=scratch_key_for(sf_dir),
         output_mode="complete",
         query_name="static_enrichment_stream",
+        input_rows=parquet_num_rows(sf_dir, "events"),
     )
 
 
@@ -846,6 +852,7 @@ def streaming_terminal_job_status(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..streaming.polling import terminal_jobs
     from ..streaming.sources import (
         events_parquet_stream,
+        parquet_num_rows,
         run_available_now_to_parquet,
         scratch_key_for,
     )
@@ -864,6 +871,7 @@ def streaming_terminal_job_status(spark: SparkSession, sf_dir: str) -> DataFrame
         scratch_key=scratch_key_for(sf_dir),
         output_mode="append",
         query_name="terminal_job_status_stream",
+        input_rows=parquet_num_rows(sf_dir, "events"),
         # timeout-bearing state keeps the query alive; drain-and-stop
         self_terminates=False,
     )
@@ -904,6 +912,7 @@ def streaming_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.progress import CountingListener, with_observed_metrics
     from ..streaming.sources import (
         events_parquet_stream,
+        parquet_num_rows,
         run_available_now_to_parquet,
         scratch_key_for,
     )
@@ -920,6 +929,7 @@ def streaming_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             scratch_key=scratch_key_for(sf_dir),
             output_mode="append",
             query_name="progress_metrics_stream",
+            input_rows=parquet_num_rows(sf_dir, "events"),
         )
         # listener events are delivered on the listener-bus thread —
         # wait (bounded) for the data batch's progress to arrive
@@ -998,6 +1008,7 @@ def streaming_sliding_quarter_stats(spark: SparkSession, sf_dir: str) -> DataFra
     the overlap factor."""
     from ..streaming.sources import (
         events_parquet_stream,
+        parquet_num_rows,
         run_available_now_to_parquet,
         scratch_key_for,
     )
@@ -1016,6 +1027,7 @@ def streaming_sliding_quarter_stats(spark: SparkSession, sf_dir: str) -> DataFra
         scratch_key=scratch_key_for(sf_dir),
         output_mode="complete",
         query_name="sliding_quarter_stats_stream",
+        input_rows=parquet_num_rows(sf_dir, "events"),
     )
 
 
@@ -1065,6 +1077,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream this runner starts."""
     from ..streaming.sources import (
         events_parquet_stream,
+        parquet_num_rows,
         run_available_now_to_parquet,
         scratch_key_for,
     )
@@ -1082,6 +1095,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         scratch_key=scratch_key_for(sf_dir),
         output_mode="complete",
         query_name="session_windows_stream",
+        input_rows=parquet_num_rows(sf_dir, "events"),
     )
 
 
@@ -1115,6 +1129,7 @@ def streaming_clicks_in_purchase_windows(spark: SparkSession, sf_dir: str) -> Da
     from ..streaming.joins import clicks_in_purchase_windows_stream
     from ..streaming.sources import (
         events_parquet_stream,
+        parquet_num_rows,
         run_available_now_to_parquet,
         scratch_key_for,
     )
@@ -1132,6 +1147,7 @@ def streaming_clicks_in_purchase_windows(spark: SparkSession, sf_dir: str) -> Da
         scratch_key=scratch_key_for(sf_dir),
         output_mode="append",
         query_name="clicks_purchase_join_stream",
+        input_rows=parquet_num_rows(sf_dir, "events"),
     )
 
 
@@ -1160,6 +1176,7 @@ def streaming_user_clicks_purchase_windows(spark: SparkSession, sf_dir: str) -> 
     from ..streaming.joins import clicks_in_purchase_windows_stream
     from ..streaming.sources import (
         events_parquet_stream,
+        parquet_num_rows,
         run_available_now_to_parquet,
         scratch_key_for,
     )
@@ -1178,6 +1195,7 @@ def streaming_user_clicks_purchase_windows(spark: SparkSession, sf_dir: str) -> 
         scratch_key=scratch_key_for(sf_dir) + "_keyed",
         output_mode="append",
         query_name="user_clicks_purchase_join_stream",
+        input_rows=parquet_num_rows(sf_dir, "events"),
     )
 
 

@@ -157,6 +157,43 @@ ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )
 
+#: rows of stream input one state partition should absorb before another
+#: partition is worth its per-microbatch cost (a RocksDB instance open +
+#: commit + checkpoint upload PER PARTITION PER BATCH). Measured sf0.1
+#: A/B (bench_runs/README.md Round 13): three stateful queries at 32
+#: partitions ran ~2x their 4-partition time on ~100k-row input —
+#: pure state-machinery overhead, zero compute difference.
+STATE_TARGET_ROWS_PER_PARTITION = 50_000
+
+
+def parquet_num_rows(sf_dir: str, table: str) -> int:
+    """Row count of a parquet table from FOOTER metadata — zero Spark
+    jobs, so deriving a partitioning knob from it is free. Handles both
+    a single file (driver testdata) and a directory of part files (the
+    generated scale trees)."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    p = Path(sf_dir) / f"{table}.parquet"
+    files = sorted(p.glob("*.parquet")) if p.is_dir() else [p]
+    return sum(pq.ParquetFile(str(f)).metadata.num_rows for f in files)
+
+
+def state_partitions_for(input_rows: int, default: int) -> int:
+    """Corpus-derived state-partition count for a bounded (availableNow)
+    stream run: enough partitions that each absorbs
+    ~STATE_TARGET_ROWS_PER_PARTITION input rows, floored at 4 for
+    parallelism, never above the session default (the cluster-sized
+    setting always wins at scale — at 100 TB the ceil() term exceeds any
+    sane default and this returns `default` unchanged). shuffle
+    partitions == state-store instances for stateful operators, and
+    each instance pays open+commit+checkpoint per microbatch whether or
+    not it holds data."""
+    import math
+
+    return min(default, max(4, math.ceil(input_rows / STATE_TARGET_ROWS_PER_PARTITION)))
+
 
 def run_available_now_to_parquet(
     df: DataFrame,
@@ -166,6 +203,7 @@ def run_available_now_to_parquet(
     timeout_seconds: int = 600,
     self_terminates: bool = True,
     state_store_provider: str | None = ROCKSDB_PROVIDER,
+    input_rows: int | None = None,
 ) -> DataFrame:
     """Execute a streaming frame with the availableNow trigger into a
     parquet sink via foreachBatch and return the committed result as a
@@ -218,14 +256,31 @@ def run_available_now_to_parquet(
         spark.conf.set(
             "spark.sql.streaming.stateStore.providerClass", state_store_provider
         )
-    q = (
-        df.writeStream.outputMode(output_mode)
-        .queryName(query_name)
-        .foreachBatch(_write_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    restore_parts: str | None = None
+    if input_rows is not None:
+        # size state partitions to the bounded input (state_partitions_for
+        # rationale above); the conf is cloned into the query at start(),
+        # so restoring right after never touches the running stream. Each
+        # run gets a FRESH checkpoint (scratch cleared above), so the
+        # partition count frozen into the checkpoint can never conflict
+        # with a later run's choice.
+        default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        parts = state_partitions_for(input_rows, default)
+        if parts != default:
+            restore_parts = str(default)
+            spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        q = (
+            df.writeStream.outputMode(output_mode)
+            .queryName(query_name)
+            .foreachBatch(_write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        if restore_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", restore_parts)
     try:
         if self_terminates:
             if not q.awaitTermination(timeout_seconds):

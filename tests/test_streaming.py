@@ -846,3 +846,55 @@ class TestScratchSweep:
         monkeypatch.setattr(src, "_ORPHANS_SWEPT", False)
         src._sweep_stale_scratch("thisapp")
         assert mine.exists()
+
+
+class TestStatePartitionKnob:
+    """state_partitions_for / parquet_num_rows: the bounded-run state
+    sizing knob (r13). shuffle partitions == state-store instances, and
+    each instance pays open+commit+checkpoint per microbatch — measured
+    ~2x on ~100k-row inputs at 32 vs 4 (bench_runs/README.md Round 13)."""
+
+    def test_state_partitions_for_shape(self):
+        from hebrew_tutor_data_pipeline_spark.streaming.sources import (
+            state_partitions_for,
+        )
+
+        assert state_partitions_for(0, 32) == 4          # floor
+        assert state_partitions_for(100_000, 32) == 4    # sf0.1 events
+        assert state_partitions_for(1_000_000, 32) == 20  # sf1
+        assert state_partitions_for(10_000_000, 32) == 32  # sf10: default
+        # never raises above the session default (tests run at 4)
+        assert state_partitions_for(10_000_000, 4) == 4
+        assert state_partitions_for(0, 2) == 2
+
+    def test_parquet_num_rows_matches_spark(self, spark):
+        from hebrew_tutor_data_pipeline_spark.sources.readers import load_table
+        from hebrew_tutor_data_pipeline_spark.streaming.sources import (
+            parquet_num_rows,
+        )
+
+        sf_dir = "/root/testdata/sf0.001"
+        n = parquet_num_rows(sf_dir, "events")
+        assert n == load_table(spark, sf_dir, "events").count()
+
+    def test_knob_restores_session_conf(self, spark, tmp_path):
+        """run_available_now_to_parquet with input_rows must leave the
+        session's shuffle.partitions exactly as it found it, even
+        though the started query captured the derived value."""
+        from hebrew_tutor_data_pipeline_spark.streaming.sources import (
+            run_available_now_to_parquet,
+        )
+
+        src = tmp_path / "in"
+        spark.range(10).selectExpr("id", "id * 2 AS v").write.parquet(str(src))
+        stream = spark.readStream.schema("id long, v long").parquet(str(src))
+        before = spark.conf.get("spark.sql.shuffle.partitions")
+        out = run_available_now_to_parquet(
+            stream.groupBy("id").count(),
+            scratch_key="knob_restore_test",
+            output_mode="complete",
+            query_name="knob_restore_test",
+            input_rows=10,
+        )
+        assert out.count() == 10
+        assert spark.conf.get("spark.sql.shuffle.partitions") == before
