@@ -2080,15 +2080,15 @@ lex AS (
 anchor AS (
     SELECT CAST(e.embedding AS DOUBLE[]) AS qe
     FROM embeddings e JOIN lex ON e.vec_id = lex.doc_id
-    WHERE lex.lex_rank = 1
+    ORDER BY lex.lex_rank ASC LIMIT 1
 ),
 dense AS (
     SELECT vec_id AS doc_id,
            row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS dense_rank
     FROM (
         SELECT v.vec_id,
-               {_cos_sql('CAST(v.embedding AS DOUBLE[])', '(SELECT qe FROM anchor)')} AS cosine
-        FROM embeddings v
+               {_cos_sql('CAST(v.embedding AS DOUBLE[])', 'anchor.qe')} AS cosine
+        FROM embeddings v CROSS JOIN anchor
     )
     ORDER BY dense_rank LIMIT 20
 )
@@ -2120,7 +2120,18 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan is one map stage over embeddings; the full-outer fuse joins two
     20-row frames — driver-trivial by construction. On a cluster the
     dense arm swaps in the IVF tier (`ann_ivf_top10`) unchanged: RRF
-    only consumes ranks."""
+    only consumes ranks.
+
+    Anchor semantics (r13, caught by the sf10 VALUE sweep): the dense
+    arm anchors at the BEST-RANKED lexical doc that HAS an embedding —
+    not lex_rank=1 unconditionally. Embeddings cover only a fraction of
+    documents, and at sf10 the lexical winner had none: Spark's
+    crossJoin against the empty anchor emptied the dense arm while the
+    oracle's scalar subquery produced NULL cosines that still ranked
+    (20 vs 40 rows). Both engines now build the anchor as an ordered
+    LIMIT 1 over lex⋈embeddings and attach it with a structural 0/1-row
+    cross join, so a truly anchorless corpus yields an empty dense arm
+    in BOTH."""
     top = _bm25_topk(spark, sf_dir)
     wl = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
     lex = top.select("doc_id", F.row_number().over(wl).alias("lex_rank"))
@@ -2128,8 +2139,9 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     anchor = (
-        lex.filter(F.col("lex_rank") == 1)
-        .join(e, F.col("doc_id") == F.col("vec_id"))
+        lex.join(e, F.col("doc_id") == F.col("vec_id"))
+        .orderBy(F.col("lex_rank").asc())
+        .limit(1)
         .select(F.col("e").alias("qe"))
     )
     from ..functions.similarity import cosine_similarity
@@ -2179,12 +2191,12 @@ lex AS (
 anchor AS (
     SELECT CAST(e.embedding AS DOUBLE[]) AS qe
     FROM embeddings e JOIN lex ON e.vec_id = lex.doc_id
-    WHERE lex.lex_rank = 1
+    ORDER BY lex.lex_rank ASC LIMIT 1
 ),
 dcos AS (
     SELECT v.vec_id AS doc_id,
-           {_cos_sql('CAST(v.embedding AS DOUBLE[])', '(SELECT qe FROM anchor)')} AS cosine
-    FROM embeddings v
+           {_cos_sql('CAST(v.embedding AS DOUBLE[])', 'anchor.qe')} AS cosine
+    FROM embeddings v CROSS JOIN anchor
 ),
 dense AS (
     SELECT doc_id FROM (
@@ -2209,7 +2221,11 @@ def retrieval_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     difference is a 20-vs-20 anti join, driver-trivial. At 100 TB both
     arms are the same TakeOrderedAndProject-bounded plans the
     retrieval entries already run; only ranks and a 6-dp cosine cross
-    the join."""
+    the join. Anchor = best-ranked lexical doc WITH an embedding, via a
+    structural 0/1-row cross join on both engines — see
+    hybrid_rrf_fusion's docstring for the sf10 divergence this
+    closed (Spark 0 rows vs oracle 10 when the lexical winner had no
+    vector)."""
     top = _bm25_topk(spark, sf_dir)
     wl = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
     lex = top.select("doc_id", F.row_number().over(wl).alias("lex_rank"))
@@ -2217,8 +2233,9 @@ def retrieval_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     anchor = (
-        lex.filter(F.col("lex_rank") == 1)
-        .join(e, F.col("doc_id") == F.col("vec_id"))
+        lex.join(e, F.col("doc_id") == F.col("vec_id"))
+        .orderBy(F.col("lex_rank").asc())
+        .limit(1)
         .select(F.col("e").alias("qe"))
     )
     from ..functions.similarity import cosine_similarity
