@@ -2008,11 +2008,11 @@ cent AS (
           FROM embeddings e JOIN p3 ON e.vec_id = p3.doc_id)
     GROUP BY pos
 ),
-cv AS (SELECT list(v ORDER BY pos) AS c FROM cent),
+cv AS (SELECT list(v ORDER BY pos) AS c FROM cent HAVING count(*) > 0),
 rr AS (
     SELECT b.doc_id, b.bm25,
-           {_cos_sql('CAST(e.embedding AS DOUBLE[])', '(SELECT c FROM cv)')} AS prf_cos
-    FROM bmt b JOIN embeddings e ON e.vec_id = b.doc_id
+           {_cos_sql('CAST(e.embedding AS DOUBLE[])', 'cv.c')} AS prf_cos
+    FROM bmt b JOIN embeddings e ON e.vec_id = b.doc_id CROSS JOIN cv
 )
 SELECT doc_id, bm25, prf_cos,
        row_number() OVER (ORDER BY prf_cos DESC, doc_id ASC) AS rank
@@ -2034,7 +2034,17 @@ def bm25_prf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rides a 1-row broadcast crossJoin onto the candidates, and the
     embedding attach joins 20 ids against the (bucketable) embeddings
     table. The final row_number window sorts 20 rows — a driver-trivial
-    single partition by construction, not a corpus sort."""
+    single partition by construction, not a corpus sort.
+
+    Centroid coverage (r13, the retrieval-anchor class): the centroid
+    averages whichever of the top-3 docs HAVE embeddings — symmetric on
+    both engines — and when NONE do, the centroid frame is empty (the
+    empty global collect_list is filtered out here; the oracle's cv CTE
+    drops its row via HAVING count(*) > 0) so the structural cross join
+    empties the rerank on BOTH engines instead of Spark folding an
+    empty array while DuckDB ranks NULL cosines — the exact divergence
+    the sf10 value sweep caught in hybrid_rrf_fusion/
+    retrieval_hard_negatives, closed here proactively."""
     from ..functions.similarity import cosine_similarity
 
     top = _bm25_topk(spark, sf_dir)
@@ -2050,6 +2060,7 @@ def bm25_prf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.avg("x"), 8).alias("v"))
         .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("s"))
         .select(F.transform("s", lambda r: r["v"]).alias("c"))
+        .filter(F.size("c") > 0)
     )
     rr = (
         top.join(e, top["doc_id"] == e["vec_id"])
