@@ -317,15 +317,37 @@ def dsir_weights(
             + F.lit(0.5)
         ).alias("lr_e8"),
     )
+    # the 6-dp mean is EXACT integer arithmetic, not round(double, 6):
+    # group sizes that land the true mean on the x.xxxxxx5 boundary make
+    # Spark's BigDecimal HALF_UP and DuckDB's double round() disagree
+    # (the avg_after_skip2 class; dsir flipped at sf10 in the r13 value
+    # sweep). Signed twist this family adds: log-ratios go NEGATIVE, and
+    # Spark's `div` truncates toward zero while DuckDB's `//` floors —
+    # so the half-up division runs on the MAGNITUDE (positive operands,
+    # where both engines agree) and the sign is re-applied, giving
+    # ties-away-from-zero: the same tie rule both engines' round()
+    # already used for non-boundary values.
     scored = (
         grams.join(F.broadcast(ratios), "b")
         .groupBy("id")
         .agg(
             F.count("*").alias("gram_ct"),
-            F.round(
-                F.sum("lr_e8").cast("double") / F.lit(100000000.0) / F.count("*"),
-                6,
-            ).alias("avg_logratio"),
+            F.sum("lr_e8").alias("s_e8"),
+        )
+        .select(
+            "id",
+            "gram_ct",
+            (
+                F.when(F.col("s_e8") < 0, -1).otherwise(1)
+                * F.expr("(2 * abs(s_e8) + 100 * gram_ct) div (200 * gram_ct)")
+            )
+            .cast("double")
+            .alias("m_e6"),
+        )
+        .select(
+            "id",
+            "gram_ct",
+            (F.col("m_e6") / F.lit(1000000.0)).alias("avg_logratio"),
         )
     )
     # restore zero-gram docs (empty/whitespace text emits no gram rows,

@@ -3592,8 +3592,10 @@ s AS (SELECT d.doc_id, CAST(coalesce(s0.gram_ct, 0) AS BIGINT) AS gram_ct,
              s0.avg_logratio
       FROM documents d
       LEFT JOIN (SELECT doc_id, count(*) AS gram_ct,
-                        round(CAST(sum(lr_e8) AS DOUBLE) / 100000000.0
-                              / count(*), 6) AS avg_logratio
+                        CAST((CASE WHEN sum(lr_e8) < 0 THEN -1 ELSE 1 END)
+                             * ((2 * abs(sum(lr_e8)) + 100 * count(*))
+                                // (200 * count(*))) AS DOUBLE)
+                          / 1000000.0 AS avg_logratio
                  FROM g JOIN r USING (b) GROUP BY doc_id) s0 USING (doc_id)),
 k AS (SELECT doc_id FROM s
       ORDER BY avg_logratio DESC, doc_id ASC LIMIT {_DSIR_TOPK})

@@ -1201,7 +1201,11 @@ class TestSamplingValueReferences:
                 assert got[i] == (0, None), (i, docs[i], got[i])
                 continue
             s = sum(lr[b] for b in bs)
-            want = _r6(s / 100000000.0 / len(bs))
+            n = len(bs)
+            # exact ties-away-from-zero 6-dp mean in integer 1e-6 units
+            # (the r13 signed-mean rule; see sampling.dsir_weights)
+            mag = (2 * abs(s) + 100 * n) // (200 * n)
+            want = (mag if s >= 0 else -mag) / 1000000.0
             assert got[i] == (len(bs), want), (i, docs[i], got[i], (len(bs), want))
 
 
