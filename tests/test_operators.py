@@ -1208,6 +1208,41 @@ class TestConnectedComponents:
             3: 3, 5: 3, 9: 3, 20: 20, 21: 20, 7: 7,
         }
 
+    def test_round0_checkpoint_joins_the_rotation(self, spark):
+        """The input edge set is materialized as round 0 (so an
+        expensive caller pipeline never re-executes inside round 1's
+        multi-reference star plan) and its blocks are ROTATED OUT like
+        every other round's: after the call, at most ONE new persisted
+        RDD remains (the final round's checkpoint — which the async
+        ContextCleaner may have already swept), never one per round.
+        Set-of-ids, not a count delta: the cleaner also sweeps STALE
+        checkpoints from earlier tests mid-call, which would make a
+        count comparison flaky in either direction."""
+        from hebrew_tutor_data_pipeline_spark.operators.dedup import (
+            connected_components,
+        )
+
+        jsc = spark.sparkContext._jsc
+
+        def persisted_ids() -> set[int]:
+            return {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
+
+        before = persisted_ids()
+        # 60-edge chain: ~6 star rounds, so a round-0 block that failed
+        # to join the rotation would leave >= 6 new persisted RDDs.
+        edges = [(i, i + 1) for i in range(60)] + [(100, 101), (101, 103)]
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(df).collect()
+        }
+        assert got[59] == 0 and got[103] == 100
+        new = persisted_ids() - before
+        assert len(new) <= 1, (
+            f"expected at most the final round's checkpoint to remain, "
+            f"got {len(new)} new persisted RDDs ({sorted(new)})"
+        )
+
     def test_empty_edges(self, spark):
         assert self._cc(spark, []) == {}
 
