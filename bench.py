@@ -135,6 +135,64 @@ def main() -> int:
     except Exception as exc:  # noqa: BLE001 — warmup must never kill the run
         print(f"# warmup pipeline skip: {exc}", file=sys.stderr)
 
+    # Warm the Python DataSource machinery (Spark 4 pluggable sources):
+    # the FIRST custom-source scan of a session pays ~3-5 s of one-time
+    # spin-up (plan-side Python runner, reader pickling channel, task-
+    # side data-source read runner + its Arrow path) that repeat scans
+    # don't (measured r13: first scan 5.0 s, second 0.6 s, same plan).
+    # One-row synthetic source, no input data touched — session setup,
+    # not any query's work (same boundary as the numpy warmup below).
+    try:
+        from pyspark.sql.datasource import DataSource, DataSourceReader
+
+        class _WarmReader(DataSourceReader):
+            def read(self, partition):
+                yield (1,)
+
+        class _WarmSource(DataSource):
+            @classmethod
+            def name(cls) -> str:
+                return "bench_warm_source"
+
+            def schema(self) -> str:
+                return "v int"
+
+            def reader(self, schema) -> "_WarmReader":
+                return _WarmReader(self.options)
+
+        spark.dataSource.register(_WarmSource)
+        spark.read.format("bench_warm_source").load().write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception as exc:  # noqa: BLE001 — warmup must never kill the run
+        print(f"# warmup pyds skip: {exc}", file=sys.stderr)
+
+    # Warm the Structured Streaming micro-batch machinery: the first
+    # stream of a session pays the py4j foreachBatch callback server,
+    # StreamExecution planning and checkpoint-commit first-touch. One
+    # availableNow batch over a 1-row scratch parquet, then the scratch
+    # is deleted — no catalog input is pre-read.
+    try:
+        import shutil
+        import tempfile
+
+        warm_dir = tempfile.mkdtemp(prefix="htdp_bench_warm_")
+        spark.range(1).write.mode("overwrite").parquet(f"{warm_dir}/in")
+        wq = (
+            spark.readStream.schema("id long")
+            .parquet(f"{warm_dir}/in")
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, bid: df.write.format("noop").mode("overwrite").save())
+            .option("checkpointLocation", f"{warm_dir}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        wq.awaitTermination(120)
+        wq.stop()
+        shutil.rmtree(warm_dir, ignore_errors=True)
+    except Exception as exc:  # noqa: BLE001 — warmup must never kill the run
+        print(f"# warmup stream skip: {exc}", file=sys.stderr)
+
     # Warm every Python worker with numpy + a mapInPandas round trip: the
     # 32-worker pool imports numpy once per process (~2-4 s wall the first
     # time a numpy-using stage runs); that is session setup, not any

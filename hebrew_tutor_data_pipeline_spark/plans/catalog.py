@@ -1454,22 +1454,39 @@ def part_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-occurring in ≥2 orders, exact support (ppm of orders) and lift
     (observed/expected co-occurrence, milli-units) — the co-occurrence
     analytics class (recommendations, 'frequently bought together').
-    Scale posture: ONE order-keyed self-join whose fan-out is
-    Σ(basket_size choose 2) — linear in orders under the bounded-basket
-    invariant; item counts broadcast back onto the sparse pair list;
+    Scale posture (r13, guide §2.3/§2.4): ONE order-keyed exchange with
+    map-side partial collect_set builds each basket; pairs are generated
+    IN PLACE from the sorted basket array (fan-out Σ(basket choose 2),
+    linear in orders under the bounded-basket invariant) — the previous
+    order-keyed self-join paid two more exchanges of the (o, p) pairs
+    plus a 4×-referenced distinct subtree; now every consumer (order
+    count, item counts, pair expansion) rides the SAME reused basket
+    exchange. Item counts broadcast back onto the sparse pair list;
     all-integer outputs."""
     li = T(spark, sf_dir, "lineitem")
-    b = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    nn = b.agg(F.countDistinct("o").alias("n_orders"))
-    ic = b.groupBy("p").agg(F.count(F.lit(1)).alias("n_p"))
-    a2 = b.withColumnRenamed("p", "part_a")
-    c2 = b.withColumnRenamed("p", "part_b")
+    baskets = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .groupBy("o")
+        .agg(F.sort_array(F.collect_set("p")).alias("ps"))
+    )
+    nn = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    ic = baskets.select(F.explode("ps").alias("p")).groupBy("p").agg(
+        F.count(F.lit(1)).alias("n_p")
+    )
+    # ps is a sorted SET, so (ps[i], ps[j]) with i < j enumerates exactly
+    # the part_a < part_b pairs the self-join produced. slice() clamps to
+    # the array end; struct fields name the pair columns directly.
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> "
+                "transform(slice(ps, i + 2, size(ps)), "
+                "y -> struct(x AS part_a, y AS part_b))))"
+            )
+        ).alias("pq")
+    ).select("pq.part_a", "pq.part_b")
     pr = (
-        a2.join(c2, "o")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
+        pairs.groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= 2)
     )

@@ -2007,7 +2007,7 @@ def _bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.lit(100000000)
         + F.lit(0.5)
     )
-    return (
+    top = (
         tf.join(F.broadcast(idf), "w")
         .join(dl, "doc_id")
         .withColumn("contrib_e8", contrib_e8)
@@ -2021,6 +2021,13 @@ def _bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(20)
     )
+    # ≤20 rows by construction, but EVERY downstream consumer pair (PRF
+    # centroid + rerank, RRF anchor + fuse, hard-negative anchor + anti
+    # join) referenced it twice — re-running the corpus-wide posting
+    # scan + TakeOrderedAndProject once per reference (guide §2.4 /
+    # §5: cache when the recompute is a corpus pass and the cache is
+    # bytes). Lineage intact; eviction degrades to recompute.
+    return top.persist()
 
 
 @_register(
@@ -4199,8 +4206,14 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # Both sides of the hit join are k-rows-per-query tier outputs
+    # (≤ tiers × queries × 10 rows by construction — the docstring's
+    # query-set scaling argument); without the hint Spark planned
+    # SortMergeJoins from unknown post-limit estimates, paying two
+    # sort+exchange pairs for frames that fit in one broadcast block
+    # (guide §3.1: hint when the estimate is wrong).
     h = (
-        cand.join(bf, ["query_id", "neighbor_id"])
+        cand.join(F.broadcast(bf), ["query_id", "neighbor_id"])
         .groupBy("tier", "query_id")
         .agg(F.count("*").alias("n_hits"))
     )
@@ -4211,7 +4224,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("query_id"))
         .crossJoin(spark.createDataFrame([("ivf",), ("pq",)], "tier string"))
     )
-    return panel.join(h, ["tier", "query_id"], "left").select(
+    return panel.join(F.broadcast(h), ["tier", "query_id"], "left").select(
         "tier",
         "query_id",
         F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),

@@ -303,7 +303,12 @@ def run_available_now_to_parquet(
                 if prog and prog.get("batchId", 0) > 0 and prog.get("numInputRows") == 0:
                     drained = True
                     break
-                _time.sleep(0.5)
+                # 50 ms poll: every post-data batch is empty, so the first
+                # progress with 0 input IS the drain signal — at 0.5 s the
+                # poll itself added up to half a second of pure latency to
+                # every non-self-terminating stream (guide §1: fixed
+                # overhead a query can never go below).
+                _time.sleep(0.05)
             if q.exception() is not None:
                 # a dead query exits the loop with isActive False — that
                 # is a FAILURE, not a drain; silently returning the
