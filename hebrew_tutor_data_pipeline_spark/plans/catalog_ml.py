@@ -4313,6 +4313,39 @@ def _bpe_top_pair_sql(tcte: str) -> str:
     GROUP BY 1, 2 ORDER BY c DESC, l, r LIMIT 1"""
 
 
+# Shared BPE merge table, memoized per (application, sf_dir): all three
+# BPE entries (merge_rounds / encode_corpus / vocab_coverage) train the
+# IDENTICAL 3-round table — each training round is a corpus-wide pair
+# count, so without sharing the catalog paid 9 corpus passes for one
+# 3-row model artifact (the _BLOOM_SHARED / _DEDUP_LAB_SHARED
+# discipline). The memo holds the DRIVER-SIDE collected rows (3 tuples
+# of 2 strings + 2 ints — no persisted frame, no lifecycle), keyed by
+# applicationId so it dies with the session; FIFO-evicts beyond 4 keys.
+# At 100 TB this is the realistic tokenizer shape anyway: the merge
+# table is fit once and every consumer applies it.
+_BPE_MERGES_SHARED: dict[tuple[str, str], list] = {}
+
+
+def clear_bpe_merge_cache() -> None:
+    """Drop the shared BPE merge-table memo (probes/tests); the next
+    caller retrains from the corpus."""
+    _BPE_MERGES_SHARED.clear()
+
+
+def _bpe_merge_table(spark: SparkSession, sf_dir: str) -> list:
+    from ..operators import bpe
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    rows = _BPE_MERGES_SHARED.get(key)
+    if rows is None:
+        d = spread(T(spark, sf_dir, "documents"))
+        rows = bpe.bpe_merges(d, "doc_id", "text", rounds=3).collect()
+        while len(_BPE_MERGES_SHARED) >= 4:
+            _BPE_MERGES_SHARED.pop(next(iter(_BPE_MERGES_SHARED)))
+        _BPE_MERGES_SHARED[key] = rows
+    return rows
+
+
 @_register(
     "bpe_merge_rounds",
     # Three unrolled merge rounds: top adjacent pair (count DESC, then
@@ -4337,11 +4370,13 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     second iterative algorithm beside k-means: three merge rounds, each
     ONE corpus-wide pair count cut by TakeOrderedAndProject, the winning
     pair (a 2-string model artifact) broadcast into the next round's
-    re-tokenization map stage. See operators.bpe.bpe_merges."""
-    from ..operators import bpe
-
-    d = spread(T(spark, sf_dir, "documents"))
-    return bpe.bpe_merges(d, "doc_id", "text", rounds=3)
+    re-tokenization map stage. See operators.bpe.bpe_merges; the
+    collected table rides the shared per-(application, sf_dir) memo."""
+    rows = _bpe_merge_table(spark, sf_dir)
+    return spark.createDataFrame(
+        [(r["round"], r["left"], r["right"], r["pair_count"]) for r in rows],
+        "round int, left string, right string, pair_count long",
+    )
 
 
 @_register(
@@ -4381,7 +4416,7 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import bpe
 
     d = spread(T(spark, sf_dir, "documents"))
-    table = bpe.bpe_merges(d, "doc_id", "text", rounds=3).collect()
+    table = _bpe_merge_table(spark, sf_dir)
     pairs = [(r["left"], r["right"]) for r in sorted(table, key=lambda r: r["round"])]
     enc = bpe.apply_merges(d, "doc_id", "text", pairs)
     return enc.select(

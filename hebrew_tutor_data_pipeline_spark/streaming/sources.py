@@ -216,10 +216,11 @@ def run_available_now_to_parquet(
     ``append`` batches carry only new rows → each batch OVERWRITES its
     own ``batch_id=<id>`` subdirectory, so a retried batch replaces its
     prior partial output instead of double-appending, and committed
-    batches union via partition discovery on read-back. An empty frame
-    with the plan's schema is committed up front so a stream that emits
-    zero rows still reads back as an empty frame rather than a schema-
-    inference error. The checkpoint is deleted after completion, the
+    batches union via partition discovery on read-back. A stream that
+    emits zero rows still reads back as an empty typed frame rather
+    than a schema-inference error: an empty schema-carrier frame is
+    written AFTER the run iff no batch produced output (os-level check,
+    zero Spark jobs). The checkpoint is deleted after completion, the
     output dir stays readable for the session (the returned frame is
     lazy). A production deployment swaps the sink body for its real
     writer; the plan above it is unchanged."""
@@ -239,13 +240,11 @@ def run_available_now_to_parquet(
     ckpt = str(scratch / "ckpt")
     empty = spark.createDataFrame([], df.schema)
     if output_mode == "complete":
-        empty.write.mode("overwrite").parquet(out)
 
         def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
             batch_df.write.mode("overwrite").parquet(out)
 
     else:
-        empty.write.mode("overwrite").parquet(f"{out}/batch_id=-1")
 
         def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
             batch_df.write.mode("overwrite").parquet(f"{out}/batch_id={batch_id}")
@@ -321,6 +320,20 @@ def run_available_now_to_parquet(
     finally:
         q.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
+    # Zero-rows fallback DEFERRED (r13): the empty schema-carrier frame
+    # used to be parquet-written UP FRONT on every run — one Spark write
+    # job per streaming query paid even though every catalog stream
+    # commits data. Now an os-level listing (zero jobs) detects the
+    # no-batch-output case after the run and only then writes the empty
+    # frame, so a stream that emits zero rows still reads back as an
+    # empty typed frame rather than a schema-inference error. Committed
+    # batches are unchanged: a batch (even a 0-row one) writes part
+    # files, which the glob sees.
+    if not any(Path(out).rglob("*.parquet")):
+        if output_mode == "complete":
+            empty.write.mode("overwrite").parquet(out)
+        else:
+            empty.write.mode("overwrite").parquet(f"{out}/batch_id=-1")
     # Append mode lays batches out as batch_id=<id> partition dirs; drop
     # the discovered partition column to restore the plan's schema
     # (drop() of an absent column — the complete-mode case — is a no-op).

@@ -2476,3 +2476,47 @@ class TestDedupClusterMemo:
         assert dummies[0].storageLevel.useMemory is False
         assert len(ml._DEDUP_LAB_SHARED) <= 4
         ml.clear_dedup_cluster_cache()
+
+class TestBpeMergeMemo:
+    """The shared BPE merge-table memo behind bpe_merge_rounds /
+    bpe_encode_corpus / bpe_vocab_coverage (catalog_ml._bpe_merge_table):
+    the three entries train the identical 3-round table, so one training
+    (three corpus-wide pair counts) serves all of them, keyed per
+    (application, sf_dir) with FIFO eviction — the _BLOOM_SHARED
+    discipline applied to a driver-side model artifact."""
+
+    SF_SMOKE = "/root/testdata/sf0.001"
+
+    def test_memo_matches_fresh_training_and_is_shared(self, spark):
+        from hebrew_tutor_data_pipeline_spark.operators import bpe
+        from hebrew_tutor_data_pipeline_spark.plans import catalog_ml as ml
+        from hebrew_tutor_data_pipeline_spark.plans.catalog import T
+        from hebrew_tutor_data_pipeline_spark.sources.readers import spread
+
+        ml.clear_bpe_merge_cache()
+        memo_rows = sorted(
+            map(tuple, ml.bpe_merge_rounds(spark, self.SF_SMOKE).collect())
+        )
+        assert len(ml._BPE_MERGES_SHARED) == 1
+        # the encode entry rides the same memo — no new key, no retrain
+        ml.bpe_encode_corpus(spark, self.SF_SMOKE)
+        assert len(ml._BPE_MERGES_SHARED) == 1
+        # value check against an INDEPENDENT (memo-free) training
+        d = spread(T(spark, self.SF_SMOKE, "documents"))
+        fresh = sorted(
+            map(tuple, bpe.bpe_merges(d, "doc_id", "text", rounds=3).collect())
+        )
+        assert memo_rows == fresh
+        ml.clear_bpe_merge_cache()
+        assert len(ml._BPE_MERGES_SHARED) == 0
+
+    def test_memo_fifo_eviction(self, spark):
+        from hebrew_tutor_data_pipeline_spark.plans import catalog_ml as ml
+
+        ml.clear_bpe_merge_cache()
+        for i in range(4):
+            ml._BPE_MERGES_SHARED[("fake-app", f"dir{i}")] = []
+        ml._bpe_merge_table(spark, self.SF_SMOKE)
+        assert ("fake-app", "dir0") not in ml._BPE_MERGES_SHARED
+        assert len(ml._BPE_MERGES_SHARED) <= 4
+        ml.clear_bpe_merge_cache()
