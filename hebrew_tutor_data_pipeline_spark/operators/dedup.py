@@ -1250,24 +1250,25 @@ def connected_components(
     # the corpus-wide fold itself). The round-0 blocks join the same
     # rotation that frees each previous round, so peak storage is
     # unchanged: one edge set live at a time (plus the one being built).
-    e = e.checkpoint(eager=True) if reliable_checkpoint else e.localCheckpoint(eager=True)
+    # Lazy here too (r13): round 1's signature job materializes this
+    # block set on its way through the star pipeline — persist-locking
+    # guarantees each input partition is computed once even though
+    # large/small-star reference it 4× (the 90b4d72 re-execution fix),
+    # and the round-0 count() job disappears.
+    e = e.checkpoint(eager=True) if reliable_checkpoint else e.localCheckpoint(eager=False)
     prev_round_rdd = None if reliable_checkpoint else _checkpoint_rdd(e)
     prev_sig = None
     for rounds in range(1, max_iterations + 1):
         e = _small_star(_large_star(e))
-        e = e.checkpoint(eager=True) if reliable_checkpoint else e.localCheckpoint(eager=True)
-        if not reliable_checkpoint:
-            # This round is materialized (eager=True) — the previous
-            # round's blocks are now unreachable by any plan and must be
-            # dropped, or ~log n rounds of edge sets pile up in the
-            # storage region (local-checkpoint blocks are not safely
-            # evictable: their lineage is truncated).
-            if prev_round_rdd is not None:
-                try:
-                    prev_round_rdd.unpersist(False)
-                except Exception:  # noqa: BLE001 — leak is better than crash
-                    pass
-            prev_round_rdd = _checkpoint_rdd(e)
+        # LAZY local checkpoint (r13): the convergence signature below is
+        # the round's first (and only) driver action, so letting IT
+        # materialize the checkpoint folds the old eager count() job into
+        # the signature job — one job per round instead of two, with the
+        # same blocks persisted (localCheckpoint marks the RDD persisted;
+        # the first job computes each partition once under the storage
+        # lock). The reliable-checkpoint cluster path stays eager:
+        # checkpoint() files must exist before lineage is dropped.
+        e = e.checkpoint(eager=True) if reliable_checkpoint else e.localCheckpoint(eager=False)
         # 64-bit-hash checksum + count: a fixpoint keeps both identical.
         sig = tuple(
             e.agg(
@@ -1275,6 +1276,21 @@ def connected_components(
                 F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1_000_000_007))),
             ).first()
         )
+        if not reliable_checkpoint:
+            # This round is now materialized (the signature action ran) —
+            # the previous round's blocks are unreachable by any plan and
+            # must be dropped, or ~log n rounds of edge sets pile up in
+            # the storage region (local-checkpoint blocks are not safely
+            # evictable: their lineage is truncated). Order matters with
+            # the lazy checkpoint: this round READS the previous round's
+            # blocks while materializing, so the unpersist must follow
+            # the signature action, never precede it.
+            if prev_round_rdd is not None:
+                try:
+                    prev_round_rdd.unpersist(False)
+                except Exception:  # noqa: BLE001 — leak is better than crash
+                    pass
+            prev_round_rdd = _checkpoint_rdd(e)
         if sig == prev_sig:
             # observability hook for the O(log n) convergence claim —
             # read by tools/scale_bench.py after each run. Thread-local

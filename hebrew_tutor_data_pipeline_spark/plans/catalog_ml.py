@@ -1111,9 +1111,16 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     adjp = dedup._banded_hamming_pairs(
         g.select(F.col("simhash").alias("id"), "simhash"), bits, 2, 1
     ).select("id_a", "id_b")
+    # adj is referenced once for the degree fold and once per PageRank
+    # round (3 references): without a boundary the banded self-join
+    # pipeline behind it re-executes per reference, and each round's
+    # reference compounds with the round-lineage doubling below (the
+    # r13 before-plan held 204 Exchange nodes for a 2-round walk).
+    # Quotient-sized (2 BIGINTs per near-dup fp pair), lineage intact —
+    # an eviction degrades to recompute (guide §2.4/§5).
     adj = adjp.unionAll(
         adjp.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-    )
+    ).persist()
     nb = g.select(
         F.col("simhash").alias("id_b"),
         F.col("m").alias("mb"),
@@ -1133,6 +1140,12 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pr", F.lit(1_000_000_000 // n))
     )
     for _ in range(2):
+        # cf is consumed by BOTH the inbox aggregate and the damping
+        # join, and round r's lineage contains round r-1's whole tree —
+        # unpersisted, the per-round re-execution compounds (the CC
+        # loop's round-materialization discipline applied to the second
+        # iterative operator). One narrow quotient-sized row per
+        # distinct fingerprint.
         cf = pr.select(
             "simhash",
             "m",
@@ -1141,7 +1154,7 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0))
             .cast("long")
             .alias("c"),
-        )
+        ).persist()
         crs = (
             adj.join(
                 cf.select(
