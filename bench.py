@@ -146,6 +146,9 @@ def main() -> int:
         from pyspark.sql.datasource import DataSource, DataSourceReader
 
         class _WarmReader(DataSourceReader):
+            def __init__(self, options):
+                self.options = options
+
             def read(self, partition):
                 yield (1,)
 
@@ -166,6 +169,34 @@ def main() -> int:
         ).save()
     except Exception as exc:  # noqa: BLE001 — warmup must never kill the run
         print(f"# warmup pyds skip: {exc}", file=sys.stderr)
+
+    # The pyds WRITE path spins up separately from the read path (plan-
+    # side writer pickling channel + task-side write runner): measured
+    # r13, first custom-source write ~5.5 s, second ~2.2 s on identical
+    # data. One-row synthetic sink — nothing touches the filesystem.
+    try:
+        from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+        class _WarmWriter(DataSourceWriter):
+            def write(self, iterator):
+                for _ in iterator:
+                    pass
+                return WriterCommitMessage()
+
+        class _WarmSink(DataSource):
+            @classmethod
+            def name(cls) -> str:
+                return "bench_warm_sink"
+
+            def writer(self, schema, overwrite: bool) -> "_WarmWriter":
+                return _WarmWriter()
+
+        spark.dataSource.register(_WarmSink)
+        spark.createDataFrame([(1,)], ["v"]).write.format("bench_warm_sink").mode(
+            "append"
+        ).save()
+    except Exception as exc:  # noqa: BLE001 — warmup must never kill the run
+        print(f"# warmup pyds-write skip: {exc}", file=sys.stderr)
 
     # Warm the Structured Streaming micro-batch machinery: the first
     # stream of a session pays the py4j foreachBatch callback server,
