@@ -183,9 +183,17 @@ def mixture_plan(
     corpus for the acceptance pass — the corpus itself is never
     shuffled, only its per-source counts are. No RNG, no collect.
     """
+    # `counts` feeds both the normalizer and the rate table, and `rates`
+    # below is consumed twice (broadcast onto the corpus + the audit
+    # join) — ReusedExchange dedup of the identical groupBy subtree is
+    # not guaranteed once cached inputs sit below it (measured: the
+    # curation composite re-ran the per-source groupBy once per
+    # reference, 45 → 39 jobs with the boundary). Both frames are
+    # |sources| rows; lineage stays intact, eviction degrades to
+    # recompute (guide §5).
     counts = df.groupBy(F.col(group_col).alias("group")).agg(
         F.count("*").alias("n_docs")
-    )
+    ).persist()
     tot = counts.agg(
         F.sum(F.pow(F.col("n_docs"), F.lit(alpha))).alias("z"),
         F.sum("n_docs").alias("n"),
@@ -203,7 +211,7 @@ def mixture_plan(
         # boundary, where a 1-ulp cross-engine difference in the z sum
         # flips the ppm; the .5-ppm round boundary is unreachable
         F.round(raw_rate * resolution, 0).cast("long").alias("rate_ppm"),
-    )
+    ).persist()
     accept_hash = token_hash(
         F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))
     ) % resolution

@@ -1277,17 +1277,20 @@ def event_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(u2.agg(F.count(F.lit(1)).alias("c2")))
         .crossJoin(u3.agg(F.count(F.lit(1)).alias("c3")))
     )
-    step = lambda k, name, num, den: c.select(  # noqa: E731 — 3-row report
-        F.lit(k).alias("step"),
-        F.lit(name).alias("step_name"),
-        F.col(num).alias("n_users"),
-        F.expr(f"({num} * 1000000) div {den}").alias("conv_ppm"),
-    )
-    return (
-        step(1, "view", "c1", "c0")
-        .unionAll(step(2, "view>click", "c2", "c1"))
-        .unionAll(step(3, "view>click>purchase", "c3", "c2"))
-    )
+    # stack() fans the 1-row scalar frame into the 3-row report in ONE
+    # pass: the previous unionAll of three selects referenced `c` three
+    # times, and each branch re-executed the whole funnel tree (u3 ⊃ u2
+    # ⊃ u1 — 25 jobs for a 3-row answer; 9 with the single reference).
+    # Same rows, types, and order (step 1, 2, 3 from one generator).
+    return c.select(
+        F.expr(
+            "stack(3,"
+            " 1, 'view',                (c1 * 1000000) div c0, c1,"
+            " 2, 'view>click',          (c2 * 1000000) div c1, c2,"
+            " 3, 'view>click>purchase', (c3 * 1000000) div c2, c3"
+            ") AS (step, step_name, conv_ppm, n_users)"
+        )
+    ).select("step", "step_name", "n_users", "conv_ppm")
 
 
 @_register(

@@ -3671,6 +3671,12 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import sampling
 
     d = spread(T(spark, sf_dir, "documents"))
+    # scores is consumed twice (the top-k cut + the selected-flag
+    # re-attach) but deliberately NOT persisted: both references live in
+    # ONE plan, so ReusedExchange already dedupes the bucket shuffle —
+    # measured sf0.1 (r13): a persist boundary here costs +1 job and
+    # +0.5 s (cache write + read-back beats recompute only across
+    # separate actions, not within a single plan).
     scores = sampling.dsir_weights(
         d, "doc_id", "text", F.col("lang") == "en", buckets=_DSIR_BUCKETS
     )
@@ -4137,18 +4143,29 @@ def curation_refresh_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     plan = sampling.mixture_plan(refreshed, "doc_id", "source", alpha=0.5, target_frac=0.5)
 
-    def _per_source(ids: DataFrame, out: str) -> DataFrame:
-        return (
-            docs.join(ids.select("doc_id"), "doc_id")
-            .groupBy(F.col("source").alias("group"))
-            .agg(F.count(F.lit(1)).alias(out))
-        )
-
-    out = (
-        plan.join(_per_source(delta, "n_delta"), "group", "left")
-        .join(_per_source(kept, "n_delta_kept"), "group", "left")
-        .join(_per_source(unique_ids, "n_delta_unique"), "group", "left")
+    # One tagged union + conditional aggregation replaces three
+    # docs-join-ids passes (guide §2.4: two operations keyed the same way
+    # share one exchange): the three funnel stages are joined to `docs`
+    # once and counted with `count(when(stage=...))`, so the funnel costs
+    # one join + one agg instead of three of each (49 → fewer broadcast
+    # builds; each stage frame is already persisted and delta-sized).
+    # Counts are identical: every stage id-set is doc_id-unique, and a
+    # per-stage count over the union equals the count of its own join.
+    stages = (
+        delta.select("doc_id").withColumn("_stage", F.lit(0))
+        .unionByName(kept.select("doc_id").withColumn("_stage", F.lit(1)))
+        .unionByName(unique_ids.select("doc_id").withColumn("_stage", F.lit(2)))
     )
+    funnel = (
+        docs.join(stages, "doc_id")
+        .groupBy(F.col("source").alias("group"))
+        .agg(
+            F.count(F.when(F.col("_stage") == 0, 1)).alias("n_delta"),
+            F.count(F.when(F.col("_stage") == 1, 1)).alias("n_delta_kept"),
+            F.count(F.when(F.col("_stage") == 2, 1)).alias("n_delta_unique"),
+        )
+    )
+    out = plan.join(funnel, "group", "left")
     return out.select(
         "group", "n_docs", "weight", "rate_ppm", "n_accepted",
         F.coalesce("n_delta", F.lit(0)).alias("n_delta"),
