@@ -193,7 +193,7 @@ def mixture_plan(
     # recompute (guide §5).
     counts = df.groupBy(F.col(group_col).alias("group")).agg(
         F.count("*").alias("n_docs")
-    ).persist()
+    )
     tot = counts.agg(
         F.sum(F.pow(F.col("n_docs"), F.lit(alpha))).alias("z"),
         F.sum("n_docs").alias("n"),
@@ -211,7 +211,7 @@ def mixture_plan(
         # boundary, where a 1-ulp cross-engine difference in the z sum
         # flips the ppm; the .5-ppm round boundary is unreachable
         F.round(raw_rate * resolution, 0).cast("long").alias("rate_ppm"),
-    ).persist()
+    )
     accept_hash = token_hash(
         F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))
     ) % resolution
