@@ -175,7 +175,14 @@ def main() -> int:
     # r13, first custom-source write ~5.5 s, second ~2.2 s on identical
     # data. One-row synthetic sink — nothing touches the filesystem.
     try:
-        from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+        # DataSource re-imported so this block is self-contained: if the
+        # READ warmup's import failed, this one must fail with the real
+        # ImportError, not a misleading NameError (ADVICE r13).
+        from pyspark.sql.datasource import (
+            DataSource,
+            DataSourceWriter,
+            WriterCommitMessage,
+        )
 
         class _WarmWriter(DataSourceWriter):
             def write(self, iterator):
@@ -311,12 +318,22 @@ def main() -> int:
     #      skips, plus the slowest timings that fit, explicitly flagged
     #      truncated with a pointer to the sidecar.
     print(json.dumps(out))
-    sidecar = Path(__file__).resolve().parent / "bench_runs" / "BENCH_last.json"
-    try:
-        sidecar.parent.mkdir(parents=True, exist_ok=True)
-        sidecar.write_text(json.dumps(out, indent=1) + "\n")
-    except OSError as exc:
-        print(f"# sidecar write failed: {exc}", file=sys.stderr)
+    # Two sidecar names: BENCH_last.json (the historical path every tool
+    # reads) AND a per-core-count BENCH_last_c{N}.json — VERDICT r13 #5:
+    # the driver's 8-core scaling run clobbered the 32-core full map,
+    # making the canonical run's per-query record unrecoverable. With the
+    # core count in the name, runs at different widths never overwrite
+    # each other's full map.
+    out["cpus"] = int(
+        os.environ.get("SPARK_GRAFT_CPUS", spark.sparkContext.defaultParallelism)
+    )
+    bench_dir = Path(__file__).resolve().parent / "bench_runs"
+    for fname in ("BENCH_last.json", f"BENCH_last_c{out['cpus']}.json"):
+        try:
+            bench_dir.mkdir(parents=True, exist_ok=True)
+            (bench_dir / fname).write_text(json.dumps(out, indent=1) + "\n")
+        except OSError as exc:
+            print(f"# sidecar write failed ({fname}): {exc}", file=sys.stderr)
     compact = {
         "metric": out["metric"],
         "value": total,

@@ -105,6 +105,14 @@ def load_changed(catalog: dict[str, QuerySpec] | None = None) -> frozenset[str]:
     priority). Snapshot values are either the legacy bare oracle-hash
     string or ``{"oracle": h, "plan": h}`` (plan-source hashes added
     r13 after a pure plan refactor slipped the oracle-only flag).
+    Placeholder convention (ADVICE r13): a ``plan`` value that is not a
+    real sha256 (e.g. ``"rewritten-r13-pending-driver-validation"``)
+    never equals ``plan_source_hash`` and therefore force-flags the
+    entry into the next driver window — used to hand-flag entries whose
+    rewrite lives in a shared HELPER the direct-function hash cannot
+    see, or whose plan body changed after their last driver-green.
+    ``tools/refresh_oracle_hashes.py`` replaces the placeholder with the
+    real hashes on the entry's next driver-green.
     Entries absent from the snapshot are NOT flagged (a brand-new entry
     is never-green and already sorts first); an unreadable snapshot
     degrades to 'nothing flagged', never breaks `import plans`."""
