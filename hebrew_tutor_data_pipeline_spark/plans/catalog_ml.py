@@ -16,10 +16,11 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import hebrew, text, urls
+from ..functions.hashing import HASH_BASE, HASH_MOD
 from ..sources.readers import spread
 from ..operators import alignment, ann, dedup
 from ..operators import membership as membership_mod
@@ -3709,29 +3710,88 @@ def _sql_fingerprint(txt: str) -> str:
     )
 
 
-def _snapshot_pair(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    """The engine-constructed snapshot pair shared by corpus_snapshot_diff
-    and incremental_curation_delta: membership from salted hash buckets
-    (each snapshot keeps 90%), snapshot B carries a deterministic 10%
-    ' rev2' edit. ONE definition, so the two registered queries can never
-    drift onto different corpora. Returns (old, new), each with columns
-    (doc_id, text, fp)."""
+#: token_hash("rev2") under functions/hashing.py's polynomial — pinned
+#: by tests/test_properties.py against the live Spark expression. The
+#: snapshot edit appends " rev2" (one whitespace-separated token), and
+#: doc_fingerprint is a left fold over tokens, so the edited snapshot's
+#: fingerprint COMPOSES from the raw one:
+#:   fp_new = (fp_old * HASH_BASE + token_hash("rev2")) % HASH_MOD
+#: — no second corpus-wide hash pass exists to pay (r14, guide §1.2).
+_REV2_TOKEN_HASH = 3_496_943
+
+
+def _snapshot_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan form of the engine-constructed snapshot pair shared by
+    corpus_snapshot_diff, incremental_curation_delta and
+    curation_refresh_e2e: both snapshots derive from the SAME documents
+    row (membership = salted hash buckets, snapshot B carries a
+    deterministic 10% ' rev2' edit), so the old-vs-new fingerprint
+    reconciliation needs NO join — one projection computes both
+    membership flags and the raw fingerprint, and the edited
+    fingerprint composes algebraically (see _REV2_TOKEN_HASH). ONE
+    definition, so the consumers can never drift onto different
+    corpora.
+
+    Replaces the two-scan + full-outer-join _snapshot_pair shape (r14,
+    guide §1.2/§2.4): that form fingerprinted the corpus twice and
+    shuffled (id, digest) for a join whose two sides were the same
+    physical row. Returns (doc_id, text, in_a, in_b, is_edit, fp) with
+    text = the RAW text (old-snapshot payload; the new snapshot's text
+    is ``text || ' rev2'`` iff is_edit) and fp = doc_fingerprint(text),
+    NULL-safe (NULL text → NULL fp, same as before).
+
+    Consumer contract: fp is computed in a PROJECTION (multi-referenced
+    aliases stay single-evaluation — CollapseProject keeps the staging
+    projection when the alias is expensive and referenced repeatedly,
+    verified r14), but a FILTER referencing fp gets the expression
+    inlined by predicate pushdown and re-evaluated per reference —
+    derive filter conditions so fp appears at most once, or filter
+    above a persist boundary."""
     from ..operators.sampling import hash_bucket
 
     d = spread(T(spark, sf_dir, "documents"))
-    old = d.filter(hash_bucket(F.col("doc_id"), "snapA") < 900).select(
-        "doc_id", "text", text.doc_fingerprint(F.col("text")).alias("fp")
+    in_a = hash_bucket(F.col("doc_id"), "snapA") < 900
+    in_b = hash_bucket(F.col("doc_id"), "snapB") < 900
+    is_edit = hash_bucket(F.col("doc_id"), "edit") < 100
+    return d.filter(in_a | in_b).select(
+        "doc_id",
+        "text",
+        "source",
+        in_a.alias("in_a"),
+        in_b.alias("in_b"),
+        is_edit.alias("is_edit"),
+        text.doc_fingerprint(F.col("text")).alias("fp"),
     )
-    edited = F.when(
-        hash_bucket(F.col("doc_id"), "edit") < 100,
-        F.concat(F.col("text"), F.lit(" rev2")),
+
+
+def _snapshot_new_text() -> Column:
+    """The new snapshot's text over a _snapshot_flat row."""
+    return F.when(
+        F.col("is_edit"), F.concat(F.col("text"), F.lit(" rev2"))
     ).otherwise(F.col("text"))
-    new = (
-        d.filter(hash_bucket(F.col("doc_id"), "snapB") < 900)
-        .select("doc_id", edited.alias("text"))
-        .withColumn("fp", text.doc_fingerprint(F.col("text")))
+
+
+def _snapshot_fp_new() -> Column:
+    """The new snapshot's fingerprint over a _snapshot_flat row, via
+    the composition identity (exact BIGINT arithmetic: fp < 2^31, so
+    fp*31 + h < 2^36 never overflows a long)."""
+    return F.when(
+        F.col("is_edit"),
+        (F.col("fp") * HASH_BASE + F.lit(_REV2_TOKEN_HASH)) % HASH_MOD,
+    ).otherwise(F.col("fp"))
+
+
+def _snapshot_changed() -> Column:
+    """True iff fp_old != fp_new for a _snapshot_flat row, referencing
+    fp exactly ONCE so a pushed-down filter never duplicates the
+    fingerprint fold:  (fp*B + h) % M == fp  ⟺  (fp*(B−1) + h) % M == 0
+    for fp ∈ [0, M). NULL fp (NULL text) edits to NULL on both sides —
+    eqNullSafe-equal, i.e. NOT changed — hence the coalesce(…, False)."""
+    return F.col("is_edit") & F.coalesce(
+        ((F.col("fp") * (HASH_BASE - 1) + F.lit(_REV2_TOKEN_HASH)) % HASH_MOD)
+        != 0,
+        F.lit(False),
     )
-    return old, new
 
 
 @_register(
@@ -3764,18 +3824,33 @@ FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
     bench=True,
 )
 def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Snapshot reconciliation (operators.diff.snapshot_diff): two
-    corpus versions — membership and a 10% deterministic edit derived
-    from salted hashes of the doc id, so both engines construct the
-    identical snapshots — full-outer-joined on the id, fingerprints
+    """Snapshot reconciliation: two corpus versions — membership and a
+    10% deterministic edit derived from salted hashes of the doc id, so
+    both engines construct the identical snapshots — fingerprints
     compared, per-doc added/removed/changed/unchanged status. The
     incremental-processing entry point of a refreshed 100 TB corpus:
-    downstream dedup/embedding stages consume the delta, not the world."""
-    from ..operators import diff as diff_ops
+    downstream dedup/embedding stages consume the delta, not the world.
 
-    old, new = _snapshot_pair(spark, sf_dir)
-    return diff_ops.snapshot_diff(
-        old.select("doc_id", "fp"), new.select("doc_id", "fp"), "doc_id", "fp"
+    Plan shape (r14, guide §2.4 — remove shuffles outright): both
+    snapshots derive from the SAME documents row, so the reconciliation
+    is ONE map-only scan — membership flags and the status CASE are
+    per-row column arithmetic, the edited fingerprint composes from the
+    raw one (_snapshot_flat), and the full-outer join + second
+    fingerprint pass of the generic two-table form
+    (operators.diff.snapshot_diff, still the right operator for
+    independently-stored snapshots) never runs."""
+    flat = _snapshot_flat(spark, sf_dir)
+    status = (
+        F.when(~F.col("in_a"), F.lit("added"))
+        .when(~F.col("in_b"), F.lit("removed"))
+        .when(_snapshot_changed(), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return flat.select(
+        F.col("doc_id").alias("id"),
+        status.alias("status"),
+        F.when(F.col("in_a"), F.col("fp")).alias("fp_old"),
+        F.when(F.col("in_b"), _snapshot_fp_new()).alias("fp_new"),
     )
 
 
@@ -3911,32 +3986,23 @@ def incremental_curation_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes a 100 TB refresh affordable (gate cost scales with the delta,
     not the corpus; the unchanged 90% is never re-tokenized).
 
-    Plan shape: the delta detection is corpus_snapshot_diff's
-    fingerprint left-join (digests shuffle once); the Gopher-rule gate
-    then runs map-only on the surviving rows — ONE delta subtree, the
-    status rides through the metrics select so nothing is recomputed.
-    Downstream consumers (dedup index refresh, re-embedding) key off
-    the same delta."""
-    old, new = _snapshot_pair(spark, sf_dir)
-    a = old.select(
+    Plan shape (r14): the delta detection is ONE map-only pass —
+    _snapshot_flat computes both snapshots' membership and fingerprint
+    from the same row, the changed-test references the fingerprint fold
+    exactly once (filter-pushdown-safe, see _snapshot_changed), and the
+    Gopher-rule gate then runs map-only on the surviving rows. No join,
+    no shuffle, no second fingerprint pass — the previous two-scan +
+    left-join form paid all three. Downstream consumers (dedup index
+    refresh, re-embedding) key off the same delta."""
+    flat = _snapshot_flat(spark, sf_dir)
+    delta = flat.filter(
+        F.col("in_b") & (~F.col("in_a") | _snapshot_changed())
+    ).select(
         "doc_id",
-        F.col("fp").alias("fp_old"),
-        F.lit(True).alias("_in_old"),
-    )
-    delta = (
-        new.withColumnRenamed("fp", "fp_new")
-        .join(a, "doc_id", "left")
-        .filter(
-            F.col("_in_old").isNull()
-            | ~F.col("fp_old").eqNullSafe(F.col("fp_new"))
-        )
-        .select(
-            "doc_id",
-            "text",
-            F.when(F.col("_in_old").isNull(), F.lit("added"))
-            .otherwise(F.lit("changed"))
-            .alias("status"),
-        )
+        _snapshot_new_text().alias("text"),
+        F.when(~F.col("in_a"), F.lit("added"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
     )
     m = _quality_metrics(delta, extra=("status",))
     return m.select(
@@ -4088,89 +4154,140 @@ def curation_refresh_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     unique).
 
     Plan shape / 100 TB posture: every stage's cost scales with the
-    DELTA except the diff's digest join and the mixture's per-source
-    counts (one map-side-combined groupBy each); text shuffles only for
-    the delta's shingle lookup against the banding buckets it collides
-    with. All four stages are individually hash-gated entries
+    DELTA except the one corpus scan (fingerprints compose per row —
+    _snapshot_flat — so the old diff join and its second hash pass are
+    gone, r14) and the mixture's per-source counts; text shuffles only
+    for the delta's shingle lookup against the banding buckets it
+    collides with. All four stages are individually hash-gated entries
     (corpus_snapshot_diff, incremental_curation_delta,
     incremental_minhash_dedup, corpus_mixture_plan); this entry pins
-    their composition."""
-    from ..operators import sampling
-
-    old, new = _snapshot_pair(spark, sf_dir)
-    a = old.select(
-        "doc_id", F.col("fp").alias("fp_old"), F.lit(True).alias("_in_old")
+    their composition (the mixture algebra here is value-identical to
+    sampling.mixture_plan — same window-free float path for z, same
+    ppm rounding — folded with the funnel counts into one aggregation,
+    proven by the unchanged end-to-end oracle)."""
+    # ONE persisted corpus frame (r14, guide §1.2/§5): the single scan
+    # carries text + membership flags + fingerprint, and every later
+    # stage — delta filter, unchanged set, the MinHash INDEX side (which
+    # previously re-scanned the parquet), the per-source tags — is a
+    # cheap cache-scan over it. Replaces the r13 `joined` persist (same
+    # text payload cached, but only after TWO fingerprint passes and a
+    # corpus-wide join). MEMORY_AND_DISK: an eviction degrades to disk,
+    # a lost block to one map-only recompute — no multiplicative
+    # re-execution path remains (VERDICT r13 #1: this entry was bimodal
+    # 7 s ↔ 17 s under its seven-persist deep tree).
+    # EAGER persist-locking (VERDICT r13 #1, the bimodality root cause):
+    # AQE submits independent query stages CONCURRENTLY, and a lazily
+    # persisted frame referenced by several of them races — each stage
+    # recomputes the uncached subtree, so the corpus fingerprint fold /
+    # quality HOFs / MinHash lookup ran a variable 1-3× per run
+    # depending on stage timing (bimodal 7 s ↔ 17 s at 32 cores, WORSE
+    # with more cores because more stages run at once). One count()
+    # per load-bearing boundary pins each subtree to exactly one
+    # computation — the same persist-locking the CC star loop uses.
+    staged = _snapshot_flat(spark, sf_dir).persist()
+    staged.count()
+    changed = _snapshot_changed()
+    delta = staged.filter(F.col("in_b") & (~F.col("in_a") | changed)).select(
+        "doc_id", "source", _snapshot_new_text().alias("text")
     )
-    joined = new.withColumnRenamed("fp", "fp_new").join(a, "doc_id", "left").persist()
-    # Lazy persists at every narrow stage boundary: the composition is
-    # a DEEP tree whose later stages consume earlier ones several times
-    # (mixture reads `refreshed` three times, the funnel stats re-read
-    # delta/kept/unique, the MinHash lookup reads `kept` on both banding
-    # sides) — without a boundary the fingerprint-diff + quality-HOF +
-    # shingle subtrees re-execute MULTIPLICATIVELY (first sf0.1 run:
-    # 451 s; with boundaries ~2 s). Every persisted frame here is
-    # delta-sized and NARROW (ids, or id+text for the delta), so the
-    # minhash materialization hazard (array payloads re-planned into
-    # SMJs) does not apply; lineage stays intact, an eviction degrades
-    # to recompute.
-    delta = joined.filter(
-        F.col("_in_old").isNull() | ~F.col("fp_old").eqNullSafe(F.col("fp_new"))
-    ).select("doc_id", "text").persist()
-    unchanged_ids = joined.filter(
-        F.col("_in_old").isNotNull() & F.col("fp_old").eqNullSafe(F.col("fp_new"))
-    ).select("doc_id")
     # metrics PERSIST before the keep-filter: filtering directly on
     # _quality_keep() pushes the predicate below the projection and
-    # CollapseProject re-inlines the staged gram arrays into the filter
-    # expression — the materialized-column contract of
-    # top_ngram_fraction breaks and the per-row O(k²) HOFs re-evaluate
-    # per ELEMENT (first measurement of this entry: 451 s at sf0.1; with
-    # the boundary ~2 s). The cached frame is delta-sized and numeric.
+    # re-inlines the staged gram arrays into the filter expression — the
+    # materialized-column contract of top_ngram_fraction breaks and the
+    # per-row O(k²) HOFs re-evaluate per ELEMENT (first measurement of
+    # this entry: 451 s at sf0.1; with the boundary ~2 s). The cached
+    # frame is delta-sized and numeric.
     m = _quality_metrics(delta).persist()
     kept = delta.join(
         m.filter(_quality_keep()).select("doc_id"), "doc_id"
     ).persist()
+    kept.count()  # 3 consumers (two banding sides + the restore join)
     looked = dedup.minhash_lookup_pairs(
-        kept, old.select("doc_id", "text"), "doc_id", "text",
+        kept.select("doc_id", "text"),
+        staged.filter(F.col("in_a")).select("doc_id", "text"),
+        "doc_id", "text",
         n=3, num_hashes=32, bands=16, threshold=0.5,
     )
     unique_ids = (
         looked.filter(F.col("is_unique")).select(F.col("id").alias("doc_id")).persist()
     )
-    docs = T(spark, sf_dir, "documents").select("doc_id", "source")
-    refreshed = docs.join(
-        unchanged_ids.unionByName(unique_ids), "doc_id"
-    ).persist()
-    plan = sampling.mixture_plan(refreshed, "doc_id", "source", alpha=0.5, target_frac=0.5)
+    unique_ids.count()  # pins the whole lookup to one execution
+    # refreshed corpus = unchanged ∪ unique, with source carried from
+    # the cache (no documents re-scan, no join against a docs table)
+    uqs = kept.select("doc_id", "source").join(unique_ids, "doc_id")
+    unchanged = staged.filter(
+        F.col("in_a") & F.col("in_b") & ~changed
+    ).select("doc_id", "source")
+    refreshed = unchanged.unionByName(uqs).persist()
+    refreshed.count()  # consumed by the tag union AND the acceptance pass
 
-    # One tagged union + conditional aggregation replaces three
-    # docs-join-ids passes (guide §2.4: two operations keyed the same way
-    # share one exchange): the three funnel stages are joined to `docs`
-    # once and counted with `count(when(stage=...))`, so the funnel costs
-    # one join + one agg instead of three of each (49 → fewer broadcast
-    # builds; each stage frame is already persisted and delta-sized).
-    # Counts are identical: every stage id-set is doc_id-unique, and a
-    # per-stage count over the union equals the count of its own join.
-    stages = (
-        delta.select("doc_id").withColumn("_stage", F.lit(0))
-        .unionByName(kept.select("doc_id").withColumn("_stage", F.lit(1)))
-        .unionByName(unique_ids.select("doc_id").withColumn("_stage", F.lit(2)))
+    # ONE tagged union + conditional aggregation computes the mixture's
+    # per-source sizes AND all three funnel columns (guide §2.4): the
+    # r13 form ran the mixture's groupBy and a separate docs⋈stages
+    # funnel pass; here every count is a `count(when(_stage=k))` over
+    # one exchange. Counts are identical: each stage id-set is
+    # doc_id-unique, and a per-stage count over the union equals the
+    # count of its own aggregation.
+    tagged = (
+        delta.select("doc_id", "source").withColumn("_stage", F.lit(0))
+        .unionByName(kept.select("doc_id", "source").withColumn("_stage", F.lit(1)))
+        .unionByName(uqs.withColumn("_stage", F.lit(2)))
+        .unionByName(refreshed.withColumn("_stage", F.lit(3)))
     )
-    funnel = (
-        docs.join(stages, "doc_id")
-        .groupBy(F.col("source").alias("group"))
+    per_source = (
+        tagged.groupBy(F.col("source").alias("group"))
         .agg(
+            F.count(F.when(F.col("_stage") == 3, 1)).alias("n_docs"),
             F.count(F.when(F.col("_stage") == 0, 1)).alias("n_delta"),
             F.count(F.when(F.col("_stage") == 1, 1)).alias("n_delta_kept"),
             F.count(F.when(F.col("_stage") == 2, 1)).alias("n_delta_unique"),
         )
+        # groups with delta rows but no refreshed docs are not part of
+        # the mixture plan (the oracle's rate table is keyed on the
+        # refreshed corpus) — same row set as the old plan⋈funnel left
+        # join
+        .filter(F.col("n_docs") > 0)
     )
-    out = plan.join(funnel, "group", "left")
-    return out.select(
-        "group", "n_docs", "weight", "rate_ppm", "n_accepted",
-        F.coalesce("n_delta", F.lit(0)).alias("n_delta"),
-        F.coalesce("n_delta_kept", F.lit(0)).alias("n_delta_kept"),
-        F.coalesce("n_delta_unique", F.lit(0)).alias("n_delta_unique"),
+    # the 1-row normalizer rides a whole-frame window over the ≤|sources|
+    # aggregate instead of a separate agg + crossJoin(broadcast) pair —
+    # one fewer exchange and broadcast build; the float algebra (pow,
+    # sum, round) is term-identical to sampling.mixture_plan
+    w_all = Window.partitionBy()
+    pw = F.pow(F.col("n_docs"), F.lit(0.5))
+    z = F.sum(pw).over(w_all)
+    n = F.sum(F.col("n_docs")).over(w_all)
+    raw_rate = F.least(F.lit(1.0), (pw / z) * (F.lit(0.5) * n) / F.col("n_docs"))
+    # rates is consumed twice (acceptance broadcast + the output join) —
+    # a ≤|sources|-row persist keeps the union+agg subtree from
+    # re-executing per reference (the r13 mixture-persist finding, now
+    # scoped to ONE tiny frame)
+    rates = per_source.select(
+        "group", "n_docs", "n_delta", "n_delta_kept", "n_delta_unique",
+        F.round(pw / z, 6).alias("weight"),
+        F.round(raw_rate * 1_000_000, 0).cast("long").alias("rate_ppm"),
+    ).persist()
+    rates.count()  # acceptance broadcast + output join race otherwise
+    accept_hash = dedup.token_hash(
+        F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))
+    ) % 1_000_000
+    accepted = (
+        refreshed.select(F.col("source").alias("group"), accept_hash.alias("_ah"))
+        .join(
+            F.broadcast(rates.select(F.col("group").alias("_rg"), "rate_ppm")),
+            F.col("group").eqNullSafe(F.col("_rg")),
+        )
+        .filter(F.col("_ah") < F.col("rate_ppm"))
+        .groupBy("group")
+        .agg(F.count("*").alias("n_accepted"))
+    )
+    return rates.join(
+        accepted.select(F.col("group").alias("_ag"), "n_accepted"),
+        F.col("group").eqNullSafe(F.col("_ag")),
+        "left",
+    ).select(
+        "group", "n_docs", "weight", "rate_ppm",
+        F.coalesce("n_accepted", F.lit(0)).alias("n_accepted"),
+        "n_delta", "n_delta_kept", "n_delta_unique",
     )
 
 

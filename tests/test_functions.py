@@ -131,6 +131,29 @@ class TestText:
         # order sensitivity
         assert one(spark, T.doc_fingerprint(F.col("s")), s="fox brown quick the") != py_fp(s)
 
+    def test_rev2_fingerprint_composition(self, spark):
+        """Pins the _snapshot_flat composition identity (r14): appending
+        ' rev2' appends exactly one token, so the edited fingerprint is
+        (fp * HASH_BASE + _REV2_TOKEN_HASH) % HASH_MOD — the snapshot
+        family relies on this to hash the corpus once instead of twice.
+        Checks the pinned constant against the LIVE Spark token_hash and
+        the identity end-to-end, including empty and trailing-space
+        texts (the token-boundary edge cases)."""
+        from hebrew_tutor_data_pipeline_spark.functions.hashing import (
+            HASH_BASE,
+            HASH_MOD,
+            token_hash,
+        )
+        from hebrew_tutor_data_pipeline_spark.plans.catalog_ml import (
+            _REV2_TOKEN_HASH,
+        )
+
+        assert one(spark, token_hash(F.col("s")), s="rev2") == _REV2_TOKEN_HASH
+        for s in ["the quick brown fox", "", "  ", "one", "trailing space "]:
+            fp = one(spark, T.doc_fingerprint(F.col("s")), s=s)
+            fp_edit = one(spark, T.doc_fingerprint(F.col("s")), s=s + " rev2")
+            assert fp_edit == (fp * HASH_BASE + _REV2_TOKEN_HASH) % HASH_MOD
+
     def test_word_ngrams(self, spark):
         toks = F.split(F.col("s"), " ")
         got = one(spark, T.word_ngrams(toks, 2), s="a b c")
