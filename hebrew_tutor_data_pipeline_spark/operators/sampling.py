@@ -185,12 +185,15 @@ def mixture_plan(
     """
     # `counts` feeds both the normalizer and the rate table, and `rates`
     # below is consumed twice (broadcast onto the corpus + the audit
-    # join) — ReusedExchange dedup of the identical groupBy subtree is
-    # not guaranteed once cached inputs sit below it (measured: the
-    # curation composite re-ran the per-source groupBy once per
-    # reference, 45 → 39 jobs with the boundary). Both frames are
-    # |sources| rows; lineage stays intact, eviction degrades to
-    # recompute (guide §5).
+    # join) — deliberately NOT persisted (adjudicated r13/r14): for the
+    # standalone mixture entries both references live in ONE action and
+    # AQE exchange reuse dedupes the groupBy shuffle at runtime, while a
+    # persist boundary measured strictly worse (11 → 15 jobs, wall
+    # flat). The one consumer where cached inputs below this subtree
+    # defeated exchange reuse (curation_refresh_e2e) computes its
+    # mixture inline over an eagerly pinned ≤|sources|-row frame
+    # instead (plans/catalog_ml.py, r14) — the persist question is
+    # settled per consumer, not here.
     counts = df.groupBy(F.col(group_col).alias("group")).agg(
         F.count("*").alias("n_docs")
     )

@@ -1209,6 +1209,7 @@ def trimmer_intro_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if tree_bytes >= 32 << 20:
         segs = segs.persist()
+        segs.count()  # pin: concurrent AQE stages race a lazy boundary
     thr = audio_ops.intro_threshold(segs, skip_segments=2, factor=0.3)
     sugg = audio_ops.suggest_intro_trim(
         segs, skip_segments=2, factor=0.3, buffer_seconds=0.25, min_trim=1.0
@@ -1371,6 +1372,12 @@ def trimmer_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the last segment's end (== total_samples/sr exactly) instead of a
     # second decode pass over the samples.
     segs = audio_ops.rms_energy_segments(wf, segment_seconds=1.0).persist()
+    # EAGER (r14): AQE runs independent query stages concurrently, and a
+    # lazy boundary consumed by several of them (threshold, first-loud,
+    # duration, report) races — each re-runs the MapInPandas decode+tile
+    # pipeline (the curation_refresh_e2e bimodality class; this entry
+    # read 0.58× in the r13 driver run with no hot-path code change).
+    segs.count()
     sugg = audio_ops.suggest_intro_trim(
         segs, skip_segments=2, factor=0.3, buffer_seconds=0.25, min_trim=1.0
     ).join(segs.groupBy("path").agg(F.max("end_time").alias("duration")), "path")

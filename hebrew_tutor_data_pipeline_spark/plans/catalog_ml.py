@@ -1108,7 +1108,16 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     if n >= 100_000:
         fps = fps.persist()
         fps.count()
-    g = fps.groupBy("simhash").agg(F.count(F.lit(1)).alias("m"))
+    # g (the quotient frame — one narrow row per distinct fingerprint)
+    # is consumed by the banded join, the neighbor-multiplicity side,
+    # and the degree build. EAGER persist-locking (r14): AQE submits
+    # independent query stages concurrently, so a lazy boundary here
+    # raced and re-ran the corpus simhash fold per consumer — the same
+    # root cause as curation_refresh_e2e's bimodality. Measured sf0.1
+    # A/B (cache-cleared, alternating): lazy 6.3-10.6 s with a 45 s
+    # outlier → 3.7-4.5 s pinned, identical values.
+    g = fps.groupBy("simhash").agg(F.count(F.lit(1)).alias("m")).persist()
+    g.count()
     adjp = dedup._banded_hamming_pairs(
         g.select(F.col("simhash").alias("id"), "simhash"), bits, 2, 1
     ).select("id_a", "id_b")
@@ -1122,6 +1131,7 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = adjp.unionAll(
         adjp.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     ).persist()
+    adj.count()  # 3 consumers (degree fold + one join per round) — pin
     nb = g.select(
         F.col("simhash").alias("id_b"),
         F.col("m").alias("mb"),
@@ -1156,6 +1166,7 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("c"),
         ).persist()
+        cf.count()  # inbox aggregate + damping join race otherwise
         crs = (
             adj.join(
                 cf.select(
@@ -2040,8 +2051,13 @@ def _bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join) referenced it twice — re-running the corpus-wide posting
     # scan + TakeOrderedAndProject once per reference (guide §2.4 /
     # §5: cache when the recompute is a corpus pass and the cache is
-    # bytes). Lineage intact; eviction degrades to recompute.
-    return top.persist()
+    # bytes). Lineage intact; eviction degrades to recompute. EAGER
+    # (r14): a lazy boundary with two consumers in one action races
+    # under AQE's concurrent stage materialization — the count pins the
+    # posting scan to exactly one execution.
+    top = top.persist()
+    top.count()
+    return top
 
 
 @_register(
