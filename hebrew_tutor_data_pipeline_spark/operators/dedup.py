@@ -1491,13 +1491,32 @@ def minhash_lookup_pairs(
         .join(banded(index, "x"), ["band", "bucket"])
         .select("b_id", "x_id")
         .distinct()
-    )
-    sh_b = shingle_sets(batch, id_col, text_col, n).withColumnsRenamed(
-        {"id": "b_id", "shingles": "sh_b"}
-    )
-    sh_x = shingle_sets(index, id_col, text_col, n).withColumnsRenamed(
-        {"id": "x_id", "shingles": "sh_x"}
-    )
+    ).persist()
+    # EAGER pin (r14): cand now has three consumers (the verify join +
+    # one semi-join per shingle side below) — lazy, AQE's concurrent
+    # stage materialization would re-run the banding join per consumer.
+    cand.count()
+    # Shingle AFTER the semi-join, not before (guide §3.3 — join first
+    # on the un-exploded key): only documents that actually collided in
+    # some (band, bucket) need exact-verification shingles, so the
+    # second tokenize+ngram pass over each side runs on the collided
+    # subset instead of the whole frame. On the INDEX side that is the
+    # difference between re-shingling the standing corpus and
+    # re-shingling ~the batch's collision neighborhood — at 100 TB the
+    # index is the corpus. The semi-join drops no verifiable pair:
+    # verified only ever reads shingles of ids present in cand.
+    sh_b = shingle_sets(
+        batch.join(
+            cand.select(F.col("b_id").alias(id_col)), id_col, "leftsemi"
+        ),
+        id_col, text_col, n,
+    ).withColumnsRenamed({"id": "b_id", "shingles": "sh_b"})
+    sh_x = shingle_sets(
+        index.join(
+            cand.select(F.col("x_id").alias(id_col)), id_col, "leftsemi"
+        ),
+        id_col, text_col, n,
+    ).withColumnsRenamed({"id": "x_id", "shingles": "sh_x"})
     verified = (
         cand.join(sh_b, "b_id")
         .join(sh_x, "x_id")
