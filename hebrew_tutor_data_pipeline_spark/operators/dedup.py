@@ -1454,6 +1454,7 @@ def minhash_lookup_pairs(
     num_hashes: int = 32,
     bands: int = 16,
     threshold: float = 0.5,
+    index_rows: int | None = None,
 ) -> DataFrame:
     """Asymmetric MinHash-LSH lookup — the incremental face of the
     Jaccard candidate tier of record: every BATCH document's best
@@ -1470,7 +1471,18 @@ def minhash_lookup_pairs(
     window over the batch id, and a final left join restores unmatched
     batch docs. At 100 TB the index side's banding output is the thing
     you persist — this function re-derives it only because the sandbox
-    has no standing store."""
+    has no standing store.
+
+    ``index_rows`` (callers derive it from parquet FOOTER metadata at
+    zero jobs — the established knob discipline) gates the
+    shingle-after-semi-join verification path: at ≥100k index rows the
+    second tokenize+ngram pass over the standing corpus dominates and
+    is cut to the collided neighborhood (guide §3.3 — join first on
+    the un-exploded key); below it the semi-join's extra candidate pin
+    and broadcast stages (+7 jobs measured at sf0.1) cost more than
+    the small second pass they save, so the plain two-pass form runs.
+    Both paths produce identical values — the semi-join only restricts
+    shingles to ids already present in the candidate set."""
     if num_hashes % bands != 0:
         raise ValueError(
             f"bands ({bands}) must divide num_hashes ({num_hashes}) "
@@ -1491,32 +1503,33 @@ def minhash_lookup_pairs(
         .join(banded(index, "x"), ["band", "bucket"])
         .select("b_id", "x_id")
         .distinct()
-    ).persist()
-    # EAGER pin (r14): cand now has three consumers (the verify join +
-    # one semi-join per shingle side below) — lazy, AQE's concurrent
-    # stage materialization would re-run the banding join per consumer.
-    cand.count()
-    # Shingle AFTER the semi-join, not before (guide §3.3 — join first
-    # on the un-exploded key): only documents that actually collided in
-    # some (band, bucket) need exact-verification shingles, so the
-    # second tokenize+ngram pass over each side runs on the collided
-    # subset instead of the whole frame. On the INDEX side that is the
-    # difference between re-shingling the standing corpus and
-    # re-shingling ~the batch's collision neighborhood — at 100 TB the
-    # index is the corpus. The semi-join drops no verifiable pair:
-    # verified only ever reads shingles of ids present in cand.
-    sh_b = shingle_sets(
-        batch.join(
-            cand.select(F.col("b_id").alias(id_col)), id_col, "leftsemi"
-        ),
-        id_col, text_col, n,
-    ).withColumnsRenamed({"id": "b_id", "shingles": "sh_b"})
-    sh_x = shingle_sets(
-        index.join(
-            cand.select(F.col("x_id").alias(id_col)), id_col, "leftsemi"
-        ),
-        id_col, text_col, n,
-    ).withColumnsRenamed({"id": "x_id", "shingles": "sh_x"})
+    )
+    if index_rows is not None and index_rows >= 100_000:
+        # EAGER pin: cand gets three consumers on this path (the verify
+        # join + one semi-join per shingle side) — lazy, AQE's
+        # concurrent stage materialization would re-run the banding
+        # join per consumer.
+        cand = cand.persist()
+        cand.count()
+        sh_b = shingle_sets(
+            batch.join(
+                cand.select(F.col("b_id").alias(id_col)), id_col, "leftsemi"
+            ),
+            id_col, text_col, n,
+        ).withColumnsRenamed({"id": "b_id", "shingles": "sh_b"})
+        sh_x = shingle_sets(
+            index.join(
+                cand.select(F.col("x_id").alias(id_col)), id_col, "leftsemi"
+            ),
+            id_col, text_col, n,
+        ).withColumnsRenamed({"id": "x_id", "shingles": "sh_x"})
+    else:
+        sh_b = shingle_sets(batch, id_col, text_col, n).withColumnsRenamed(
+            {"id": "b_id", "shingles": "sh_b"}
+        )
+        sh_x = shingle_sets(index, id_col, text_col, n).withColumnsRenamed(
+            {"id": "x_id", "shingles": "sh_x"}
+        )
     verified = (
         cand.join(sh_b, "b_id")
         .join(sh_x, "x_id")

@@ -3611,7 +3611,8 @@ def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = d.filter(F.col("doc_id") % 10 == 7)
     index = d.filter(F.col("doc_id") % 10 != 7)
     return dedup.minhash_lookup_pairs(
-        batch, index, "doc_id", "text", n=3, num_hashes=32, bands=16, threshold=0.5
+        batch, index, "doc_id", "text", n=3, num_hashes=32, bands=16, threshold=0.5,
+        index_rows=_corpus_rows(spark, sf_dir, "documents"),
     )
 
 
@@ -4223,6 +4224,7 @@ def curation_refresh_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         staged.filter(F.col("in_a")).select("doc_id", "text"),
         "doc_id", "text",
         n=3, num_hashes=32, bands=16, threshold=0.5,
+        index_rows=_corpus_rows(spark, sf_dir, "documents"),
     )
     unique_ids = (
         looked.filter(F.col("is_unique")).select(F.col("id").alias("doc_id")).persist()

@@ -1579,6 +1579,44 @@ class TestMinhashLookup:
         ).first()
         assert (r["match_id"], r["jaccard"], r["is_unique"]) == (5, 1.0, False)
 
+    def test_semijoin_verify_path_is_value_identical(self, spark):
+        """index_rows ≥ 100k flips the verification shingles onto the
+        shingle-after-semi-join path (r14, guide §3.3) — the output
+        must be row-identical to the plain two-pass form, including
+        unmatched batch docs (is_unique=True restores), on the same
+        inputs."""
+        from hebrew_tutor_data_pipeline_spark.operators.dedup import (
+            minhash_lookup_pairs,
+        )
+
+        index = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "pack my box with five dozen liquor jugs"),
+                (3, "the quick brown fox jumps over the lazy cat"),
+            ],
+            ["doc_id", "text"],
+        )
+        batch = spark.createDataFrame(
+            [
+                (100, "the quick brown fox jumps over the lazy dog"),
+                (101, "completely unrelated text with no overlap at all"),
+            ],
+            ["doc_id", "text"],
+        )
+        plain = sorted(
+            map(tuple, minhash_lookup_pairs(batch, index, "doc_id", "text").collect())
+        )
+        semi = sorted(
+            map(
+                tuple,
+                minhash_lookup_pairs(
+                    batch, index, "doc_id", "text", index_rows=10**9
+                ).collect(),
+            )
+        )
+        assert plain == semi
+
 
 class TestMixturePlan:
     def test_invariants_and_temperature_upweighting(self, spark):

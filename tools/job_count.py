@@ -12,6 +12,7 @@ pure scheduling/launch latency, so job count x per-job floor bounds the
 fixed overhead an entry can never go below without restructuring.
 
 Usage: python tools/job_count.py <query> [query ...]
+       python tools/job_count.py --all [out.json]   # full-catalog sweep
 """
 
 from __future__ import annotations
@@ -30,6 +31,12 @@ def main() -> int:
     from hebrew_tutor_data_pipeline_spark.session import get_spark
 
     names = sys.argv[1:]
+    out_json = None
+    if names and names[0] == "--all":
+        from hebrew_tutor_data_pipeline_spark.plans import REGISTRATION_ORDER
+
+        out_json = names[1] if len(names) > 1 else None
+        names = list(REGISTRATION_ORDER)
     spark = get_spark("job-count")
     spark.sparkContext.setLogLevel("ERROR")
     sc = spark.sparkContext
@@ -42,13 +49,28 @@ def main() -> int:
         group = f"jc_{name}"
         sc.setJobGroup(group, name)
         t0 = time.perf_counter()
-        df = spec.spark(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
+        try:
+            df = spec.spark(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 — sweep must finish
+            sc.setJobGroup(None, None)
+            out[name] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+            print(f"{name}: ERROR {out[name]['error'][:80]}")
+            continue
         dt = time.perf_counter() - t0
         sc.setJobGroup(None, None)
         jobs = tracker.getJobIdsForGroup(group)
-        out[name] = (len(jobs), round(dt, 2))
+        out[name] = {"jobs": len(jobs), "sec": round(dt, 2)}
         print(f"{name}: {len(jobs)} jobs, {dt:.2f}s")
+    total_jobs = sum(v.get("jobs", 0) for v in out.values())
+    print(f"total: {total_jobs} jobs over {len(out)} entries")
+    if out_json:
+        import json
+        from pathlib import Path as _P
+
+        _P(out_json).write_text(
+            json.dumps({"total_jobs": total_jobs, "per_query": out}, indent=1) + "\n"
+        )
     spark.stop()
     return 0
 
